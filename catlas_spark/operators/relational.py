@@ -1,0 +1,134 @@
+"""Core grouped/window operators of the screening engine.
+
+These are the Spark-first re-expressions of the reference's
+group-shaped filters (SURVEY.md §2.4, §2.8):
+
+- grouped top-k by computed score        (F16, `catlas/filter_utils.py:568-620`)
+- group-min relative-threshold retention (F17, `catlas/filter_utils.py:623-679`)
+- group-EXISTS propagated to all rows    (F18/F19, `catlas/filters.py:266-348`)
+- grouped min + argmin                   (A3, `catlas/adslab_predictions.py:324-337`)
+- soft-delete gating of expensive UDFs   (F20, `catlas/adslab_predictions.py:275-282`)
+
+The reference computes these per-partition with hand-rolled dicts and
+numpy argpartition/argsort, correct only because its partitioning is
+aligned with the grouping key (1 bulk per partition). Here they are
+global window/groupBy operators: Spark shuffles on the group key, AQE
+handles skewed groups, and correctness no longer depends on physical
+layout.
+
+Scale notes: all of these are single-shuffle operators (one exchange on
+the partition key). The window variants avoid a join; the group-EXISTS
+marker keeps rows in place (no second shuffle to re-attach a group
+verdict).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep the k best rows per group (reference F16 `filter_by_broken_bonds`).
+
+    ``order_by`` must be a deterministic total order (include tiebreak
+    columns) or results are unstable across runs/engines.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    out = df.withColumn("__rank", F.row_number().over(w)).filter(F.col("__rank") <= k)
+    if keep_rank:
+        return out.withColumnRenamed("__rank", "rank")
+    return out.drop("__rank")
+
+
+def grouped_top_proportion(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    proportion: float,
+) -> DataFrame:
+    """Keep ceil(p * n) best rows per group (F16 `top_proportion` variant,
+    `catlas/filter_utils.py:595-605`)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    wall = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rank") <= F.ceil(F.col("__n") * F.lit(proportion)))
+        .drop("__rank", "__n")
+    )
+
+
+def best_within_relative_threshold(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score: Column,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Keep rows whose score is within ``threshold`` (relative) of the
+    group minimum (reference F17 `filter_best_facet_by_surface_property`,
+    `catlas/filter_utils.py:654-678`: keep while (s - min) / |min| <= t).
+    """
+    w = Window.partitionBy(*group_cols)
+    min_s = F.min(score).over(w)
+    return (
+        df.withColumn("__min_s", min_s)
+        .filter((score - F.col("__min_s")) <= F.abs(F.col("__min_s")) * F.lit(threshold))
+        .drop("__min_s")
+    )
+
+
+def group_exists_mark(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    predicate: Column,
+    reason: str,
+    reason_col: str = "filter_reason",
+) -> DataFrame:
+    """Group-level EXISTS propagated to every row (reference F18/F19,
+    `catlas/filters.py:298-324`): if NO row in the group satisfies
+    ``predicate``, soft-delete the whole group by setting ``reason_col``
+    on all its rows; rows in passing groups keep their existing marker.
+
+    Soft delete (not drop) is a core reference semantic: marked rows
+    stay in lineage counts and final outputs but skip expensive
+    downstream compute (see :func:`soft_delete_gate`).
+    """
+    w = Window.partitionBy(*group_cols)
+    exists = F.max(F.when(predicate, F.lit(1)).otherwise(F.lit(0))).over(w)
+    existing = F.col(reason_col) if reason_col in df.columns else F.lit(None).cast("string")
+    return df.withColumn(
+        reason_col,
+        F.when(exists == 0, F.coalesce(existing, F.lit(reason))).otherwise(existing),
+    )
+
+
+def soft_delete_gate(df: DataFrame, expensive: Column, reason_col: str = "filter_reason") -> Column:
+    """Evaluate ``expensive`` only on live rows; NULL on soft-deleted ones
+    (reference F20, `catlas/adslab_predictions.py:275-282`)."""
+    return F.when(F.col(reason_col).isNull(), expensive).otherwise(F.lit(None))
+
+
+def grouped_min_argmin(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column,
+    tiebreaks: Sequence[Column] = (),
+) -> DataFrame:
+    """One row per group: the row achieving the minimum ``value``
+    (reference A3 grouped min + argmin on energy arrays,
+    `catlas/adslab_predictions.py:324-337`).
+
+    Implemented as a window rank (not ``min_by``) so ties resolve
+    deterministically via ``tiebreaks``.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value, *tiebreaks)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

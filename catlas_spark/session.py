@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Single place where engine-level physical knobs live so every entry point
+(tests, bench, driver contract) gets the same tuned session.
+
+Scale notes (100 TB discipline):
+- AQE on: runtime coalesce, skew-join splitting, dynamic join strategy
+  switch. At 1000 executors this is what turns a static 32-partition
+  local plan into a properly sized cluster plan without code changes.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces down. On a real cluster set it ~2-3x total cores.
+- Arrow enabled so every pandas_udf / mapInPandas stage is Arrow-batched
+  (vectorized, not row-at-a-time pickling).
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "catlas_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    If an active session already exists (e.g. the driver harness created
+    one and calls ``entry(spark)``), we do NOT replace it — engine code
+    must work with whatever session it is handed.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,45 @@
+"""Scans for the driver-generated star schema (TESTDATA.md).
+
+Analog of the reference's sources (SURVEY.md §2.1: S1 JSON bulk scan,
+S2 pickle adsorbate scan — `catlas/load_bulk_structures.py:19-40`,
+`catlas/load_adsorbate_structures.py:10-39`) re-expressed as lazy
+columnar parquet scans: Catalyst pushes filters and prunes columns into
+the scan for free, which the reference's eager driver-side loads cannot.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Lazy parquet scan of one star-schema table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_star(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """All star tables as a dict of lazy DataFrames."""
+    return {t: load_table(spark, t, sf_dir) for t in STAR_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every star table as a temp view (for the SQL API)."""
+    for t in STAR_TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)

@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate.
+
+For every query in catlas_spark.queries: run the Spark DataFrame and the
+DuckDB oracle SQL side-by-side at a given sf dir, then compare
+row-count + column names + order-insensitive values (columns sorted by
+name, rows sorted, exact match; floats compared to 1e-9 after both
+sides' own rounding).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from catlas_spark import queries as Q  # noqa: E402
+from catlas_spark.session import get_spark  # noqa: E402
+from catlas_spark.sources.star import STAR_TABLES  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if len(a) != len(b):
+        return f"row count {len(a)} vs {len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None and y is None:
+                continue
+            xnan = isinstance(x, float) and math.isnan(x)
+            ynan = isinstance(y, float) and math.isnan(y)
+            if (x is None and ynan) or (y is None and xnan) or (xnan and ynan):
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                if x is None or y is None:
+                    return f"col {c} row {i}: {x!r} vs {y!r}"
+                if abs(x - y) > 1e-9:
+                    return f"col {c} row {i}: {x!r} vs {y!r}"
+                if x != y:
+                    # bit-level difference below tolerance: warn (driver may hash raw)
+                    return f"col {c} row {i}: ULP diff {x!r} vs {y!r}"
+            elif x != y:
+                return f"col {c} row {i}: {x!r} vs {y!r}"
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = Q.queries(), Q.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK  {name}: no oracle (rows={len(sdf)})")
+            n_weak += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        err = compare(sdf, ddf)
+        if err:
+            print(f"FAIL  {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name} (rows={len(sdf)})")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,73 @@
+"""Unit tests for the core grouped/window operators (SURVEY §2.4/§2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from catlas_spark.operators.relational import (
+    best_within_relative_threshold,
+    group_exists_mark,
+    grouped_min_argmin,
+    grouped_top_proportion,
+    grouped_topk,
+    soft_delete_gate,
+)
+
+
+def _df(spark):
+    rows = [
+        ("a", 1, 10.0),
+        ("a", 2, 5.0),
+        ("a", 3, 5.2),
+        ("a", 4, 20.0),
+        ("b", 1, 1.0),
+        ("b", 2, 100.0),
+        ("c", 1, 7.0),
+    ]
+    return spark.createDataFrame(rows, "grp string, idx int, score double")
+
+
+def test_grouped_topk(spark):
+    out = grouped_topk(_df(spark), ["grp"], [F.col("score"), F.col("idx")], k=2)
+    got = {(r.grp, r.idx) for r in out.collect()}
+    assert got == {("a", 2), ("a", 3), ("b", 1), ("b", 2), ("c", 1)}
+
+
+def test_grouped_top_proportion(spark):
+    # group a has 4 rows → ceil(0.5*4)=2 kept; b: ceil(1)=1; c: 1
+    out = grouped_top_proportion(_df(spark), ["grp"], [F.col("score"), F.col("idx")], 0.5)
+    got = {(r.grp, r.idx) for r in out.collect()}
+    assert got == {("a", 2), ("a", 3), ("b", 1), ("c", 1)}
+
+
+def test_best_within_relative_threshold(spark):
+    # group a: min=5.0, keep score <= 5.0 + 0.5 → {2, 3}
+    out = best_within_relative_threshold(_df(spark), ["grp"], F.col("score"), 0.1)
+    got = {(r.grp, r.idx) for r in out.collect()}
+    assert got == {("a", 2), ("a", 3), ("b", 1), ("c", 1)}
+
+
+def test_group_exists_mark_and_gate(spark):
+    df = group_exists_mark(_df(spark), ["grp"], F.col("score") > 50, "no big score")
+    rows = {(r.grp, r.idx): r.filter_reason for r in df.collect()}
+    assert rows[("b", 1)] is None and rows[("b", 2)] is None
+    assert all(v == "no big score" for (g, _), v in rows.items() if g in ("a", "c"))
+    # second marker must not overwrite the first (reference keeps the
+    # FIRST reason a row was soft-deleted, catlas/filters.py:317-324)
+    df2 = group_exists_mark(df, ["grp"], F.col("score") > 1e9, "second reason")
+    rows2 = {(r.grp, r.idx): r.filter_reason for r in df2.collect()}
+    assert rows2[("a", 1)] == "no big score"
+    assert rows2[("b", 1)] == "second reason"
+    # gate: expensive expr NULL on dead rows
+    gated = df.withColumn("out", soft_delete_gate(df, F.col("score") * 2)).collect()
+    for r in gated:
+        if r.filter_reason is None:
+            assert r.out == r.score * 2
+        else:
+            assert r.out is None
+
+
+def test_grouped_min_argmin(spark):
+    out = grouped_min_argmin(_df(spark), ["grp"], F.col("score"), [F.col("idx")])
+    got = {(r.grp, r.idx, r.score) for r in out.collect()}
+    assert got == {("a", 2, 5.0), ("b", 1, 1.0), ("c", 1, 7.0)}
