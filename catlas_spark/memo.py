@@ -1,0 +1,87 @@
+"""Persistent memo-table: incremental recompute across runs.
+
+This is the Spark-first replacement for the reference's killer feature —
+sharded-sqlite operator memoization (`sqlitedict_memoize`,
+`catlas/cache_utils.py:137-218`; SURVEY.md §2.13/R4). Instead of a
+per-call KV store wrapped around a Python function, expensive operator
+results are keyed by a deterministic hash of explicit key columns + an
+operator version string, stored in a parquet memo table, and reused via
+a join:
+
+    memoize(df) = (df ⋉ memo)  ∪  compute(df ⋲ memo) appended to memo
+
+Key design points mapped from the reference:
+- C3 func-identity hashing → explicit ``version`` string per operator
+  implementation (bump to invalidate).
+- C4 ignore-args → the key is an explicit column list, never the payload
+  (hash content-describing columns, not pickled blobs).
+- R11 idempotence → appends are deduplicated on read (max one row per
+  key kept), so task retries / concurrent runs cannot poison results.
+
+At scale the memo table is just another partitioned parquet dataset: the
+hit-join is a shuffle (or broadcast when small) and compaction is a
+normal parquet rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KEY_COL = "__memo_key"
+
+
+def memo_key(key_cols: list[str], version: str) -> F.Column:
+    """Deterministic 64-bit key: xxhash64 over key columns + version."""
+    return F.xxhash64(*key_cols, F.lit(version))
+
+
+def _read_memo(spark: SparkSession, path: str) -> DataFrame | None:
+    if not os.path.exists(path):
+        return None
+    memo = spark.read.parquet(path)
+    # idempotent reads: keep one row per key (appends may duplicate on retry)
+    w = Window.partitionBy(KEY_COL).orderBy(F.col(KEY_COL))
+    return memo.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
+        "__rn"
+    )
+
+
+def memoize(
+    spark: SparkSession,
+    df: DataFrame,
+    key_cols: list[str],
+    compute: Callable[[DataFrame], DataFrame],
+    table_path: str,
+    version: str = "v1",
+) -> DataFrame:
+    """Compute-once operator application.
+
+    ``compute`` maps a keyed input DataFrame to the same rows + result
+    columns. Rows whose key exists in the memo table are served from it;
+    misses are computed, appended to the table, and unioned in.
+
+    NOTE: materializes the miss partition (the append is an action) —
+    this mirrors the reference, where the memo write happens inside the
+    task itself (`catlas/cache_utils.py:155-166`).
+    """
+    keyed = df.withColumn(KEY_COL, memo_key(key_cols, version))
+    memo = _read_memo(spark, table_path)
+
+    if memo is None:
+        computed = compute(keyed)
+        result_cols = [c for c in computed.columns if c not in keyed.columns]
+        computed.select(KEY_COL, *result_cols).write.mode("append").parquet(table_path)
+        return computed.drop(KEY_COL)
+
+    hits = keyed.join(memo, KEY_COL, "inner")
+    misses = keyed.join(memo.select(KEY_COL), KEY_COL, "left_anti")
+    computed = compute(misses)
+    result_cols = [c for c in computed.columns if c not in keyed.columns]
+    new_rows = computed.select(KEY_COL, *result_cols)
+    if new_rows.limit(1).count() > 0:
+        new_rows.write.mode("append").parquet(table_path)
+    return hits.drop(KEY_COL).unionByName(computed.drop(KEY_COL))

@@ -1,0 +1,43 @@
+"""Parity analytics vs a pandas/numpy oracle on the validation fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from catlas_spark.parity import best_frame, frame_error_curve, parity_summary
+from catlas_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def validation(spark):
+    return fixtures.make_validation(spark, n=400)
+
+
+def test_parity_summary_matches_numpy(spark, validation):
+    got = {r.distribution: r for r in parity_summary(validation).collect()}
+    pdf = validation.toPandas()
+    pdf = pdf[pdf.good_trajectory]
+    for dist, grp in pdf.groupby("distribution"):
+        ml = np.array([e[-1] for e in grp.ML_energy])
+        dft = grp.DFT_energy.to_numpy()
+        r = got[dist]
+        assert r.n == len(grp)
+        assert abs(r.mae - np.abs(ml - dft).mean()) < 1e-3
+        slope, intercept = np.polyfit(dft, ml, 1)
+        assert abs(r.slope - slope) < 1e-3
+        assert abs(r.intercept - intercept) < 1e-3
+        assert abs(r.r - np.corrcoef(dft, ml)[0, 1]) < 1e-3
+
+
+def test_frame_curve_monotone_and_argmin(spark, validation):
+    curve = frame_error_curve(validation).toPandas()
+    # fixture noise shrinks with frame index → later frames have lower MAE
+    overall = curve.groupby("frame").mae.mean()
+    assert overall.iloc[-1] < overall.iloc[0]
+    best = best_frame(validation).toPandas()
+    for _, row in best.iterrows():
+        sub = curve[curve.adsorbate == row.adsorbate]
+        expected = sub.sort_values(["mae", "frame"]).iloc[0]
+        assert row.best_frame == expected.frame
+        assert row.best_mae == expected.mae

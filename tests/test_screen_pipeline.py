@@ -1,0 +1,198 @@
+"""End-to-end tests of the screening pipeline (the reference's e2e shape:
+config-driven screen over synthetic fixtures, SURVEY.md §5) plus unit
+checks of the filter registry, enumeration determinism, soft-delete
+cascade, lineage counts and config validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catlas_spark.lineage import Lineage
+from catlas_spark.operators.filters import (
+    BULK_FILTERS,
+    apply_filters,
+)
+from catlas_spark.pipeline import (
+    energy_prediction,
+    enumerate_adslabs,
+    enumerate_slabs,
+    miller_indices,
+    run_screen,
+)
+from catlas_spark.plans.config import ConfigError, validate_config
+from catlas_spark.sources import fixtures
+
+CONFIG = {
+    "bulk_filters": {
+        "filter_by_num_elements": [1, 2],
+        "filter_by_object_size": 60,
+        "filter_by_bulk_e_above_hull": 0.25,
+        "filter_by_acceptable_elements": None,  # disabled (reference semantics)
+    },
+    "adsorbate_filters": {"filter_by_smiles": ["*H", "*CO"]},
+    "slab_filters": {
+        "filter_by_max_miller_index": 1,
+        "filter_by_object_size": 150,
+        "filter_by_broken_bonds": {"top_k": 2},
+    },
+    "adslab_prediction_steps": [
+        {"step": "inference", "label": "dE_step1", "batch_size": 32},
+        {
+            "step": "filter_by_adsorption_energy_target",
+            "label": "dE_step1",
+            "adsorbate_smiles": ["*H"],
+            "target_value": -1.0,
+            "range_value": 1.0,
+        },
+        {"step": "inference", "label": "dE_step2"},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def bulks(spark):
+    return fixtures.make_bulks(spark, n=40)
+
+
+@pytest.fixture(scope="module")
+def adsorbates(spark):
+    return fixtures.make_adsorbates(spark)
+
+
+def test_fixtures_deterministic(spark):
+    a = fixtures.make_bulks(spark, n=10).collect()
+    b = fixtures.make_bulks(spark, n=10).collect()
+    assert a == b
+
+
+def test_miller_indices():
+    assert miller_indices(1) == [(1, 0, 0), (1, 1, 0), (1, 1, 1)]
+    assert len(miller_indices(2)) == 9
+
+
+def test_filter_registry_semantics(spark, bulks):
+    # None disables; unknown warns (not errors) — catlas/filters.py:39-41,135
+    with pytest.warns(UserWarning, match="unknown filter"):
+        out = apply_filters(
+            bulks,
+            {"filter_by_object_size": None, "no_such_filter": 1},
+            BULK_FILTERS,
+        )
+    assert out.count() == bulks.count()
+
+
+def test_pourbaix_semi_join(spark, bulks):
+    ids = [r.bulk_id for r in bulks.select("bulk_id").collect()]
+    pb = fixtures.make_pourbaix(spark, ids)
+    out = apply_filters(
+        bulks,
+        {
+            "filter_by_pourbaix_stability": {
+                "max_decomposition_energy": 0.5,
+                "pH_lower": 6.0,
+                "pH_upper": 8.0,
+                "V_lower": -0.5,
+                "V_upper": 0.5,
+            }
+        },
+        BULK_FILTERS,
+        context={"pourbaix": pb},
+    )
+    n = out.count()
+    assert 0 < n < bulks.count()  # both outcomes exercised
+    # oracle: stable iff ANY grid point in window has decomp_e <= max
+    expected = {
+        r.bulk_id
+        for r in pb.filter(
+            (F.col("pH").between(6, 8))
+            & (F.col("V").between(-0.5, 0.5))
+            & (F.col("decomp_e") <= 0.5)
+        )
+        .select("bulk_id")
+        .distinct()
+        .collect()
+    } & set(r.bulk_id for r in bulks.select("bulk_id").collect())
+    got = {r.bulk_id for r in out.select("bulk_id").collect()}
+    assert got == expected
+
+
+def test_enumeration_shape_and_pushdown(spark, bulks):
+    slabs = enumerate_slabs(bulks, max_miller=1)
+    rows = slabs.select("slab_millers", "slab_max_miller_index", "slab_shift").collect()
+    assert all(max(r.slab_millers) <= 1 for r in rows)  # R1 pushdown
+    assert all(0.0 < r.slab_shift < 1.0 for r in rows)
+    # deterministic
+    again = enumerate_slabs(bulks, max_miller=1).collect()
+    assert sorted(map(str, again)) == sorted(
+        map(str, enumerate_slabs(bulks, max_miller=1).collect())
+    )
+
+
+def test_screen_end_to_end(spark, bulks, adsorbates):
+    cfg = validate_config(CONFIG)
+    lin = Lineage()
+    result = run_screen(spark, cfg, bulks, adsorbates, lineage=lin)
+    rows = result.collect()
+    assert len(rows) > 0
+    # lineage observed after the single action
+    summary = {s["stage"]: s for s in lin.summary()}
+    assert summary["bulks_in"]["rows"] == 40
+    assert summary["bulks_filtered"]["rows"] <= 40
+    assert summary["surfaces"]["rows"] > 0
+    assert summary["results"]["rows"] == len(rows)
+
+    # cascade semantics: soft-deleted rows have NULL step-2 energies (F20)
+    dead = [r for r in rows if r.filter_reason is not None]
+    live = [r for r in rows if r.filter_reason is None]
+    assert dead and live  # both outcomes
+    assert all(r.dE_step2 is None and r.min_dE_step2 is None for r in dead)
+    assert all(r.dE_step2 is not None for r in live)
+    # group-EXISTS (F18/F19): every surface group is uniformly live or dead
+    by_group = {}
+    for r in rows:
+        key = (r.bulk_id, tuple(r.slab_millers), r.slab_shift, r.slab_top)
+        by_group.setdefault(key, set()).add(r.filter_reason is None)
+    assert all(len(v) == 1 for v in by_group.values())
+    # grouped min/argmin (A3): min equals the array min
+    for r in live[:50]:
+        assert r.min_dE_step1 == min(r.dE_step1)
+        assert r.dE_step1[r.argmin_config_dE_step1] == r.min_dE_step1
+
+
+def test_inference_deterministic_and_gated(spark, bulks, adsorbates):
+    slabs = enumerate_slabs(bulks.limit(3), max_miller=1)
+    adslabs = enumerate_adslabs(slabs, adsorbates.limit(2))
+    a = energy_prediction(adslabs, "dE", batch_size=16).select("dE").collect()
+    b = energy_prediction(adslabs, "dE", batch_size=7).select("dE").collect()
+    # batch size must not change results (P6)
+    assert [r.dE for r in a] == [r.dE for r in b]
+    # energies live in the parity range [-4, 2]
+    assert all(-4.0 <= e <= 2.0 for r in a for e in r.dE)
+
+
+def test_config_validation_errors():
+    with pytest.raises(ConfigError, match="top_k"):
+        validate_config(
+            {"slab_filters": {"filter_by_broken_bonds": {"top_k": 2, "top_proportion": 0.5}}}
+        )
+    with pytest.raises(ConfigError, match="dependency group"):
+        validate_config(
+            {"bulk_filters": {"filter_by_pourbaix_stability": {"pH_lower": 2.0}}}
+        )
+    with pytest.raises(ConfigError, match="before any inference"):
+        validate_config(
+            {
+                "adslab_prediction_steps": [
+                    {
+                        "step": "filter_by_adsorption_energy",
+                        "label": "dE",
+                        "adsorbate_smiles": ["*H"],
+                        "min_value": -1,
+                        "max_value": 1,
+                    }
+                ]
+            }
+        )
+    with pytest.raises(ConfigError, match="not a valid bulk id"):
+        validate_config({"bulk_filters": {"filter_by_bulk_ids": ["xx-1"]}})
