@@ -18,10 +18,15 @@ Scale/portability design:
   md5 runs once per shingle inside whole-stage codegen, and the minhash
   reduction is a plain map-side-combinable groupBy — not an interpreted
   higher-order function over array columns (8-40× slower, measured).
-- The hash family is h_i = h1 + i*h2 with h1/h2 = 52-bit ints parsed
-  from md5 hex substrings. md5 is engine-portable (DuckDB:
-  ('0x'||substr(md5(s),1,13))::BIGINT gives bit-identical values), and
-  52-bit values keep h1 + 7*h2 far from BIGINT overflow.
+- The minhash family is the textbook universal family
+  h_i(s) = (a_i * x + b_i) mod (2^31 - 1) over x = 28 bits of md5(s).
+  The Mersenne-prime modulus keeps products < 2^59 (no BIGINT overflow
+  on any engine), md5 is engine-portable (DuckDB:
+  ('0x'||substr(md5(s),1,7))::BIGINT gives bit-identical values), and
+  the permutations are INDEPENDENT — a naive h1 + i*h2 family without a
+  modulus is monotone-correlated across i (every high-i signature
+  collapses to the min-h2 shingle), which floods LSH bands with false
+  candidates (measured 1.3M candidate pairs vs ~6k with this family).
 - Jaccard verification intersects *hashed* shingle sets (arrays of
   long), which is both faster than string arrays and portable: the
   intersection size equals the string-shingle intersection size.
@@ -29,6 +34,7 @@ Scale/portability design:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,22 +63,46 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Mersenne prime modulus and fixed (a_i, b_i) coefficients of the
+# universal minhash family — shared with the DuckDB oracle SQL generator.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+def minhash_coeffs(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs, a odd, both < P (seeded LCG — fixed
+    forever; changing them invalidates every stored signature)."""
+    out, x = [], 88172645463325252
+    for _ in range(n_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (MINHASH_P - 2)) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
 ) -> DataFrame:
-    """(doc, h1, h2) — one row per distinct shingle, 52-bit portable
-    hashes, computed in whole-stage codegen."""
+    """(doc, x, h1) — one row per shingle, computed in whole-stage
+    codegen: ``x`` is the 28-bit minhash-family input, ``h1`` the 52-bit
+    identity hash used for Jaccard sets (lower collision rate)."""
     md5 = F.md5(F.col("s"))
+    # a small parquet corpus arrives as ONE input split; spread the
+    # explode+hash chain across the cluster before the heavy map (at
+    # real scale the source has many splits and this is a cheap no-op
+    # round-robin of pointers, never payload duplication)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(
+        df.repartition(n_part)
+        .select(
             F.col(id_col).alias("doc"),
             F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s"),
         )
         .withColumn("m", md5)
         .select(
             "doc",
-            _hex_long(F.col("m"), 1).alias("h1"),
-            _hex_long(F.col("m"), 17).alias("h2"),
+            _hex_long(F.col("m"), 1, 7).alias("x"),
+            _hex_long(F.col("m"), 17, 13).alias("h1"),
         )
     )
 
@@ -92,8 +122,10 @@ def minhash_signatures(
     Jaccard verification.
     """
     hashed = shingle_hashes(df, text_col, id_col, shingle_n)
+    coeffs = minhash_coeffs(n_perm)
     aggs = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"sig_{i}") for i in range(n_perm)
+        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MINHASH_P))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
     if with_hash_set:
         aggs.append(F.collect_set("h1").alias("hset"))
@@ -132,9 +164,11 @@ def minhash_lsh_pairs(
     # The signature table feeds the band self-join (2 sides) and the
     # verify join (2 more) — persist it so the shingle+hash subtree runs
     # once. At cluster scale this is the materialized signature table.
+    # MEMORY_ONLY: the default (deser, disk-backed) level pays a 3x
+    # slower columnar cache build for array columns (measured)
     sig = minhash_signatures(
         df, text_col, id_col, n_perm, shingle_n, with_hash_set=True
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     bands = F.array(
         *[
             F.struct(
@@ -192,7 +226,7 @@ def jaccard_pairs(
         hashed.groupBy("doc")
         .agg(F.collect_set("h1").alias("sh"))
         .join(keys, "doc")
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.doc") < F.col("b.doc")
@@ -218,7 +252,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     explode(tokens) → groupBy(doc) with ``bits`` conditional sums: one
     shuffle, map-side combinable.
     """
-    toks = df.select(
+    toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))

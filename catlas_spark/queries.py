@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.dedup import MINHASH_P, minhash_coeffs
 from .operators.relational import (
     best_within_relative_threshold,
     group_exists_mark,
@@ -1015,8 +1016,8 @@ def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(F.col("doc_id").alias("doc"), "text").unionByName(mutated)
 
 
-_HEX1 = "('0x' || substr(m, 1, 13))::BIGINT"
-_HEX2 = "('0x' || substr(m, 17, 13))::BIGINT"
+_HEX1 = "('0x' || substr(m, 17, 13))::BIGINT"  # 52-bit jaccard-set hash
+_HEXX = "('0x' || substr(m, 1, 7))::BIGINT"  # 28-bit minhash-family input
 
 _MINHASH_ORACLE = f"""
     WITH corpus AS ({_mutated_corpus_sql()}),
@@ -1027,12 +1028,15 @@ _MINHASH_ORACLE = f"""
       SELECT doc, {_SHINGLES} AS shingles FROM toks WHERE len(t) >= 2
     ),
     hx AS (
-      SELECT doc, {_HEX1} AS h1, {_HEX2} AS h2
+      SELECT doc, {_HEXX} AS x, {_HEX1} AS h1
       FROM (SELECT doc, md5(s) AS m FROM (SELECT doc, unnest(shingles) AS s FROM sh))
     ),
     sig AS (
       SELECT doc,
-             {", ".join(f"min(h1 + {i} * h2) AS sig_{i}" for i in range(12))},
+             {", ".join(
+                f"min(({a} * x + {b}) % {MINHASH_P}) AS sig_{i}"
+                for i, (a, b) in enumerate(minhash_coeffs(12))
+             )},
              list(DISTINCT h1) AS hset
       FROM hx GROUP BY doc
     ),
