@@ -37,7 +37,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.sql import Column
+
 from .lineage import Lineage, attach_counter
+
+
+def soft_delete_gate_struct(expr: Column) -> Column:
+    """F20 gating for struct-valued features: NULL on soft-deleted rows."""
+    return F.when(F.col("filter_reason").isNull(), expr)
 from .operators.filters import (
     ADSORBATE_FILTERS,
     BULK_FILTERS,
@@ -259,6 +266,11 @@ def run_screen(
         if k != "filter_by_max_miller_index"  # pushed into the source (R1)
     }
     slabs = apply_filters(slabs, slab_conf, SLAB_FILTERS, ctx, None)
+    if config.get("enumerate_nuclearity"):
+        # T4 feature map on surfaces (reference prediction_steps.py:232-247)
+        from .operators.structure import add_nuclearity, attach_surrogate_graph
+
+        slabs = add_nuclearity(attach_surrogate_graph(slabs))
     slabs = attach_counter(slabs, "surfaces", lin)
 
     adslabs = enumerate_adslabs(slabs, a)
@@ -273,6 +285,35 @@ def run_screen(
                 checkpoint=step.get("checkpoint", "surrogate-v1"),
                 batch_size=int(step.get("batch_size", 64)),
             )
+            if step.get("anomaly_detection"):
+                # T5: relaxation steps flag dissociation/desorption/
+                # reconstruction by comparing initial vs relaxed
+                # connectivity (flag_systems.py:40-96). Surrogate final
+                # edges = initial minus hash-selected bonds.
+                from .operators.structure import anomaly_flags, attach_surrogate_graph
+
+                if "bond_edges" not in adslabs.columns:
+                    adslabs = attach_surrogate_graph(adslabs)
+                final_edges = F.filter(
+                    F.col("bond_edges"),
+                    lambda e: F.pmod(
+                        F.xxhash64(
+                            "bulk_id", "adsorbate_smiles", F.lit(step["label"]),
+                            F.element_at(e, 1),
+                        ),
+                        F.lit(4),
+                    )
+                    > 0,
+                )
+                ads_nodes = F.sequence(
+                    F.lit(0), F.pmod(F.xxhash64("adsorbate_smiles"), F.lit(2)) + 0
+                ).cast("array<int>")
+                adslabs = adslabs.withColumn(
+                    f"anomaly_detection_{step['label']}",
+                    soft_delete_gate_struct(
+                        anomaly_flags(F.col("bond_edges"), final_edges, ads_nodes)
+                    ),
+                )
         elif kind == "filter_by_adsorption_energy":
             adslabs = adsorption_energy_filter(
                 adslabs,

@@ -31,6 +31,7 @@ CONFIG = {
         "filter_by_acceptable_elements": None,  # disabled (reference semantics)
     },
     "adsorbate_filters": {"filter_by_smiles": ["*H", "*CO"]},
+    "enumerate_nuclearity": True,
     "slab_filters": {
         "filter_by_max_miller_index": 1,
         "filter_by_object_size": 150,
@@ -45,7 +46,7 @@ CONFIG = {
             "target_value": -1.0,
             "range_value": 1.0,
         },
-        {"step": "inference", "label": "dE_step2"},
+        {"step": "inference", "label": "dE_step2", "anomaly_detection": True},
     ],
 }
 
@@ -148,6 +149,11 @@ def test_screen_end_to_end(spark, bulks, adsorbates):
     assert dead and live  # both outcomes
     assert all(r.dE_step2 is None and r.min_dE_step2 is None for r in dead)
     assert all(r.dE_step2 is not None for r in live)
+    # nuclearity feature present on every row (T4)
+    assert all(len(r.nuclearity_info) > 0 for r in rows)
+    # anomaly flags: gated by soft delete (T5 + F20)
+    assert all(r.anomaly_detection_dE_step2 is None for r in dead)
+    assert all(r.anomaly_detection_dE_step2 is not None for r in live)
     # group-EXISTS (F18/F19): every surface group is uniformly live or dead
     by_group = {}
     for r in rows:
