@@ -1,0 +1,65 @@
+"""Partitioning & skew utilities (reference §2.14 B1-B6, §4 R7).
+
+The reference hand-manages physical layout: 1-bulk-per-partition so each
+skewed enumeration is an independent task (`bag_split_individual_partitions`,
+catlas/dask_utils.py:69-118), post-explode repartition
+(catlas/prediction_steps.py:245-247), size-balanced repartition
+(catlas/dask_utils.py:28-66). On Spark most of this is AQE's job
+(skew-join splitting, partition coalescing); what remains worth explicit
+helpers:
+
+- ``spread_small_source``: a small parquet file arrives as ONE input
+  split; fan it out before an expensive/exploding map (B2's goal — skew
+  isolation — without literal 1-row partitions).
+- ``repartition_after_explode``: explode multiplies rows 10-1000x; give
+  the next shuffle-free stage enough partitions (B3).
+- ``salt`` / ``unsalt``: shard a hot grouping key K ways so one giant
+  group doesn't serialize a stage; aggregate per (key, salt) then
+  re-aggregate per key (the classic two-phase combine; R7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def spread_small_source(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Round-robin a small/single-split source across the cluster before
+    a fan-out or expensive map stage."""
+    n = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    return df.repartition(n)
+
+
+def repartition_after_explode(df: DataFrame, fanout: int, cap: int = 1000) -> DataFrame:
+    """Reference policy slabs→min(10·n_bulks, 1000)
+    (catlas/prediction_steps.py:245-247), generalized: partitions
+    proportional to expected fan-out, capped."""
+    n = min(max(df.sparkSession.sparkContext.defaultParallelism, fanout), cap)
+    return df.repartition(n)
+
+
+def salt(df: DataFrame, n_salts: int, *cols: str) -> DataFrame:
+    """Add a deterministic salt shard in [0, n_salts) derived from the
+    full row hash — splits hot groups without randomness (reruns get the
+    same shards)."""
+    basis = [F.col(c) for c in df.columns]
+    return df.withColumn(SALT_COL, F.pmod(F.xxhash64(*basis), F.lit(n_salts)))
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    n_salts: int,
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+) -> DataFrame:
+    """Two-phase aggregation over a skewed key: groupBy(key, salt) with
+    ``partial_aggs``, then groupBy(key) with ``final_aggs`` over the
+    partials. The first shuffle spreads the hot key across n_salts
+    reducers; the second is tiny."""
+    salted = salt(df, n_salts, *group_cols)
+    partial = salted.groupBy(*group_cols, SALT_COL).agg(*partial_aggs)
+    return partial.groupBy(*group_cols).agg(*final_aggs)

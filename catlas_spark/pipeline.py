@@ -33,18 +33,11 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pyspark.sql import Column
-
 from .lineage import Lineage, attach_counter
-
-
-def soft_delete_gate_struct(expr: Column) -> Column:
-    """F20 gating for struct-valued features: NULL on soft-deleted rows."""
-    return F.when(F.col("filter_reason").isNull(), expr)
 from .operators.filters import (
     ADSORBATE_FILTERS,
     BULK_FILTERS,
@@ -53,6 +46,12 @@ from .operators.filters import (
     adsorption_energy_target_filter,
     apply_filters,
 )
+
+
+def soft_delete_gate_struct(expr: Column) -> Column:
+    """F20 gating for struct-valued features: NULL on soft-deleted rows."""
+    return F.when(F.col("filter_reason").isNull(), expr)
+
 
 # ---------------------------------------------------------------------------
 # T1: slab enumeration (deterministic surrogate of
@@ -180,6 +179,7 @@ def energy_prediction(
     step_label: str,
     checkpoint: str = "surrogate-v1",
     batch_size: int = 64,
+    gpu: bool = False,
 ) -> DataFrame:
     """Add ``<label>`` (array<double>), ``min_<label>`` and
     ``argmin_config_<label>`` columns via Arrow-batched inference.
@@ -221,7 +221,12 @@ def energy_prediction(
             out[step_label] = energies
             yield out
 
-    scored = with_seed.mapInPandas(run, out_schema).drop("__seed")
+    # GPU steps get a ResourceProfile pinning this stage to GPU executors
+    # (P1/R8); local mode / CPU clusters fall through to the plain path.
+    from .resources import inference_profile, map_with_profile
+
+    profile = inference_profile(df.sparkSession) if gpu else None
+    scored = map_with_profile(with_seed, run, out_schema, profile).drop("__seed")
     min_col = F.array_min(F.col(step_label))
     return scored.withColumn(f"min_{step_label}", min_col).withColumn(
         f"argmin_config_{step_label}",
@@ -284,6 +289,7 @@ def run_screen(
                 step["label"],
                 checkpoint=step.get("checkpoint", "surrogate-v1"),
                 batch_size=int(step.get("batch_size", 64)),
+                gpu=bool(step.get("gpu", False)),
             )
             if step.get("anomaly_detection"):
                 # T5: relaxation steps flag dissociation/desorption/

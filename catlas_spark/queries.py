@@ -1349,3 +1349,223 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return decode_features(attach_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# L. Scalar-function batteries + composite pipelines
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hash_functions",
+    """
+    SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+    FROM customer WHERE c_custkey % 20 = 0
+    """,
+)
+def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash functions (§2.11 hashing row: cache keys, fingerprints)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           dayofmonth(o_orderdate) AS dom,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS days_to_98
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery (§2.11 date/time row)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(
+            F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_98"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           length(p_name) AS len,
+           substr(p_name, 1, 5) AS pre5,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           replace(p_name, ' ', '_') AS snake,
+           reverse(p_brand) AS rev,
+           concat_ws('|', p_brand, p_type) AS joined
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery (§2.11 string row)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.length("p_name").cast("long").alias("len"),
+        F.substring("p_name", 1, 5).alias("pre5"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.reverse("p_brand").alias("rev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+    )
+
+
+@register(
+    "distinct_aggregates",
+    """
+    SELECT l_returnflag AS flag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           round(sum(DISTINCT l_quantity), 4) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (A8 + multi-distinct planning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 4).alias("sum_distinct_qty"),
+    )
+
+
+@register(
+    "ngram_doc_frequency",
+    f"""
+    SELECT gram, count(*) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest({_SHINGLES.replace("t[i]", "t[i]")}) AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents)
+      WHERE len(t) >= 2
+    )
+    GROUP BY gram
+    ORDER BY doc_freq DESC, gram
+    LIMIT 20
+    """,
+)
+def q_ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token bigrams by document frequency (per-doc distinct
+    shingles → global count → TakeOrdered)."""
+    from .functions.text import token_shingles
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+    )
+    return (
+        d.select(F.explode(token_shingles(F.col("text"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding column (vector
+    functions fully JVM-side via F.aggregate)."""
+    from .functions.vector import norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+_CLEAN_CORPUS_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             substr(md5({_NORM}), 1, 16) AS fp,
+             round(0.4 * least(len(text) / 400.0, 1.0)
+                   + 0.4 * (len(list_distinct(string_split({_NORM}, ' ')))::DOUBLE
+                            / len(string_split({_NORM}, ' ')))
+                   + 0.2 * (1.0 - len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                            / len(text)), 4) AS quality,
+             len(list_filter(string_split({_NORM}, ' '),
+                 t -> list_contains(['the','a','of','and','in','to','is'], t))) AS en_hits
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, fp, quality FROM scored
+      WHERE quality >= 0.5 AND en_hits > 0
+    )
+    SELECT doc_id, quality FROM (
+      SELECT doc_id, quality,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept
+    ) WHERE rn = 1
+"""
+
+
+@register("clean_corpus_pipeline", _CLEAN_CORPUS_ORACLE)
+def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training-corpus filter: quality threshold + English
+    stopword evidence + exact dedup (keep smallest id per fingerprint) —
+    the operators of a real data pipeline chained in one plan."""
+    from .functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        F.size(
+            F.filter(
+                TX.tokens(F.lower(F.col("text"))),
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in TX.STOPWORDS["en"]]), t
+                ),
+            )
+        ).alias("en_hits"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("en_hits") > 0))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality")
+    )

@@ -43,3 +43,12 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every star table as a temp view (for the SQL API)."""
     for t in STAR_TABLES:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def load_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S6 analog (trajectory-file scan, bin/process_trajectories_for_
+    validation.py:50-57): one row per file with (path, modificationTime,
+    length, content BinaryType) — the ingestion point for multimodal
+    payloads; decode runs as mapInPandas downstream
+    (catlas_spark.operators.multimodal.decode_features)."""
+    return spark.read.format("binaryFile").load(path_glob)

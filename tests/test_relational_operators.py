@@ -71,3 +71,35 @@ def test_grouped_min_argmin(spark):
     out = grouped_min_argmin(_df(spark), ["grp"], F.col("score"), [F.col("idx")])
     got = {(r.grp, r.idx, r.score) for r in out.collect()}
     assert got == {("a", 2, 5.0), ("b", 1, 1.0), ("c", 1, 7.0)}
+
+
+def test_salted_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from catlas_spark.partitioning import salted_agg
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    plain = {
+        (r.k): (r.s, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    two_phase = salted_agg(
+        df,
+        ["k"],
+        n_salts=8,
+        partial_aggs=[F.sum("v").alias("ps"), F.count("*").alias("pn")],
+        final_aggs=[F.sum("ps").alias("s"), F.sum("pn").alias("n")],
+    )
+    got = {(r.k): (r.s, r.n) for r in two_phase.collect()}
+    assert got == plain
+
+
+def test_binary_file_scan(spark):
+    from catlas_spark.sources.star import load_binary_files
+
+    df = load_binary_files(spark, "/root/testdata/sf0.001/region.parquet")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].length > 0 and rows[0].content[:4] == b"PAR1"
