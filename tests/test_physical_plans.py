@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the optimizations the engine relies on
+at 100 TB must stay visible in explain() output (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from catlas_spark import queries as Q
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = Q.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "filter_range")
+    assert "GreaterThanOrEqual(p_retailprice,500.0)" in p  # predicate → scan
+    assert "p_brand" not in p.split("ReadSchema")[1].splitlines()[0]  # pruned
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_revenue_per_nation")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_topn_avoids_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "orderby_limit_topn")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "pricing_summary")
+    assert p.count("HashAggregate") >= 2  # map-side combine present
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "semi_join_customers_with_orders")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "anti_join_customers_without_orders")
+
+
+def test_no_python_udf_in_native_queries(spark, sf_dir):
+    # every query except the explicitly-Python multimodal decode must stay
+    # JVM-side (no BatchEvalPython / ArrowEvalPython stages)
+    for name in Q.queries():
+        if name == "multimodal_decode":
+            continue
+        p = plan_of(spark, sf_dir, name)
+        assert "EvalPython" not in p, f"{name} fell off the JVM path"
+
+
+def test_multimodal_is_arrow_batched(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "multimodal_decode")
+    assert "MapInPandas" in p  # Arrow batch, not row-at-a-time UDF
