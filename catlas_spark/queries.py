@@ -49,6 +49,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # ensure single-file tables split across cores (the conf is runtime-
+    # settable, so this also covers sessions the driver hands us)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

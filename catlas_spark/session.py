@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # small benchmark files arrive as ONE 128MB-default split each —
+        # cap split size so scans parallelize; real deployments with many
+        # files should override back up via SPARK_GRAFT_SPLIT_BYTES
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_SPLIT_BYTES", str(2 * 1024 * 1024)),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
