@@ -1572,3 +1572,162 @@ def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "quality")
     )
+
+
+_TFIDF_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS n,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY term),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((tf.n::DOUBLE / tf.doc_len) * ln(n_docs.n::DOUBLE / df.doc_freq), 4)
+               AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 terms per document. Classic corpus statistic as a
+    three-shuffle plan (term counts, doc frequencies, per-doc window);
+    the document-count scalar joins in as a broadcast literal."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    wdoc = Window.partitionBy("doc_id")
+    tf = tf.withColumn("doc_len", F.sum("n").over(wdoc))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = d.count()  # scalar; becomes a literal in the plan
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+_IVF_ORACLE = """
+    WITH pos AS (
+      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    centroids AS (
+      SELECT label, list(c ORDER BY i) AS cvec FROM pos GROUP BY label
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+          FROM embeddings WHERE vec_id < 5),
+    assign AS (
+      SELECT q_id, q_vec, label AS c_label,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               round(
+                 list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(q_vec[i] AS DOUBLE) * cvec[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> cvec[i] * cvec[i])))), 4) DESC, label) AS rn
+      FROM q CROSS JOIN centroids
+    ),
+    best AS (SELECT q_id, q_vec, c_label FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT b.q_id, b.q_vec, e.vec_id AS n_id, e.embedding AS n_vec
+      FROM embeddings e JOIN best b ON e.label = b.c_label
+      WHERE e.vec_id != b.q_id
+    ),
+    scored AS (
+      SELECT q_id, n_id,
+             round(
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))), 4)
+               AS sim
+      FROM pairs
+    )
+    SELECT q_id, n_id, sim, rank FROM (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+@register("ann_ivf", _IVF_ORACLE)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids as the trained coarse quantizer
+    (position-wise means), queries probe their nearest centroid's list
+    only. The scale path: the corpus shuffles once by list id; each query
+    scans ~1/n_lists of the data. Centroid components rounded to 6dp so
+    the assignment is engine-portable."""
+    from .functions.vector import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    pos = e.select("label", F.posexplode(emb_d).alias("i", "v"))
+    centroids = (
+        pos.groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.round(cosine(F.col("q_vec"), F.col("cvec")), 4).desc(), "label"
+    )
+    best = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "q_vec", F.col("label").alias("c_label"))
+    )
+    pairs = e.join(
+        F.broadcast(best),
+        (e.label == F.col("c_label")) & (e.vec_id != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(cosine(F.col("q_vec"), F.col("embedding")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "n_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "n_id", "sim", "rank")
+    )

@@ -81,3 +81,11 @@ def run_batch_like_stream(stream_df: DataFrame, query_name: str) -> DataFrame:
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates within the watermark horizon
+    (the streaming form of the batch exact_dedup operator — state is
+    bounded by the watermark, so it runs indefinitely at scale)."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return src.dropDuplicates(keys or ["event_id"])

@@ -72,3 +72,25 @@ def test_session_window_stream(spark, events_stream):
     rows = got.collect()
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_dedup_stream(spark, sf_dir, events_stream):
+    from pyspark.sql import functions as F
+
+    from catlas_spark.queries import _events
+    from catlas_spark.streaming.events import dedup_stream
+
+    # duplicate the stream source by unioning it with itself
+    doubled = events_stream.union(events_stream)
+    deduped = dedup_stream(doubled)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_smoke")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup_smoke").collect()[0]
+    expected = _events(spark, sf_dir).select(F.countDistinct("event_id")).collect()[0][0]
+    assert got.total == got.n == expected  # every duplicate dropped
