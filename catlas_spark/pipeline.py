@@ -237,6 +237,49 @@ def energy_prediction(
     )
 
 
+def memoized_energy_prediction(
+    spark: SparkSession, df: DataFrame, step: dict[str, Any]
+) -> DataFrame:
+    """Inference with the memo-table (R4): results keyed by the surface +
+    adsorbate identity and the step/checkpoint version; re-runs serve
+    hits from parquet and compute only new keys.
+
+    Cache-poisoning guard: only LIVE rows are memoized — soft-deleted
+    rows skip compute (F20) and get NULL result columns directly, so a
+    row filtered in one run can never store NULLs under the key a live
+    run would read (the reference's ignore-args pitfall, SURVEY §7.3).
+    """
+    from .memo import memoize
+
+    label = step["label"]
+    if "filter_reason" not in df.columns:
+        df = df.withColumn("filter_reason", F.lit(None).cast("string"))
+    live = df.filter(F.col("filter_reason").isNull())
+    dead = df.filter(F.col("filter_reason").isNotNull())
+
+    def compute(part: DataFrame) -> DataFrame:
+        return energy_prediction(
+            part,
+            label,
+            checkpoint=step.get("checkpoint", "surrogate-v1"),
+            batch_size=int(step.get("batch_size", 64)),
+            gpu=bool(step.get("gpu", False)),
+        )
+
+    key_cols = [
+        "bulk_id", "slab_millers", "slab_shift", "slab_top",
+        "adsorbate_smiles", "config_ids",
+    ]
+    version = f"{label}:{step.get('checkpoint', 'surrogate-v1')}:v1"
+    live_out = memoize(spark, live, key_cols, compute, step["memo_table"], version)
+    dead_out = (
+        dead.withColumn(label, F.lit(None).cast("array<double>"))
+        .withColumn(f"min_{label}", F.lit(None).cast("double"))
+        .withColumn(f"argmin_config_{label}", F.lit(None).cast("int"))
+    )
+    return live_out.unionByName(dead_out)
+
+
 # ---------------------------------------------------------------------------
 # Cascade executor (R3: multi-fidelity steps, bin/predictions.py:56-77)
 # ---------------------------------------------------------------------------
@@ -284,13 +327,16 @@ def run_screen(
     for step in config.get("adslab_prediction_steps", []):
         kind = step["step"]
         if kind == "inference":
-            adslabs = energy_prediction(
-                adslabs,
-                step["label"],
-                checkpoint=step.get("checkpoint", "surrogate-v1"),
-                batch_size=int(step.get("batch_size", 64)),
-                gpu=bool(step.get("gpu", False)),
-            )
+            if step.get("memo_table"):
+                adslabs = memoized_energy_prediction(spark, adslabs, step)
+            else:
+                adslabs = energy_prediction(
+                    adslabs,
+                    step["label"],
+                    checkpoint=step.get("checkpoint", "surrogate-v1"),
+                    batch_size=int(step.get("batch_size", 64)),
+                    gpu=bool(step.get("gpu", False)),
+                )
             if step.get("anomaly_detection"):
                 # T5: relaxation steps flag dissociation/desorption/
                 # reconstruction by comparing initial vs relaxed

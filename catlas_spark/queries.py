@@ -1731,3 +1731,109 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", "n_id", "sim", "rank")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS q_vec, b.embedding AS n_vec
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM (
+      SELECT id_a, id_b,
+             round(
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))), 4)
+               AS sim
+      FROM pairs
+    ) WHERE sim >= 0.35
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all-pairs only WITHIN a
+    label block (the embedding-space analog of blocked Jaccard dedup);
+    pairs above the 0.35 threshold (top ~0.5% of this corpus) are flagged."""
+    from .functions.vector import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.35)
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ) WHERE rn <= ceil(n * 0.1)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 10% per language stratum via a
+    hash-ordered window (engine API also offers df.sampleBy; the hash
+    order makes the sample reproducible across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1))
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "salted_revenue_agg",
+    """
+    SELECT l_returnflag AS flag,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_salted_revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a skewed key (only 3 distinct
+    return flags — the hot-key worst case): groupBy(key, salt) partials
+    then groupBy(key) finals. The oracle is the PLAIN aggregation — the
+    result must be identical, proving the rewrite is semantics-preserving.
+    (Sum order differs from the plain plan, so partials are rounded at
+    the stable integer-cent level before the final sum.)"""
+    from catlas_spark.partitioning import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    out = salted_agg(
+        li,
+        ["flag"],
+        n_salts=8,
+        partial_aggs=[F.sum("rev").alias("prev"), F.count(F.lit(1)).alias("pn")],
+        final_aggs=[
+            F.round(F.sum("prev"), 4).alias("revenue"),
+            F.sum("pn").alias("n"),
+        ],
+    )
+    return out

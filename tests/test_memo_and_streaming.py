@@ -94,3 +94,43 @@ def test_dedup_stream(spark, sf_dir, events_stream):
     got = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup_smoke").collect()[0]
     expected = _events(spark, sf_dir).select(F.countDistinct("event_id")).collect()[0][0]
     assert got.total == got.n == expected  # every duplicate dropped
+
+
+def test_memoized_inference_in_cascade(spark, tmp_path):
+    from catlas_spark.pipeline import run_screen
+    from catlas_spark.sources import fixtures
+
+    bulks = fixtures.make_bulks(spark, n=10)
+    ads = fixtures.make_adsorbates(spark)
+    memo = str(tmp_path / "inference_memo")
+    cfg = {
+        "slab_filters": {"filter_by_max_miller_index": 1},
+        "adslab_prediction_steps": [
+            {"step": "inference", "label": "dE", "memo_table": memo},
+            {
+                "step": "filter_by_adsorption_energy_target",
+                "label": "dE",
+                "adsorbate_smiles": ["*H"],
+                "target_value": -1.0,
+                "range_value": 1.0,
+            },
+        ],
+    }
+    plain_cfg = {**cfg, "adslab_prediction_steps": [
+        {"step": "inference", "label": "dE"},
+        cfg["adslab_prediction_steps"][1],
+    ]}
+
+    def key(r):
+        return (r.bulk_id, tuple(r.slab_millers), r.slab_shift, r.slab_top, r.adsorbate_smiles)
+
+    first = {key(r): (r.dE, r.min_dE) for r in run_screen(spark, cfg, bulks, ads).collect()}
+    n_memo_rows = spark.read.parquet(memo).count()
+    assert n_memo_rows == len(first)
+    # re-run: all hits, memo unchanged, results identical
+    second = {key(r): (r.dE, r.min_dE) for r in run_screen(spark, cfg, bulks, ads).collect()}
+    assert second == first
+    assert spark.read.parquet(memo).count() == n_memo_rows
+    # memoized results equal direct computation
+    plain = {key(r): (r.dE, r.min_dE) for r in run_screen(spark, plain_cfg, bulks, ads).collect()}
+    assert plain == first
