@@ -70,3 +70,31 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield _decode_batch(pdf)
 
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_mean double"
+
+
+def extract_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """TVF-shaped decode: one payload row → n sampled 'frames' (the
+    video/audio frame-sampling plumbing; deterministic fake frames =
+    mean byte of equal-width payload slices). Real decoders slot into
+    the same mapInPandas without changing the plan shape."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out_rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                step = max(n // n_frames, 1)
+                for i in range(min(n_frames, n)):
+                    chunk = payload[i * step : (i + 1) * step] or payload[-step:]
+                    mean = float(sum(chunk)) / len(chunk)
+                    mean = int(mean * 10_000 + 0.5) / 10_000.0
+                    out_rows.append((int(doc_id), i, mean))
+            yield pd.DataFrame(out_rows, columns=["doc_id", "frame_idx", "frame_mean"])
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

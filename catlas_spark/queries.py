@@ -1837,3 +1837,68 @@ def q_salted_revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+@register(
+    "sql_api_market_share",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END)
+                 / sum(o.o_totalprice), 4) AS finished_share,
+           count(*) AS n_orders
+    FROM orders o, customer c, nation n
+    WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING count(*) > 10
+    """,
+)
+def q_sql_api_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface: temp views + spark.sql — Catalyst produces the
+    same plan as the DataFrame API; both front-ends are first-class."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               round(sum(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END)
+                     / sum(o.o_totalprice), 4) AS finished_share,
+               count(*) AS n_orders
+        FROM orders o, customer c, nation n
+        WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING count(*) > 10
+        """
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH params AS (
+      SELECT doc_id, text, len(text) AS n,
+             greatest(len(text) // 4, 1) AS step
+      FROM documents WHERE len(text) > 0
+    ),
+    frames AS (
+      SELECT doc_id, i AS frame_idx,
+             CASE WHEN i * step + 1 <= n
+                  THEN list_avg([ascii(substr(text, j, 1))
+                                 for j in generate_series(i * step + 1,
+                                                          least((i + 1) * step, n))])
+                  ELSE list_avg([ascii(substr(text, j, 1))
+                                 for j in generate_series(n - step + 1, n)])
+             END AS m
+      FROM params, range(0, 4) t(i)
+      WHERE i < n
+    )
+    SELECT doc_id, frame_idx, floor(m * 10000 + 0.5) / 10000 AS frame_mean
+    FROM frames
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling TVF over binary payloads (video/audio plumbing):
+    one row in → 4 frame rows out via Arrow-batched mapInPandas."""
+    from .operators.multimodal import attach_binary_payload, extract_frames
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_frames(attach_binary_payload(d), n_frames=4)

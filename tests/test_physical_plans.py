@@ -50,12 +50,13 @@ def test_no_python_udf_in_native_queries(spark, sf_dir):
     # every query except the explicitly-Python multimodal decode must stay
     # JVM-side (no BatchEvalPython / ArrowEvalPython stages)
     for name in Q.queries():
-        if name == "multimodal_decode":
+        if name in ("multimodal_decode", "multimodal_frame_sample"):
             continue
         p = plan_of(spark, sf_dir, name)
         assert "EvalPython" not in p, f"{name} fell off the JVM path"
 
 
 def test_multimodal_is_arrow_batched(spark, sf_dir):
-    p = plan_of(spark, sf_dir, "multimodal_decode")
-    assert "MapInPandas" in p  # Arrow batch, not row-at-a-time UDF
+    for name in ("multimodal_decode", "multimodal_frame_sample"):
+        p = plan_of(spark, sf_dir, name)
+        assert "MapInPandas" in p  # Arrow batch, not row-at-a-time UDF

@@ -202,3 +202,22 @@ def test_config_validation_errors():
         )
     with pytest.raises(ConfigError, match="not a valid bulk id"):
         validate_config({"bulk_filters": {"filter_by_bulk_ids": ["xx-1"]}})
+
+
+def test_cli_end_to_end(spark, tmp_path, monkeypatch):
+    """The bin/predictions.py-shaped CLI: config → screen → sinks."""
+    from catlas_spark.run import main
+
+    monkeypatch.setenv("SCREEN_MAX_MILLER", "1")
+    out = str(tmp_path / "screen")
+    rc = main(["configs/example_screen.yml", "--output", out, "--preview", "0"])
+    assert rc == 0
+    import json
+    import os
+
+    back = spark.read.parquet(os.path.join(out, "results"))
+    assert back.count() > 0
+    assert "bulk_structure" not in back.columns  # binary drop at sink
+    sankey = json.load(open(os.path.join(out, "sankey.json")))
+    assert sankey["sankey"]["nodes"][0] == "bulks_in"
+    assert os.path.exists(os.path.join(out, "run_config.json"))
