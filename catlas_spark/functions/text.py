@@ -68,10 +68,12 @@ def quality_score(col: Column) -> Column:
     vocabulary diversity and low punctuation noise (the usual pre-training
     corpus filters, each a cheap native expression)."""
     len_score = F.least(F.length(col) / F.lit(400.0), F.lit(1.0))
-    return F.round(
-        0.4 * len_score + 0.4 * unique_token_ratio(col) + 0.2 * (1.0 - punct_ratio(col)),
-        4,
-    )
+    raw = 0.4 * len_score + 0.4 * unique_token_ratio(col) + 0.2 * (1.0 - punct_ratio(col))
+    # floor(x*1e4 + 0.5) instead of round(): the score's small-denominator
+    # fractions land exactly on .00005 boundaries, where Spark rounds the
+    # shortest decimal representation but other engines round the raw
+    # double — floor of the identical double is engine-invariant
+    return F.floor(raw * 10_000 + F.lit(0.5)) / 10_000.0
 
 
 def lang_guess(col: Column) -> Column:

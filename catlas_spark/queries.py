@@ -457,7 +457,7 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_quantity) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_partkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
     FROM lineitem
     """,
@@ -468,7 +468,7 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
@@ -1807,7 +1807,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_revenue_agg",
     """
     SELECT l_returnflag AS flag,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                              AS DECIMAL(20,4))) AS DOUBLE), 4) AS revenue,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -1818,13 +1819,15 @@ def q_salted_revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags — the hot-key worst case): groupBy(key, salt) partials
     then groupBy(key) finals. The oracle is the PLAIN aggregation — the
     result must be identical, proving the rewrite is semantics-preserving.
-    (Sum order differs from the plain plan, so partials are rounded at
-    the stable integer-cent level before the final sum.)"""
+    (Per-row revenues are rounded then summed as DECIMAL, so the
+    two-phase order cannot perturb the total.)"""
     from catlas_spark.partitioning import salted_agg
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .cast("decimal(20,4)")
+        .alias("rev"),
     )
     out = salted_agg(
         li,
@@ -1832,7 +1835,7 @@ def q_salted_revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=8,
         partial_aggs=[F.sum("rev").alias("prev"), F.count(F.lit(1)).alias("pn")],
         final_aggs=[
-            F.round(F.sum("prev"), 4).alias("revenue"),
+            F.round(F.sum("prev").cast("double"), 4).alias("revenue"),
             F.sum("pn").alias("n"),
         ],
     )
