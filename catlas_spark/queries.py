@@ -1905,3 +1905,22 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return extract_frames(attach_binary_payload(d), n_frames=4)
+
+
+@register("streaming_tumbling_counts", None)  # genuinely non-SQL: readStream path
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the REAL readStream path (file source
+    → watermark → tumbling window → availableNow memory sink), returned
+    as a batch DataFrame. No oracle by design: the driver records the
+    rows-only check for streaming operators; the batch-equivalence proof
+    lives in tests/test_memo_and_streaming.py."""
+    from .streaming.events import read_event_stream, run_batch_like_stream, tumbling_counts
+
+    stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+    out = run_batch_like_stream(tumbling_counts(stream), "gate_tumbling")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        "total_value",
+    )

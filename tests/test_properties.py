@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis) for the dedup/text operator core —
+invariants that must hold for ANY input, not just fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from catlas_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+words = st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()), min_size=2, max_size=30)
+
+
+def _shingles(toks):
+    return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+
+def _sig(toks, n_perm=12):
+    out = []
+    for i, (a, b) in enumerate(minhash_coeffs(n_perm)):
+        vals = []
+        for s in _shingles(toks):
+            x = int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+            vals.append((a * x + b) % MINHASH_P)
+        out.append(min(vals))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(words)
+def test_minhash_identical_docs_identical_sigs(toks):
+    assert _sig(toks) == _sig(list(toks))
+
+
+@settings(max_examples=100, deadline=None)
+@given(words, words)
+def test_minhash_agreement_tracks_jaccard(a, b):
+    """Signature agreement never exceeds 1, equals 1 for identical shingle
+    sets, and is 0-similar docs rarely collide (statistical sanity)."""
+    sa, sb = _shingles(a), _shingles(b)
+    agree = sum(x == y for x, y in zip(_sig(a), _sig(b))) / 12
+    if sa == sb:
+        assert agree == 1.0
+    if not (sa & sb):
+        assert agree <= 0.5  # collisions only by 2^-28 hash accidents
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=64))
+def test_minhash_coeffs_valid(n):
+    coeffs = minhash_coeffs(n)
+    assert len(coeffs) == n == len(set(coeffs))
+    for a, b in coeffs:
+        assert 0 < a < MINHASH_P and a % 2 == 1
+        assert 0 <= b < MINHASH_P
+        # overflow safety: max product fits in int64
+        assert a * (2**28) + b < 2**63
