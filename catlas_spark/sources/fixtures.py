@@ -90,7 +90,9 @@ def make_validation(spark: SparkSession, n: int = 2000, seed: int = 42) -> DataF
         rows.append(
             (
                 f"random{i}",
-                dists[i % 4],
+                # decorrelated from the adsorbate cycle (i%8): otherwise
+                # each adsorbate only ever sees 2 of the 4 distributions
+                dists[(i * 5 + i // 8) % 4],
                 ADSORBATE_SMILES[i % len(ADSORBATE_SMILES)],
                 sorted(rng.sample(ELEMENT_POOL, nelem)),
                 nelem,
