@@ -49,9 +49,14 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # ensure single-file tables split across cores (the conf is runtime-
-    # settable, so this also covers sessions the driver hands us)
+    # Session hardening for driver-owned sessions (both runtime-settable):
+    # - split small single-file tables across cores
+    # - pin UTC so timestamp formatting matches the (naive) DuckDB oracle
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffles for the local harness (driver default is 200)
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(cores))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
