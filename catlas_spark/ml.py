@@ -1,0 +1,164 @@
+"""MLlib pipelines: the estimator/transformer face of the engine.
+
+The north star names "MLlib pipeline + Dask-style distributed ops" as
+the approach; this module provides the MLlib formulations of the
+operators the rest of the engine implements as native expressions, so
+users can choose either face:
+
+- text featurization: Tokenizer → NGram → HashingTF (a fitted Pipeline,
+  the MLlib analog of `functions/text.py`)
+- MinHashLSH `approxSimilarityJoin` near-dup detection (analog of
+  `operators/dedup.minhash_lsh_pairs`)
+- BucketedRandomProjectionLSH ANN over embeddings (analog of
+  `operators/similarity.bucketed_ann`)
+- LinearRegression parity model (the trained form of the closed-form
+  regr_slope/regr_intercept aggregates in `parity.py`)
+
+These are NOT oracle-checkable (MLlib hash seeds are engine-internal),
+so correctness is established relative to the engine's own exact
+operators in tests: LSH candidates are validated against exact Jaccard
+/ cosine ground truth.
+
+Reference parity: the ML-inference integration of SURVEY §2.12 (batched
+model UDFs) lives in pipeline.energy_prediction; this module covers the
+"train/fit on the cluster" surface the reference delegates to offline
+OCP models.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def text_featurizer(
+    input_col: str = "text",
+    num_features: int = 1 << 18,
+    shingle_n: int = 2,
+) -> Pipeline:
+    """Tokenizer → token n-grams → sparse binary shingle vectors."""
+    return Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=input_col, outputCol="__tokens", pattern=r"\s+", toLowercase=True
+            ),
+            NGram(n=shingle_n, inputCol="__tokens", outputCol="__shingles"),
+            HashingTF(
+                inputCol="__shingles",
+                outputCol="features",
+                numFeatures=num_features,
+                binary=True,
+            ),
+        ]
+    )
+
+
+def fit_minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hash_tables: int = 12,
+    seed_features: int = 1 << 18,
+) -> tuple[PipelineModel, DataFrame]:
+    """Fit the featurizer + MinHashLSH model; returns (model, featurized).
+
+    Rows whose shingle vector is empty (single-token docs) are dropped —
+    MinHashLSH requires ≥1 non-zero entry (same ≥2-token precondition as
+    the native operator).
+    """
+    feat_model = text_featurizer(text_col, seed_features).fit(df)
+    featurized = feat_model.transform(df)
+    nnz = F.udf(lambda v: int(v.numNonzeros()), "int")
+    featurized = featurized.filter(nnz("features") > 0)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    lsh_model = lsh.fit(featurized)
+    return lsh_model, featurized
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_jaccard_distance: float = 0.5,
+    num_hash_tables: int = 12,
+) -> DataFrame:
+    """Near-dup pairs via MLlib MinHashLSH approxSimilarityJoin:
+    (id_a, id_b, jaccard_distance) with id_a < id_b."""
+    lsh_model, featurized = fit_minhash_dedup(df, text_col, num_hash_tables)
+    joined = lsh_model.approxSimilarityJoin(
+        featurized, featurized, max_jaccard_distance, distCol="jaccard_distance"
+    )
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_distance", 4).alias("jaccard_distance"),
+        )
+    )
+
+
+def brp_ann(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """ANN via BucketedRandomProjectionLSH over dense vectors (Euclidean
+    buckets — the MLlib scale path; cosine variants normalize first)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.select(
+        F.col(id_col).alias("nid"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(base)
+    out_rows = []
+    for q in queries.select(id_col, vec_col).collect():
+        from pyspark.ml.linalg import Vectors
+
+        qv = Vectors.dense([float(x) for x in q[vec_col]])
+        nn = model.approxNearestNeighbors(
+            base.filter(F.col("nid") != q[id_col]), qv, k, distCol="dist"
+        )
+        out_rows.append(
+            nn.select(
+                F.lit(q[id_col]).alias("q_id"),
+                F.col("nid").alias("n_id"),
+                F.round("dist", 4).alias("dist"),
+            )
+        )
+    result = out_rows[0]
+    for r in out_rows[1:]:
+        result = result.unionByName(r)
+    return result
+
+
+def fit_parity_model(validation: DataFrame, frame: int = -1):
+    """LinearRegression DFT→ML parity model: the trained counterpart of
+    parity.parity_summary's closed-form regr_slope/intercept."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    ml = F.element_at(F.col("ML_energy"), F.lit(frame))
+    data = (
+        validation.filter(F.col("good_trajectory"))
+        .select(F.col("DFT_energy").alias("x"), ml.alias("y"))
+    )
+    assembled = VectorAssembler(inputCols=["x"], outputCol="features").transform(data)
+    lr = LinearRegression(featuresCol="features", labelCol="y")
+    return lr.fit(assembled)

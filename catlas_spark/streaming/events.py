@@ -89,3 +89,46 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     bounded by the watermark, so it runs indefinitely at scale)."""
     src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
     return src.dropDuplicates(keys or ["event_id"])
+
+
+USER_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+_USER_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, total value, max value) maintained in the
+    state store across micro-batches — the pattern for operators the
+    built-in aggregations can't express (the reference has no streaming
+    counterpart; this is a new engine capability).
+
+    State is one fixed-size row per user; at scale the state store
+    partitions by user_id with the shuffle, and a timeout would evict
+    idle users (omitted here: the smoke source is finite).
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total, mx = (state.get if state.exists else (0, 0.0, float("-inf")))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "max_value": [round(mx, 4)],
+            }
+        )
+
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -134,3 +134,45 @@ def test_memoized_inference_in_cascade(spark, tmp_path):
     # memoized results equal direct computation
     plain = {key(r): (r.dE, r.min_dE) for r in run_screen(spark, plain_cfg, bulks, ads).collect()}
     assert plain == first
+
+
+def test_stateful_user_stats(spark, sf_dir, events_stream):
+    from pyspark.sql import functions as F
+
+    from catlas_spark.queries import _events
+    from catlas_spark.streaming.events import stateful_user_stats
+
+    q = (
+        stateful_user_stats(events_stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats_smoke")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user == batch ground truth
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM user_stats_smoke) WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.total, 4), round(r.mx, 4))
+        for r in _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u in got:
+        assert got[u][0] == expected[u][0]
+        assert abs(got[u][1] - expected[u][1]) < 1e-6
+        assert got[u][2] == expected[u][2]
