@@ -86,14 +86,15 @@ def shingle_hashes(
     """(doc, x, h1) — one row per shingle, computed in whole-stage
     codegen: ``x`` is the 28-bit minhash-family input, ``h1`` the 52-bit
     identity hash used for Jaccard sets (lower collision rate)."""
+    from ..partitioning import spread_small_source
+
     md5 = F.md5(F.col("s"))
     # a small parquet corpus arrives as ONE input split; spread the
     # explode+hash chain across the cluster before the heavy map (at
     # real scale the source has many splits and this is a cheap no-op
     # round-robin of pointers, never payload duplication)
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(n_part)
+        spread_small_source(df)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s"),
@@ -252,7 +253,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     explode(tokens) → groupBy(doc) with ``bits`` conditional sums: one
     shuffle, map-side combinable.
     """
-    toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    from ..partitioning import spread_small_source
+
+    toks = spread_small_source(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))

@@ -221,3 +221,21 @@ def test_cli_end_to_end(spark, tmp_path, monkeypatch):
     sankey = json.load(open(os.path.join(out, "sankey.json")))
     assert sankey["sankey"]["nodes"][0] == "bulks_in"
     assert os.path.exists(os.path.join(out, "run_config.json"))
+
+
+@pytest.mark.parametrize(
+    "cfg_path", ["configs/test_enumeration_only.yml", "configs/test_relaxation_cascade.yml"]
+)
+def test_reference_ci_shaped_configs(spark, tmp_path, monkeypatch, cfg_path):
+    """The reference's CI smoke screens (SURVEY §5: enumeration-only and
+    relaxation-cascade shapes) must run end-to-end from YAML."""
+    from catlas_spark.run import load_config
+    from catlas_spark.pipeline import run_screen
+    from catlas_spark.sources import fixtures
+
+    monkeypatch.setenv("MEMO_DIR", str(tmp_path))
+    cfg = load_config(cfg_path)
+    out = run_screen(
+        spark, cfg, fixtures.make_bulks(spark, n=30), fixtures.make_adsorbates(spark)
+    )
+    assert out.count() > 0
