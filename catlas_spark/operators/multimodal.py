@@ -72,7 +72,7 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_mean double"
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_mean double"
 
 
 def extract_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -496,8 +496,8 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events
@@ -575,6 +575,7 @@ def q_frame_mean_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pos", "val"
             ),
         )
+        .withColumn("pos", F.col("pos").cast("long"))
         .groupBy("label", "pos")
         .agg(F.round(F.avg("val"), 4).alias("mean_val"))
     )
@@ -649,8 +650,8 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         renamed.rollup("region", "nation")
         .agg(
-            F.grouping("region").cast("int").alias("g_region"),
-            F.grouping("nation").cast("int").alias("g_nation"),
+            F.grouping("region").cast("long").alias("g_region"),
+            F.grouping("nation").cast("long").alias("g_nation"),
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
         )
         .select("region", "nation", "g_region", "g_nation", "revenue")
@@ -676,8 +677,8 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cube("status", "priority")
         .agg(
-            F.grouping("status").cast("int").alias("g_status"),
-            F.grouping("priority").cast("int").alias("g_priority"),
+            F.grouping("status").cast("long").alias("g_status"),
+            F.grouping("priority").cast("long").alias("g_priority"),
             F.count(F.lit(1)).alias("n"),
         )
         .select("status", "priority", "g_status", "g_priority", "n")
@@ -783,9 +784,9 @@ def q_required_elements_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(pow(l_discount + 1.0, 2), 4) AS pow_disc,
            round(ln(l_extendedprice), 4) AS log_price,
            round(abs(l_extendedprice - 1000), 4) AS abs_diff,
-           sign(l_discount - 0.05) AS sgn,
-           ceil(l_quantity / 7) AS ceil7,
-           floor(l_quantity / 7) AS floor7,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil7,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS floor7,
            CAST(l_orderkey % 7 AS BIGINT) AS mod7
     FROM lineitem
     WHERE l_orderkey % 50 = 0
@@ -862,7 +863,7 @@ def q_group_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sum_array_lengths",
     """
-    SELECT lang, sum(len(string_split(text, ' '))) AS total_tokens,
+    SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            count(*) AS n_docs
     FROM documents
     GROUP BY lang
@@ -882,7 +883,7 @@ def q_sum_array_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_step_counts",
     """
     SELECT l_returnflag AS flag,
-           sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_discounted,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_discounted,
            count(CASE WHEN l_tax > 0.04 THEN 1 END) AS n_taxed
     FROM lineitem
     GROUP BY l_returnflag
@@ -1208,8 +1209,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     col = F.col("text")
     return d.select(
         "doc_id",
-        TX.token_count(col).alias("n_tokens"),
-        TX.bpe_ish_token_count(col).alias("n_bpe_ish"),
+        TX.token_count(col).cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(col).cast("long").alias("n_bpe_ish"),
         F.round(TX.stopword_ratio(col, "en"), 4).alias("stop_ratio"),
         F.round(TX.unique_token_ratio(col), 4).alias("uniq_ratio"),
         F.round(TX.mean_token_length(col), 4).alias("mean_tok_len"),
@@ -1398,9 +1399,9 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.datediff(
             F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
@@ -1732,7 +1733,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "n_id")
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("q_id", "n_id", "sim", "rank")
     )
