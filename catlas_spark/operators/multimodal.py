@@ -41,12 +41,14 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     bytes. A real implementation would decode image frames / audio samples
     here (library not available in this container — see module docstring).
     """
+    import numpy as np
+
     payloads = pdf["payload"]
     head_mean = payloads.apply(
-        lambda b: float(sum(b[:64])) / min(len(b), 64) if len(b) else 0.0
+        lambda b: float(np.frombuffer(b[:64], dtype=np.uint8).mean()) if len(b) else 0.0
     )
     # round half-up (not pandas banker's rounding) to match SQL ROUND()
-    head_mean = (head_mean * 10_000 + 0.5).apply(int) / 10_000.0
+    head_mean = np.floor(head_mean * 10_000 + 0.5) / 10_000.0
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
@@ -89,10 +91,15 @@ def extract_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 n = len(payload)
                 if n == 0:
                     continue
+                import numpy as np
+
                 step = max(n // n_frames, 1)
+                buf = np.frombuffer(payload, dtype=np.uint8)
                 for i in range(min(n_frames, n)):
-                    chunk = payload[i * step : (i + 1) * step] or payload[-step:]
-                    mean = float(sum(chunk)) / len(chunk)
+                    chunk = buf[i * step : (i + 1) * step]
+                    if len(chunk) == 0:
+                        chunk = buf[-step:]
+                    mean = float(chunk.mean())
                     mean = int(mean * 10_000 + 0.5) / 10_000.0
                     out_rows.append((int(doc_id), i, mean))
             yield pd.DataFrame(out_rows, columns=["doc_id", "frame_idx", "frame_mean"])
