@@ -1930,3 +1930,79 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_priority,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the general form rollup/cube specialize) via the
+    SQL front-end — not expressible in the DataFrame API directly."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "range_frame_price_band",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(count(*) OVER (
+             PARTITION BY l_suppkey ORDER BY l_extendedprice
+             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT) AS n_in_band
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based frame, order-insensitive within
+    ties — SURVEY §2.8 notes the reference has no frame specs at all)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice")
+        .rangeBetween(-500, 500)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+    )
+
+
+@register(
+    "above_customer_avg",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS total
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5 FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 1.5x above the customer's own
+    average). DataFrame form: window avg — one shuffle instead of the
+    naive per-row subquery re-scan (what Catalyst decorrelates to)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cavg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cavg") * 1.5)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total"))
+    )

@@ -132,3 +132,46 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def click_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks within the preceding ``horizon`` (state bounded by
+    watermarks on BOTH sides — the canonical attribution join)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "2 hours")
+        purchases = purchases.withWatermark("purchase_ts", "2 hours")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+
+
+def write_stream_parquet(stream_df: DataFrame, out_dir: str, query_name: str):
+    """foreachBatch exactly-once-style parquet sink: each micro-batch is
+    appended under its epoch id (idempotent on retry because the batch id
+    names the output)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -176,3 +176,37 @@ def test_stateful_user_stats(spark, sf_dir, events_stream):
         assert got[u][0] == expected[u][0]
         assert abs(got[u][1] - expected[u][1]) < 1e-6
         assert got[u][2] == expected[u][2]
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_stream):
+    from catlas_spark.queries import _events
+    from catlas_spark.streaming.events import click_purchase_join
+
+    q = (
+        click_purchase_join(events_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_smoke")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.purchase_id, r.click_id) for r in spark.sql("SELECT * FROM attr_smoke").collect()}
+    expected = {
+        (r.purchase_id, r.click_id)
+        for r in click_purchase_join(_events(spark, sf_dir)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path, events_stream):
+    from catlas_spark.streaming.events import tumbling_counts, write_stream_parquet
+
+    out = str(tmp_path / "stream_out")
+    q = write_stream_parquet(
+        tumbling_counts(events_stream).select("event_type", "n"), out, "fb_smoke"
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) >= {"event_type", "n"}
