@@ -43,6 +43,11 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         return f"row count {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    for c in a.columns:
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        if da != db:
+            # a value-hash can distinguish 3 from 3.0 — dtypes must align
+            return f"dtype {c}: {da} vs {db}"
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()

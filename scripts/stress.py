@@ -1,0 +1,117 @@
+"""Scale stress harness (not part of the driver gates): amplify sf0.1 to
+~10x (6M-row lineitem, 100k docs) in /tmp, run the headline queries, and
+exercise a pathological skew case. Catches scale cliffs the tiny bench
+cannot (spills, single-hot-key stalls, candidate blowups).
+
+Usage: python scripts/stress.py [factor]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from catlas_spark import queries as Q
+from catlas_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "grouped_topk",
+    "group_exists_soft_delete",
+    "join_revenue_per_nation",
+    "sessionization",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "text_quality",
+    "tfidf_top_terms",
+    "ann_cosine_topk",
+    "salted_revenue_agg",
+]
+
+
+def amplify(spark, src: str, dst: str, factor: int) -> None:
+    """Union each table with key-shifted copies (deterministic)."""
+    import os
+
+    plans = {
+        "lineitem": ("l_orderkey", 10_000_000),
+        "orders": ("o_orderkey", 10_000_000),
+        "customer": ("c_custkey", 1_000_000),
+        "documents": ("doc_id", 1_000_000),
+        "embeddings": ("vec_id", 1_000_000),
+        "events": ("event_id", 10_000_000),
+    }
+    for t in ("region", "nation", "supplier", "part"):  # dims stay small
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    for t, (key, stride) in plans.items():
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        out = base
+        for i in range(1, factor):
+            out = out.unionByName(base.withColumn(key, F.col(key) + i * stride))
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        print(f"amplified {t}: {out.count()} rows", file=sys.stderr)
+    assert os.path.exists(f"{dst}/lineitem.parquet")
+
+
+def skew_stress(spark) -> float:
+    """One key owns 50% of 5M rows; the salted two-phase agg must match
+    the plain agg and not stall on the hot reducer."""
+    from catlas_spark.partitioning import salted_agg
+
+    n = 5_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 97).alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    t0 = time.perf_counter()
+    plain = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("c")).collect()
+    }
+    t_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    two = {
+        r.k: (r.s, r.c)
+        for r in salted_agg(
+            df,
+            ["k"],
+            n_salts=32,
+            partial_aggs=[F.sum("v").alias("ps"), F.count("*").alias("pc")],
+            final_aggs=[F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+        ).collect()
+    }
+    t_salted = time.perf_counter() - t0
+    assert {k: v[1] for k, v in two.items()} == {k: v[1] for k, v in plain.items()}
+    print(f"skew: plain={t_plain:.2f}s salted={t_salted:.2f}s", file=sys.stderr)
+    return t_salted
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stress")
+    dst = tempfile.mkdtemp(prefix="sfbig_")
+    print(f"amplifying sf0.1 x{factor} -> {dst}", file=sys.stderr)
+    amplify(spark, "/root/testdata/sf0.1", dst, factor)
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        Q.queries()[name](spark, dst).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"{name}: {timings[name]}s", file=sys.stderr)
+    skew_stress(spark)
+    import json
+
+    print(json.dumps({"factor": factor, "timings": timings}))
+
+
+if __name__ == "__main__":
+    main()
