@@ -85,3 +85,22 @@ def memoize(
     if new_rows.limit(1).count() > 0:
         new_rows.write.mode("append").parquet(table_path)
     return hits.drop(KEY_COL).unionByName(computed.drop(KEY_COL))
+
+
+def compact(spark: SparkSession, table_path: str) -> int:
+    """Rewrite the memo table with one row per key (reclaims duplicate
+    appends left by task retries / concurrent runs — the maintenance
+    counterpart of the read-side dedup). Returns the compacted row count.
+    """
+    memo = _read_memo(spark, table_path)
+    if memo is None:
+        return 0
+    tmp = table_path + ".compact"
+    memo.write.mode("overwrite").parquet(tmp)
+    compacted = spark.read.parquet(tmp)
+    compacted.write.mode("overwrite").parquet(table_path)
+    n = spark.read.parquet(table_path).count()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n

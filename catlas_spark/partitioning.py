@@ -13,8 +13,8 @@ helpers:
   isolation — without literal 1-row partitions).
 - ``repartition_after_explode``: explode multiplies rows 10-1000x; give
   the next shuffle-free stage enough partitions (B3).
-- ``salt`` / ``unsalt``: shard a hot grouping key K ways so one giant
-  group doesn't serialize a stage; aggregate per (key, salt) then
+- ``salt`` + ``salted_agg``: shard a hot grouping key K ways so one
+  giant group doesn't serialize a stage; aggregate per (key, salt) then
   re-aggregate per key (the classic two-phase combine; R7).
 """
 

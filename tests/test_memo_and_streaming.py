@@ -210,3 +210,20 @@ def test_foreach_batch_parquet_sink(spark, tmp_path, events_stream):
     back = spark.read.parquet(out)
     assert back.count() > 0
     assert set(back.columns) >= {"event_type", "n"}
+
+
+def test_memo_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from catlas_spark.memo import compact, memoize
+
+    table = str(tmp_path / "memo3")
+    df = spark.range(0, 50).select(F.col("id").alias("x"))
+    memoize(spark, df, ["x"], _expensive, table)
+    # simulate a retry double-append
+    spark.read.parquet(table).write.mode("append").parquet(table)
+    assert spark.read.parquet(table).count() == 100
+    assert compact(spark, table) == 50
+    # memo still serves correct results
+    out = memoize(spark, df, ["x"], _expensive, table)
+    assert {r.result for r in out.collect()} == {i * 10 for i in range(50)}
