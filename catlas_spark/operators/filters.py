@@ -191,9 +191,13 @@ def _max_miller(df, v, _):
 
 def _surface_topk(score_col: str):
     def fn(df, v, _):
-        order = [F.col(score_col).asc(), F.col("slab_shift"), F.col("slab_top")]
-        for m in ("slab_millers",):
-            order.insert(1, F.col(m))
+        # deterministic total order: score, then the surface identity
+        order = [
+            F.col(score_col).asc(),
+            F.col("slab_millers"),
+            F.col("slab_shift"),
+            F.col("slab_top"),
+        ]
         if "top_k" in v:
             return grouped_topk(df, ["bulk_id"], order, int(v["top_k"]))
         return grouped_top_proportion(df, ["bulk_id"], order, float(v["top_proportion"]))

@@ -2006,3 +2006,24 @@ def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("cavg") * 1.5)
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total"))
     )
+
+
+@register(
+    "bool_aggregates",
+    """
+    SELECT l_returnflag AS flag,
+           bool_and(l_discount <= 0.1) AS all_small_disc,
+           bool_or(l_quantity >= 45) AS any_big_qty,
+           CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT) AS n_high_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates + FILTER clause (every/any/conditional count)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+        F.bool_or(F.col("l_quantity") >= 45).alias("any_big_qty"),
+        F.count(F.when(F.col("l_tax") > 0.05, F.lit(1))).alias("n_high_tax"),
+    )
