@@ -63,3 +63,24 @@ def salted_agg(
     salted = salt(df, n_salts, *group_cols)
     partial = salted.groupBy(*group_cols, SALT_COL).agg(*partial_aggs)
     return partial.groupBy(*group_cols).agg(*final_aggs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key:
+    later equi-joins between tables bucketed the same way need NO
+    exchange — the shuffle is paid once at write time (the batch analog
+    of co-partitioned storage; reference B-ops have no equivalent
+    because Dask bags cannot persist partitioning)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    if path:  # external table (avoids needing a writable warehouse dir)
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

@@ -60,3 +60,40 @@ def test_multimodal_is_arrow_batched(spark, sf_dir):
     for name in ("multimodal_decode", "multimodal_frame_sample"):
         p = plan_of(spark, sf_dir, name)
         assert "MapInPandas" in p  # Arrow batch, not row-at-a-time UDF
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key must join with zero Exchange
+    operators (the write-once-shuffle-never pattern for 100 TB joins)."""
+    from catlas_spark.partitioning import write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 8, path=str(tmp_path / "li"))
+    write_bucketed(orders, "o_bucketed", "o_orderkey", 8, path=str(tmp_path / "o"))
+
+    import contextlib
+    import io
+
+    # disable broadcast BEFORE building the plan: the point at scale is
+    # sort-merge over co-located buckets with zero exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            spark.table("li_bucketed").l_orderkey
+            == spark.table("o_bucketed").o_orderkey,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in p
+        # results correct
+        assert (
+            joined.count()
+            == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
