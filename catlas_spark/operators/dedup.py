@@ -135,7 +135,12 @@ def minhash_signatures(
 
 def _hashed_jaccard(a_set: Column, b_set: Column) -> Column:
     inter = F.size(F.array_intersect(a_set, b_set))
-    return F.round(inter / (F.size(a_set) + F.size(b_set) - inter), 4)
+    jac = inter / (F.size(a_set) + F.size(b_set) - inter)
+    # floor(x*1e4+0.5), not round(): Jaccard is a small-denominator
+    # rational that can land exactly on .00005 decimal boundaries, where
+    # Spark's round (shortest decimal repr) disagrees with engines that
+    # round the binary double; the floor form matches the latter always
+    return F.floor(jac * 10_000 + F.lit(0.5)) / 10_000.0
 
 
 def minhash_lsh_pairs(

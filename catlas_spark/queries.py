@@ -2027,3 +2027,59 @@ def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_quantity") >= 45).alias("any_big_qty"),
         F.count(F.when(F.col("l_tax") > 0.05, F.lit(1))).alias("n_high_tax"),
     )
+
+
+@register(
+    "intersect_except_keys",
+    """
+    SELECT k, 'both' AS src FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT k, 'f_only' AS src FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (beyond the reference's union-only
+    §2.10 surface)."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    both = f.intersect(op).withColumn("src", F.lit("both"))
+    f_only = f.distinct().subtract(op.distinct()).withColumn("src", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
+@register(
+    "ntile_quartiles",
+    """
+    SELECT q, count(*) AS n, round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS q
+      FROM orders
+    )
+    GROUP BY q
+    """,
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile bucketing (deterministic global order with key
+    tiebreak) + per-bucket stats."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
