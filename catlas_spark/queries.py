@@ -2083,3 +2083,183 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "approx_distinct_bounds",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+           abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+             <= 0.08 * count(DISTINCT l_partkey) AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch (approx_count_distinct) proven against the exact
+    count. The sketches differ across engines, so the oracle-checked
+    contract is the ERROR BOUND: each engine asserts its own estimate is
+    within 8% of the exact distinct count (Spark rsd=0.02 → ~2% typical).
+    At 100 TB the sketch is the only option — one map-side-combinable pass,
+    no distinct shuffle of the key universe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_partkey").alias("exact_nd"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey", 0.02) - F.countDistinct("l_partkey"))
+            <= 0.08 * F.countDistinct("l_partkey")
+        ).alias("approx_ok"),
+    )
+
+
+@register(
+    "approx_quantile_bounds",
+    """
+    SELECT o_orderstatus AS status,
+           round(median(o_totalprice), 4) AS exact_p50,
+           abs(approx_quantile(o_totalprice, 0.5) - median(o_totalprice))
+             <= 0.05 * median(o_totalprice) AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (percentile_approx / t-digest) proven against the
+    exact median — same error-bound contract as approx_distinct_bounds.
+    Spark's KLL-ish sketch at accuracy=10000 has rank error 1e-4; the
+    5% VALUE tolerance holds on any non-degenerate distribution."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.median("o_totalprice"), 4).alias("exact_p50"),
+        (
+            F.abs(F.percentile_approx("o_totalprice", 0.5, 10000) - F.median("o_totalprice"))
+            <= 0.05 * F.median("o_totalprice")
+        ).alias("approx_ok"),
+    )
+
+
+@register(
+    "stats_moments",
+    """
+    SELECT l_returnflag AS flag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           round(covar_pop(l_quantity, l_discount), 6)       AS covar_qd,
+           round(stddev_samp(l_discount), 4)                 AS sd_disc,
+           round(var_pop(l_tax), 6)                          AS var_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates (corr / covariance / stddev /
+    variance) — single hash-agg pass, all map-side combinable (Welford
+    merge), no second scan. Skew/kurtosis excluded deliberately: Spark
+    and ANSI engines disagree on bias correction, so they're not
+    cross-engine oracle-checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qd"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
+        F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
+    )
+
+
+@register(
+    "full_outer_nation_activity",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_cust
+               FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_supp
+               FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_rich_cust, 0) AS n_rich_cust,
+           coalesce(s.n_rich_supp, 0) AS n_rich_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated sides (nations with rich
+    customers vs rich suppliers — each side one-sided for some nations).
+    Both inputs pre-aggregate BEFORE the join, so the shuffle carries one
+    row per nation, not one per customer."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+        F.coalesce(F.col("n_rich_cust"), F.lit(0)).alias("n_rich_cust"),
+        F.coalesce(F.col("n_rich_supp"), F.lit(0)).alias("n_rich_supp"),
+    )
+
+
+@register(
+    "percent_rank_cume_dist",
+    """
+    SELECT s_nationkey, s_suppkey,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd,
+           round(nth_value(s_acctbal, 2) OVER
+             (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+             AS second_lowest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist /
+    nth_value with an explicit unbounded ROWS frame). Full tiebreak
+    (acctbal, suppkey) keeps ranks deterministic across engines."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.round(F.nth_value("s_acctbal", 2).over(wfull), 4).alias("second_lowest"),
+    )
+
+
+@register(
+    "posexplode_bigram_positions",
+    """
+    SELECT doc_id, pos, tok
+    FROM (
+      SELECT doc_id,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    WHERE pos <= 5
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (ordinal-preserving explode): token with its 1-based
+    position. The reference's enumeration TVFs (SURVEY §2.5) carry the
+    parent ordinal the same way; position is computed inside the explode
+    generator, not via a window after the fact."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+        )
+        .withColumn("pos", (F.col("pos0") + 1).cast("long"))
+        .filter(F.col("pos") <= 5)
+        .select("doc_id", "pos", "tok")
+    )
