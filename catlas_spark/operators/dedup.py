@@ -38,7 +38,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, token_shingles
+from ..functions.text import char_shingles, fingerprint, token_shingles
 
 
 def _hex_long(col: Column, start: int, length: int = 13) -> Column:
@@ -81,13 +81,23 @@ def minhash_coeffs(n_perm: int) -> list[tuple[int, int]]:
 
 
 def shingle_hashes(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    shingle_mode: str = "token",
 ) -> DataFrame:
     """(doc, x, h1) — one row per shingle, computed in whole-stage
     codegen: ``x`` is the 28-bit minhash-family input, ``h1`` the 52-bit
-    identity hash used for Jaccard sets (lower collision rate)."""
+    identity hash used for Jaccard sets (lower collision rate).
+
+    ``shingle_mode``: "token" (word n-grams) or "char" (character
+    n-grams — robust to tokenization differences and no-whitespace
+    scripts, at ~len(text) shingles per doc instead of ~n_tokens).
+    """
     from ..partitioning import spread_small_source
 
+    shingler = {"token": token_shingles, "char": char_shingles}[shingle_mode]
     md5 = F.md5(F.col("s"))
     # a small parquet corpus arrives as ONE input split; spread the
     # explode+hash chain across the cluster before the heavy map (at
@@ -97,7 +107,7 @@ def shingle_hashes(
         spread_small_source(df)
         .select(
             F.col(id_col).alias("doc"),
-            F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s"),
+            F.explode(shingler(F.col(text_col), shingle_n)).alias("s"),
         )
         .withColumn("m", md5)
         .select(
@@ -115,6 +125,7 @@ def minhash_signatures(
     n_perm: int = 8,
     shingle_n: int = 2,
     with_hash_set: bool = False,
+    shingle_mode: str = "token",
 ) -> DataFrame:
     """Per-doc minhash signature columns sig_0..sig_{n_perm-1}.
 
@@ -122,7 +133,7 @@ def minhash_signatures(
     ``with_hash_set`` adds the distinct shingle-hash set for later exact
     Jaccard verification.
     """
-    hashed = shingle_hashes(df, text_col, id_col, shingle_n)
+    hashed = shingle_hashes(df, text_col, id_col, shingle_n, shingle_mode)
     coeffs = minhash_coeffs(n_perm)
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MINHASH_P))).alias(f"sig_{i}")
@@ -151,6 +162,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    shingle_mode: str = "token",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
 
@@ -173,7 +185,8 @@ def minhash_lsh_pairs(
     # MEMORY_ONLY: the default (deser, disk-backed) level pays a 3x
     # slower columnar cache build for array columns (measured)
     sig = minhash_signatures(
-        df, text_col, id_col, n_perm, shingle_n, with_hash_set=True
+        df, text_col, id_col, n_perm, shingle_n, with_hash_set=True,
+        shingle_mode=shingle_mode,
     ).persist(StorageLevel.MEMORY_ONLY)
     bands = F.array(
         *[

@@ -57,6 +57,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # right-size shuffles for the local harness (driver default is 200)
     cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    # restore the default broadcast threshold: queries that demonstrate
+    # shuffle-join-only optimizations (runtime bloom filter) lower it for
+    # their own plan; resetting here scopes that override to one query
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -2262,4 +2266,212 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", (F.col("pos0") + 1).cast("long"))
         .filter(F.col("pos") <= 5)
         .select("doc_id", "pos", "tok")
+    )
+
+
+_MINHASH_CHAR_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text || ' xtra' FROM documents WHERE doc_id % 3 = 0
+    ),
+    nt AS (SELECT doc, {_NORM} AS n FROM corpus),
+    sh AS (
+      SELECT doc,
+             list_distinct([substr(n, i, 8) for i in generate_series(1, len(n) - 7)])
+               AS shingles
+      FROM nt WHERE len(n) >= 8
+    ),
+    hx AS (
+      SELECT doc, {_HEXX} AS x, {_HEX1} AS h1
+      FROM (SELECT doc, md5(s) AS m FROM (SELECT doc, unnest(shingles) AS s FROM sh))
+    ),
+    sig AS (
+      SELECT doc,
+             {", ".join(
+                f"min(({a} * x + {b}) % {MINHASH_P}) AS sig_{i}"
+                for i, (a, b) in enumerate(minhash_coeffs(12))
+             )},
+             list(DISTINCT h1) AS hset
+      FROM hx GROUP BY doc
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          "SELECT doc, %d AS band_id, %s AS band_key FROM sig"
+          % (b, " || '|' || ".join(f"sig_{4*b+j}" for j in range(4)))
+          for b in range(3)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             floor(10000 * len(list_intersect(sa.hset, sb.hset))::DOUBLE /
+                   (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))
+                   + 0.5) / 10000 AS jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc = c.id_a
+      JOIN sig sb ON sb.doc = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_char", _MINHASH_CHAR_ORACLE)
+def q_dedup_minhash_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-shingle MinHash+LSH near-dup variant: 8-char overlapping
+    shingles instead of word bigrams — robust to tokenization differences
+    (punctuation glued to words, no-whitespace scripts) at the cost of
+    ~len(text) shingles per doc, so it runs on a 1/3 id-sample here. Same
+    signature/band/verify plan as dedup_minhash_lsh; only the shingle
+    generator changes (SURVEY §7.2 step 8 dedup family)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    corpus = d.select(F.col("doc_id").alias("doc"), "text").unionByName(mutated)
+    return minhash_lsh_pairs(
+        corpus, "text", "doc", n_perm=12, band_size=4, shingle_n=8,
+        threshold=0.5, shingle_mode="char",
+    )
+
+
+@register(
+    "bloom_pruned_join",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 450000
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: the selective predicate on the
+    orders side is turned into a bloom_filter_agg whose might_contain()
+    probe is pushed into the lineitem scan, so non-matching rows die
+    BEFORE the join shuffle (Catalyst InjectRuntimeFilter). At 100 TB
+    both sides exceed the broadcast threshold and this is the default
+    plan; at bench scale the threshold is lowered for THIS query only
+    (the next `_t()` call restores it) to exercise the shuffle-join path.
+    Plan assertion lives in tests/test_physical_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+"
+_PII_PHONE = "\\+1 555-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             'contact user' || doc_id || '@mail.example or +1 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ': ' || text AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           substr(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                                 '{_PII_PHONE}', '<PHONE>', 'g'), 1, 80) AS redacted_head
+    FROM corpus
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus (training-data pipeline staple):
+    count + redact email/phone patterns with engine-portable regexes,
+    entirely in whole-stage codegen (regexp_extract_all / regexp_replace
+    — zero Python). The corpus deterministically injects one email and
+    one phone per doc so redaction counts are oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(": "), F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(_PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(_PII_PHONE), 0)).cast("long").alias("n_phones"),
+        F.substring(redacted, 1, 80).alias("redacted_head"),
+    )
+
+
+@register(
+    "token_zipf_rank",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tok, n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk,
+             round(sum(n) OVER (ORDER BY n DESC, tok
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                   / (SELECT sum(n) FROM counts), 4) AS cum_share
+      FROM counts
+    )
+    SELECT tok, n, rnk, cum_share FROM ranked WHERE rnk <= 100
+    """,
+)
+def q_token_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency (Zipf) profile: global token counts, rank,
+    and cumulative probability mass of the top-100 vocabulary. The
+    explode+groupBy is corpus-sized (map-side combinable, one shuffle);
+    the single-partition window runs on the VOCABULARY-sized aggregate
+    (bounded — at 100 TB the vocab is still ~millions of rows), and the
+    grand total joins in as a broadcast scalar, not a second scan of the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("tot"),
+                4,
+            ),
+        )
+        .filter(F.col("rnk") <= 100)
+        .select("tok", "n", "rnk", "cum_share")
     )

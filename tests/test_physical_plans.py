@@ -97,3 +97,15 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bloom_filter_join_pruning(spark, sf_dir):
+    # the selective orders predicate must inject a might_contain() probe
+    # into the lineitem side (Catalyst InjectRuntimeFilter)
+    df = Q.queries()["bloom_pruned_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # the override is scoped: the next _t() restores the broadcast default
+    Q.queries()["join_revenue_per_nation"](spark, sf_dir)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760"

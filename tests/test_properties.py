@@ -56,3 +56,20 @@ def test_minhash_coeffs_valid(n):
         assert 0 <= b < MINHASH_P
         # overflow safety: max product fits in int64
         assert a * (2**28) + b < 2**63
+
+
+def test_char_and_token_shingles_disjoint_semantics(spark):
+    # char mode must produce overlapping 8-grams; token mode word bigrams
+    from pyspark.sql import functions as F
+
+    from catlas_spark.functions.text import char_shingles, token_shingles
+
+    df = spark.createDataFrame([("abcdefghij klm",)], ["text"])
+    chars, toks = df.select(
+        char_shingles(F.col("text"), 8).alias("c"),
+        token_shingles(F.col("text"), 2).alias("t"),
+    ).first()
+    assert "abcdefgh" in chars and "hij klm" not in chars  # 7 < n
+    assert all(len(s) == 8 for s in chars)
+    assert len(chars) == len("abcdefghij klm") - 7
+    assert toks == ["abcdefghij klm"]
