@@ -291,3 +291,38 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         *[F.when(F.col(f"v_{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     )
     return agg.select("doc", fp.alias("simhash"))
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing at least
+    ``min_shared`` distinct token ``shingle_n``-grams with ANY eval doc.
+
+    Plan: explode train shingles (corpus-sized, codegen) → semi-join
+    against the DISTINCT eval shingle set (eval sets are small —
+    broadcast; at 100 TB the train side streams through map-side joins
+    with no shuffle of the corpus) → per-doc distinct count → threshold.
+    Returns (doc, n_shared) for contaminated docs only.
+    """
+    train_sh = train.select(
+        F.col(id_col).alias("doc"),
+        F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    eval_sh = (
+        eval_set.select(
+            F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s")
+        )
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s", "left_semi")
+        .groupBy("doc")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -2475,3 +2475,112 @@ def q_token_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 100)
         .select("tok", "n", "rnk", "cum_share")
     )
+
+
+@register(
+    "decontaminate_against_eval",
+    f"""
+    WITH tri AS (
+      SELECT doc_id AS doc,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, len(t) - 2)]) AS sh
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    eval_sh AS (
+      SELECT DISTINCT unnest(sh) AS s FROM tri WHERE doc % 101 = 0
+    ),
+    train_sh AS (
+      SELECT doc, unnest(sh) AS s FROM tri WHERE doc % 101 <> 0
+    )
+    SELECT doc, CAST(count(DISTINCT t.s) AS BIGINT) AS n_shared
+    FROM train_sh t JOIN eval_sh e ON t.s = e.s
+    GROUP BY doc
+    HAVING count(DISTINCT t.s) >= 3
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (LLM-data hygiene): flag training docs
+    sharing ≥3 distinct token trigrams with any eval-set doc. The eval
+    shingle set is distinct+broadcast (eval sets are tiny); the corpus
+    side is explode → semi-join → per-doc distinct count — the train
+    corpus is never shuffled whole, only its matching shingle rows."""
+    from .operators.dedup import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    eval_set = d.filter(F.col("doc_id") % 101 == 0)
+    train = d.filter(F.col("doc_id") % 101 != 0)
+    return contamination_flags(
+        train, eval_set, "text", "doc_id", shingle_n=3, min_shared=3
+    ).withColumn("n_shared", F.col("n_shared").cast("long"))
+
+
+@register(
+    "repetition_quality_filter",
+    f"""
+    WITH grams AS (
+      SELECT doc_id AS doc, unnest(list_distinct([t[i] || ' ' || t[i+1]
+                            for i in generate_series(1, len(t) - 1)])) AS g,
+             len(t) - 1 AS n_bigrams
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents)
+      WHERE len(t) >= 2
+    ),
+    tokpairs AS (
+      SELECT doc_id AS doc, t[i] || ' ' || t[i+1] AS g
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+      WHERE len(t) >= 2
+    ),
+    counts AS (
+      SELECT doc, g, CAST(count(*) AS BIGINT) AS n FROM tokpairs GROUP BY doc, g
+    ),
+    ranked AS (
+      SELECT doc, g, n,
+             CAST(sum(n) OVER (PARTITION BY doc) AS BIGINT) AS total,
+             row_number() OVER (PARTITION BY doc ORDER BY n DESC, g) AS rn
+      FROM counts
+    )
+    SELECT doc, g AS top_bigram, n AS top_n, total AS n_bigrams,
+           floor(10000 * n::DOUBLE / total + 0.5) / 10000 AS top_frac,
+           n::DOUBLE / total > 0.08 AS repetitive
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the most frequent bigram's
+    share of all bigram occurrences per doc (templated/spammy text has a
+    dominant n-gram). Overlapping bigrams are extracted positionally
+    (posexplode over tokens — occurrences, not the distinct set), counted
+    per (doc, gram) — one corpus-sized map-side-combinable shuffle — and
+    the per-doc argmax is a window over the gram-count table with a full
+    (count desc, gram) tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("doc"),
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ").alias("t"),
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        "doc",
+        F.posexplode("t").alias("i", "tok"),
+        F.col("t"),
+    ).filter(F.col("i") < F.size("t") - 1).select(
+        "doc",
+        F.concat_ws(" ", F.col("tok"), F.element_at("t", F.col("i") + 2)).alias("g"),
+    )
+    counts = pairs.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("n"))
+    wdoc = Window.partitionBy("doc")
+    wrank = Window.partitionBy("doc").orderBy(F.col("n").desc(), "g")
+    frac = F.col("n") / F.col("total")
+    return (
+        counts.withColumn("total", F.sum("n").over(wdoc))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc",
+            F.col("g").alias("top_bigram"),
+            F.col("n").alias("top_n"),
+            F.col("total").alias("n_bigrams"),
+            (F.floor(10000 * frac + F.lit(0.5)) / 10000.0).alias("top_frac"),
+            (frac > 0.08).alias("repetitive"),
+        )
+    )

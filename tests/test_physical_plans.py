@@ -109,3 +109,22 @@ def test_bloom_filter_join_pruning(spark, sf_dir):
     # the override is scoped: the next _t() restores the broadcast default
     Q.queries()["join_revenue_per_nation"](spark, sf_dir)
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760"
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + a partition-column predicate must prune
+    at planning time: the scan lists only matching directories (at 100 TB
+    the date partition is the first-line data-skipping mechanism)."""
+    out = str(tmp_path / "orders_by_status")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in p
+    # the pruned scan must not carry the predicate as a data filter
+    expected = orders.filter("o_orderstatus = 'F'").count()
+    assert df.count() == expected
