@@ -65,6 +65,38 @@ def salted_agg(
     return partial.groupBy(*group_cols).agg(*final_aggs)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant shuffle join: the fact side gets a deterministic
+    salt shard, the dim side is replicated once per shard, and the join
+    key becomes (key, salt) — a hot fact key is spread across
+    ``n_salts`` reducers instead of serializing one. Use when the dim
+    side is too large to broadcast but cheap to replicate n_salts times
+    (AQE skew-join handles the common case at runtime; this is the
+    explicit form for pre-AQE planning or deliberate shard control).
+    The replicated dim rows are identical per shard, so the join result
+    is exactly the plain join's."""
+    salted_fact = salt(fact, n_salts, fact_key)
+    replicated_dim = dim.withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
+    )
+    cond = (salted_fact[fact_key] == replicated_dim[dim_key]) & (
+        salted_fact[SALT_COL] == replicated_dim[SALT_COL]
+    )
+    return (
+        salted_fact.hint("merge")
+        .join(replicated_dim, cond, how)
+        .drop(SALT_COL)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

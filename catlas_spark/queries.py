@@ -2584,3 +2584,218 @@ def q_repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac > 0.08).alias("repetitive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N. Large-scale layout patterns: CDC compaction, time-series gap-fill,
+#    skew-resistant joins, histograms, sliding windows. These are the
+#    physical-design idioms a 100 TB deployment leans on daily; each is
+#    proven semantics-preserving against the plain-SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(value, 4) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-row-wins compaction: keep each key's most recent
+    record (the upsert-log → snapshot pattern; at 100 TB this is the
+    standard daily compaction job). One shuffle by key; the window is a
+    partial top-1 so AQE + map-side row_number short-circuits sorting
+    entire partitions. Deterministic tiebreak on event_id."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             sum(CAST(value AS DECIMAL(12,2))) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.h, hourly.hv
+      FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+           round(CAST(last_value(hv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS filled_value,
+           hv IS NOT NULL AS observed
+    FROM joined
+    """,
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill: build each key's hourly spine
+    with sequence()+explode (per-key generation — no global calendar
+    cross join, so the spine scales with Σ per-key ranges, not
+    keys × full range), left-join the observed hourly aggregates, and
+    forward-fill with last(ignorenulls) over an ordered frame. Hourly
+    sums are exact DECIMAL so fill values are engine-independent."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("hv"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.round(
+                F.last("hv", ignorenulls=True).over(w).cast("double"), 4
+            ).alias("filled_value"),
+            F.col("hv").isNotNull().alias("observed"),
+        )
+    )
+
+
+@register(
+    "salted_skew_join",
+    """
+    SELECT s.s_nationkey AS nationkey,
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                              AS DECIMAL(20,4))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (R7 applied to joins, not just aggs):
+    fact rows get a deterministic salt shard, the dim side is replicated
+    per shard, and the sort-merge join runs on (key, salt) — a hot
+    supplier key spreads across 8 reducers instead of serializing one.
+    The oracle is the PLAIN join: replication must not change results.
+    Per-row revenue is rounded then summed as DECIMAL so the two plans'
+    addition orders cannot perturb the total."""
+    from catlas_spark.partitioning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .cast("decimal(20,4)")
+        .alias("rev"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, sup, "l_suppkey", "s_suppkey", n_salts=8)
+    return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS mean
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the one-pass profiling aggregate run
+    before choosing partition/bucket boundaries on a new 100 TB table.
+    Entirely map-side-combinable (count/min/max/decimal-sum); the final
+    shuffle moves one row per bucket. The mean divides an exact DECIMAL
+    sum so both engines round the same quotient."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean"),
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH assigned AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                     time_bucket(INTERVAL 30 MINUTE, ts)]) AS ws,
+             value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1 h window, 30 min slide) via the native
+    window() expression — the batch twin of the Structured Streaming
+    sliding aggregation, proving window-assignment semantics against the
+    oracle's explicit two-bucket expansion. Each event lands in exactly
+    window_len/slide = 2 windows; the expansion happens map-side before
+    one combinable shuffle."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )

@@ -128,3 +128,25 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # the pruned scan must not carry the predicate as a data filter
     expected = orders.filter("o_orderstatus = 'F'").count()
     assert df.count() == expected
+
+
+def test_salted_join_is_sort_merge_on_salted_key(spark, sf_dir):
+    """salted_skew_join must actually shuffle on (key, salt): a
+    sort-merge join whose keys include the salt column, no broadcast of
+    the replicated dim (replication is pointless under broadcast)."""
+    p = plan_of(spark, sf_dir, "salted_skew_join")
+    assert "SortMergeJoin" in p
+    assert "__salt" in p
+    keys_line = next(l for l in p.splitlines() if l.startswith("Left keys"))
+    assert "l_suppkey" in keys_line and "__salt" in keys_line
+
+
+def test_sliding_window_single_shuffle(spark, sf_dir):
+    """The sliding-window aggregate expands windows map-side (Expand or
+    Generate before the exchange) and aggregates with a partial/final
+    pair — one shuffle total."""
+    p = plan_of(spark, sf_dir, "events_sliding_window")
+    # tree form "Exchange (n)" counts physical exchanges once; the
+    # formatted detail section repeats each as "(n) Exchange"
+    assert p.count("Exchange (") == 1
+    assert "HashAggregate" in p
