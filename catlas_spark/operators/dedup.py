@@ -293,6 +293,72 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return agg.select("doc", fp.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a near-dup pair list:
+    (node, cluster_id) where cluster_id = min node id in the component.
+
+    Near-dup relations are NOT transitive (A~B, B~C does not imply A~C),
+    so pair output alone under-merges: chains like A-B-C must collapse
+    into one cluster before choosing a canonical representative. This is
+    the standard corpus-dedup closing step (the reference's analogue is
+    per-structure union-find in `catlas/nuclearity.py:65-83`, which is
+    single-row scope; this operator is the corpus-scale version).
+
+    Algorithm: iterative min-label propagation (hash-to-min). Every node
+    starts labeled with itself; each round propagates labels across
+    (bidirectional) edges and keeps the per-node min. Converges in
+    O(graph diameter) rounds — near-dup clusters are near-cliques, so
+    2-4 rounds in practice. Each round is one shuffle (groupBy node);
+    lineage is truncated per round with localCheckpoint so the plan
+    stays constant-size (on a real cluster prefer a reliable
+    ``setCheckpointDir`` + ``checkpoint`` so executor loss can't drop
+    cached blocks mid-iteration).
+
+    The convergence test joins old vs new labels and looks for any
+    change — a cheap sort-merge on the (already clustered) label table,
+    short-circuited with limit(1).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["s"] == labels["node"]
+        ).select(F.col("d").alias("node"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 def contamination_flags(
     train: DataFrame,
     eval_set: DataFrame,

@@ -103,3 +103,36 @@ def test_binary_file_scan(spark):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0].length > 0 and rows[0].content[:4] == b"PAR1"
+
+
+def test_connected_components_chain_and_islands(spark):
+    from catlas_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (transitivity failure shape), triangle 10-11-12,
+    # isolated pair 20-21; pair list direction is arbitrary
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (12, 10), (11, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_converges_within_diameter_rounds(spark):
+    from catlas_spark.operators.dedup import connected_components
+
+    # path of 8 nodes: worst case for min-propagation; max_iter equal to
+    # the diameter must still produce correct labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, max_iter=8).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert len(out) == 9
