@@ -132,3 +132,53 @@ def grouped_min_argmin(
     """
     w = Window.partitionBy(*group_cols).orderBy(value, *tiebreaks)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval (range) join without a cartesian product.
+
+    A naive ``points JOIN intervals ON p BETWEEN s AND e`` has no equi
+    key, so Spark plans BroadcastNestedLoopJoin — O(|points| x
+    |intervals|) comparisons, which dies when the interval side outgrows
+    a broadcast. The scale path is *bucket expansion*: each interval is
+    exploded into the fixed-width time buckets it covers, each point is
+    assigned its bucket, and the join becomes a plain equi shuffle/
+    broadcast hash join on the bucket, post-filtered by the exact range
+    predicate. Cost is O(points + intervals x avg_span/bucket), and the
+    equi key keeps AQE/skew handling applicable. Intervals may overlap —
+    a point can match many intervals.
+
+    ``end_col`` is exclusive. ``bucket`` is a date_trunc unit ("minute",
+    "hour", "day"): pick it near the median interval span — too fine
+    explodes the interval side, too coarse inflates the candidate set
+    the post-filter must discard.
+    """
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start_col)),
+                # end is exclusive: a point-free tail bucket is dropped
+                F.date_trunc(
+                    bucket, F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ),
+    )
+    pts = points.withColumn("__bucket", F.date_trunc(bucket, F.col(point_col)))
+    return (
+        pts.join(iv, "__bucket", how)
+        .filter(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )

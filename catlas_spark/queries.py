@@ -2867,3 +2867,101 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+@register(
+    "interval_bucket_join",
+    """
+    WITH iv AS (
+      SELECT i AS iv_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_hours(24 * (i // 2) + 10 + (i % 2)) AS win_start
+      FROM generate_series(0, 59) t(i)
+    )
+    SELECT iv_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
+    FROM iv JOIN events ev
+      ON ev.ts >= iv.win_start AND ev.ts < iv.win_start + INTERVAL 2 HOUR
+    GROUP BY iv_id
+    """,
+)
+def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (range) join via bucket expansion: 60 overlapping
+    2-hour maintenance windows (two per day, offset 1 h) joined to the
+    events stream. No equi key exists, so a naive BETWEEN join is a
+    nested-loop cartesian; the operator explodes each interval into its
+    covered hour buckets and equi-joins on the bucket (shuffle/broadcast
+    hash join, AQE-eligible), post-filtered exactly. The oracle runs the
+    naive BETWEEN join — same result, different physical strategy."""
+    from .operators.relational import point_in_interval_join
+
+    iv = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("iv_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.expr(
+                    "make_interval(0, 0, 0, 0, CAST(24 * (id DIV 2) + 10 + id % 2 AS INT), 0, 0)"
+                )
+            ).alias("win_start"),
+        )
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    ev = _events(spark, sf_dir)
+    return (
+        point_in_interval_join(ev, iv, "ts", "win_start", "win_end", bucket="hour")
+        .groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+_CLUSTER_KEEP_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (
+      SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+    ),
+    corpus AS ({_mutated_corpus_sql()})
+    SELECT node AS doc,
+           first_value(node) OVER (
+             PARTITION BY cluster_id ORDER BY len(text) DESC, node
+           ) AS keep_id
+    FROM labels JOIN corpus ON corpus.doc = labels.node
+"""
+
+
+@register("dedup_cluster_keep_best", _CLUSTER_KEEP_ORACLE)
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-dedup pipeline in one plan: MinHash+LSH near-dup
+    pairs → connected components (transitive closure of the near-dup
+    relation) → per-cluster canonical keeper election (longest text,
+    ties to smallest id). Emits (doc, keep_id) for every clustered doc —
+    the table a 100 TB pipeline would anti-join against the corpus to
+    drop redundant copies while keeping the best representative."""
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    corpus = _mutated_corpus(spark, sf_dir).filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+    )
+    pairs = minhash_lsh_pairs(corpus, "text", "doc", n_perm=12, band_size=4, threshold=0.5)
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id").orderBy(F.length("text").desc(), "node")
+    return (
+        cc.join(corpus, cc["node"] == corpus["doc"])
+        .select(cc["node"], "cluster_id", "text")
+        .withColumn("keep_id", F.first("node").over(w))
+        .select(F.col("node").alias("doc"), "keep_id")
+    )

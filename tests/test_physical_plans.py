@@ -150,3 +150,12 @@ def test_sliding_window_single_shuffle(spark, sf_dir):
     # formatted detail section repeats each as "(n) Exchange"
     assert p.count("Exchange (") == 1
     assert "HashAggregate" in p
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    # the bucket-expansion rewrite must keep the range join a hash join;
+    # a BroadcastNestedLoopJoin here means the equi bucket key was lost
+    # and the plan degraded to the O(points x intervals) cartesian
+    p = plan_of(spark, sf_dir, "interval_bucket_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p

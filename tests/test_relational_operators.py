@@ -136,3 +136,32 @@ def test_connected_components_converges_within_diameter_rounds(spark):
     out = connected_components(pairs, max_iter=8).collect()
     assert all(r["cluster_id"] == 0 for r in out)
     assert len(out) == 9
+
+
+def test_point_in_interval_join_boundaries_and_overlap(spark):
+    from datetime import datetime
+
+    from catlas_spark.operators.relational import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0)),   # == start: included
+            (2, datetime(2024, 1, 1, 11, 59, 59)), # inside
+            (3, datetime(2024, 1, 1, 12, 0, 0)),   # == end: excluded
+            (4, datetime(2024, 1, 1, 11, 30, 0)),  # in overlap of iv 0 and 1
+            (5, datetime(2024, 1, 2, 9, 59, 59)),  # outside everything
+        ],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (0, datetime(2024, 1, 1, 10, 0, 0), datetime(2024, 1, 1, 12, 0, 0)),
+            (1, datetime(2024, 1, 1, 11, 0, 0), datetime(2024, 1, 1, 13, 0, 0)),
+        ],
+        "iv_id long, s timestamp, e timestamp",
+    )
+    got = {
+        (r["pid"], r["iv_id"])
+        for r in point_in_interval_join(pts, iv, "ts", "s", "e").collect()
+    }
+    assert got == {(1, 0), (2, 0), (2, 1), (3, 1), (4, 0), (4, 1)}
