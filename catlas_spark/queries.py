@@ -2965,3 +2965,76 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep_id", F.first("node").over(w))
         .select(F.col("node").alias("doc"), "keep_id")
     )
+
+_PROFILE_COLS = [
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) FILTER ({c} IS NULL) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           {f"round(CAST(min({c}) AS DOUBLE), 4)" if kind == "num" else "CAST(NULL AS DOUBLE)"} AS min_num,
+           {f"round(CAST(max({c}) AS DOUBLE), 4)" if kind == "num" else "CAST(NULL AS DOUBLE)"} AS max_num,
+           {f"CAST(min({c}) AS VARCHAR)" if kind == "str" else "CAST(NULL AS VARCHAR)"} AS min_str,
+           {f"CAST(max({c}) AS VARCHAR)" if kind == "str" else "CAST(NULL AS VARCHAR)"} AS max_str
+    FROM lineitem
+    """
+    for c, kind in _PROFILE_COLS
+)
+
+
+@register("table_profile", _PROFILE_ORACLE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of lineitem: per-column null count,
+    exact distinct count, typed min/max — the QA summary a pipeline
+    materializes next to every corpus snapshot. The whole profile is ONE
+    aggregation (count_distinct compiles to a single expand+shuffle) and
+    the result row is unpivoted with stack(); the oracle reads the table
+    once per column — same values, O(n_cols) more scans."""
+    from .operators.profile import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(li, [c for c, _ in _PROFILE_COLS])
+
+@register(
+    "weighted_sample",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                            / 4503599627370496.0) / n_chars,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, 10 docs per
+    source stratum, weight = n_chars (Efraimidis-Spirakis A-Res: rank by
+    -ln(u)/w with u a hash-derived uniform — longer docs proportionally
+    likelier). Fully reproducible across engines and runs because u
+    comes from md5(doc_id), not an RNG; the plan is one window top-k per
+    stratum, no global sort, no driver-side sampling state."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+         .cast("long") + F.lit(1))
+        / F.lit(4503599627370496.0)
+    )
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id")
+    )

@@ -31,6 +31,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "ann_cosine_topk",
     "salted_revenue_agg",
+    "interval_bucket_join",
+    "dedup_cluster_assign",
+    "dedup_cluster_keep_best",
+    "table_profile",
+    "weighted_sample",
 ]
 
 

@@ -165,3 +165,23 @@ def test_point_in_interval_join_boundaries_and_overlap(spark):
         for r in point_in_interval_join(pts, iv, "ts", "s", "e").collect()
     }
     assert got == {(1, 0), (2, 0), (2, 1), (3, 1), (4, 0), (4, 1)}
+
+
+def test_profile_table_one_pass_stats(spark):
+    from catlas_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 7.5, None), (3, 1.0, "a")],
+        "k long, v double, s string",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"k", "v", "s"}
+    k, v, s = rows["k"], rows["v"], rows["s"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"], k["min_num"], k["max_num"]) == (4, 0, 3, 1.0, 3.0)
+    assert (v["n_null"], v["n_distinct"], v["min_num"], v["max_num"]) == (1, 3, 1.0, 7.5)
+    # string column: numeric stats NULL, string min/max populated
+    assert s["min_num"] is None and (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["n_null"] == 1 and s["n_distinct"] == 2
+    # the whole profile must be ONE aggregation over the input: a single
+    # scan in the plan, not one per column
+    assert profile_table(df)._jdf.queryExecution().executedPlan().toString().count("ExistingRDD") == 1
