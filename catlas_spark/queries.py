@@ -2992,12 +2992,15 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 
 @register("table_profile", _PROFILE_ORACLE)
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass data-quality profile of lineitem: per-column null count,
-    exact distinct count, typed min/max — the QA summary a pipeline
-    materializes next to every corpus snapshot. The whole profile is ONE
-    aggregation (count_distinct compiles to a single expand+shuffle) and
-    the result row is unpivoted with stack(); the oracle reads the table
-    once per column — same values, O(n_cols) more scans."""
+    """Data-quality profile of lineitem: per-column null count, exact
+    distinct count, typed min/max — the QA summary a pipeline
+    materializes next to every corpus snapshot. Two aggregation passes:
+    counts/distincts/numeric extremes stay in HashAggregate (the
+    count_distinct expand rewrite), string min/max run separately so
+    their immutable buffers don't force the expanded rows through
+    SortAggregate (measured 5x at 6M rows); stack() unpivots. The
+    oracle reads the table once per column — same values, O(n_cols)
+    more scans."""
     from .operators.profile import profile_table
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3037,4 +3040,54 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("source", "doc_id")
+    )
+
+@register(
+    "funnel_conversion_daily",
+    """
+    SELECT strftime(date_trunc('day', v.ts), '%Y-%m-%d') AS day,
+           count(*) AS n_views,
+           count(*) FILTER (
+             EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                 AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+             )
+           ) AS n_converted
+    FROM events v WHERE v.event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def q_funnel_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution: daily count of 'view' events converted to a
+    'purchase' by the same user within 30 minutes. The oracle states it
+    as a correlated EXISTS (quadratic in events-per-user); the engine
+    plans ONE shuffle on user_id — a ts-descending RANGE window takes
+    the running min of future purchase timestamps, so each view row
+    reads its next-purchase time directly (the as-of-join trick, reused
+    forward). RANGE (not ROWS) frame: purchases at the exact same ts
+    must be visible to the view row."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_ts", nxt)
+        .filter(F.col("event_type") == "view")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count(
+                F.when(
+                    F.col("next_purchase_ts")
+                    < F.col("ts") + F.expr("INTERVAL 30 MINUTES"),
+                    1,
+                )
+            ).alias("n_converted"),
+        )
     )
