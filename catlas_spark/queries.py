@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import MINHASH_P, minhash_coeffs
@@ -3089,5 +3089,97 @@ def q_funnel_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 )
             ).alias("n_converted"),
+        )
+    )
+
+_HASH_U = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)"
+    " / 4503599627370496.0"
+)
+
+
+def _hash_uniform(col: Column) -> Column:
+    """Deterministic uniform(0,1] from the row id — the engine-portable
+    replacement for an RNG in sampling operators (same value on any
+    engine, any run, any partitioning)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("long")
+        + F.lit(1)
+    ) / F.lit(4503599627370496.0)
+
+
+@register(
+    "mixture_resample",
+    f"""
+    WITH kept AS (
+      SELECT source, doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 0.25 ELSE 0.75 END AS rate
+      FROM documents
+      WHERE {_HASH_U} < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                             THEN 0.25 ELSE 0.75 END
+    )
+    SELECT source, rate, count(*) AS n_kept
+    FROM kept GROUP BY source, rate
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting: each source stratum is Bernoulli-
+    downsampled to its target mixing rate (even-numbered sources 25%,
+    odd 75%) using the hash-derived uniform — the deterministic,
+    cluster-order-independent form of training-data mixture sampling.
+    No shuffle until the per-source summary: the keep decision is a
+    map-side filter on the scan."""
+    d = _t(spark, sf_dir, "documents")
+    rate = F.when(
+        (F.substring("source", 4, 10).cast("int") % 2) == 0, F.lit(0.25)
+    ).otherwise(F.lit(0.75))
+    return (
+        d.withColumn("rate", rate)
+        .filter(_hash_uniform(F.col("doc_id")) < F.col("rate"))
+        .groupBy("source", "rate")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    SELECT doc_id, source,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 256) AS BIGINT) AS bin_id,
+           (cum - n_tokens) % 256 AS bin_offset
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(trim(text), ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM documents
+    )
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: per source, documents are concatenated in
+    deterministic (doc_id) order and each doc is assigned the 256-token
+    training bin where its first token lands, plus its offset in that
+    bin — the bookkeeping a pretraining pipeline materializes to pack
+    short documents into fixed context windows. One shuffle (window per
+    source); the running token cumsum is a ROWS frame, no self-join."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            F.floor((F.col("cum") - F.col("n_tokens")).cast("double") / 256).alias("bin_id"),
+            ((F.col("cum") - F.col("n_tokens")) % 256).alias("bin_offset"),
         )
     )
