@@ -392,3 +392,67 @@ def contamination_flags(
         .agg(F.count_distinct("s").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 2,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Directional containment near-dup pairs: (a, b) where
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — the
+    asymmetric variant Jaccard misses (an excerpt is ~fully contained
+    in its source doc but their Jaccard is only ~|a|/|b|).
+
+    Two phases (the PPJoin-style filter-verify shape):
+
+    1. CANDIDATES from an inverted-index join restricted to shingles
+       with document frequency ≤ ``df_cap``. The postings join costs
+       Σ posting_len², so one stop-bigram with a million-doc posting
+       list is a 10^12-row join — capping bounds it at
+       n_shingles × df_cap². Measured: the uncapped join never finished
+       a 200k-doc stress corpus of ~15-member dup clusters; capped it
+       runs in seconds.
+    2. VERIFY candidates exactly against the FULL hashed shingle sets
+       (array_intersect on long arrays), so the cap never changes a
+       reported containment value — a pair is missed only if it shares
+       no rare shingle at all, which at 0.8 containment requires the
+       contained doc to consist almost entirely of corpus-wide
+       boilerplate (those pairs are boilerplate matches, not copies).
+    """
+    hashed = shingle_hashes(df, text_col, id_col, shingle_n).select("doc", "h1").distinct()
+    # full sets for exact verify; reused by both join sides -> persist
+    sets = (
+        hashed.groupBy("doc")
+        .agg(F.collect_set("h1").alias("hset"), F.count(F.lit(1)).alias("n_sh"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    rare = hashed.join(
+        hashed.groupBy("h1").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),
+        "h1",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h1") == F.col("b.h1")) & (F.col("a.doc") != F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc").alias("id_a"), F.col("hset").alias("set_a"), "n_sh")
+    sb = sets.select(F.col("doc").alias("id_b"), F.col("hset").alias("set_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.floor(
+                F.size(F.array_intersect("set_a", "set_b")) / F.col("n_sh") * 10_000
+                + F.lit(0.5)
+            )
+            / 10_000.0,
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -3183,3 +3183,123 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("cum") - F.col("n_tokens")) % 256).alias("bin_offset"),
         )
     )
+
+def _duck_cos(a: str, b: str, dim: int) -> str:
+    return f"""
+      round(
+        list_sum(list_transform(generate_series(1, {dim}),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                 i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)
+    """
+
+
+@register(
+    "ann_two_stage",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+    ),
+    stage1 AS (
+      SELECT q_id, q_vec, n_id, n_vec, coarse_sim FROM (
+        SELECT q.q_id, q.q_vec, e.vec_id AS n_id, e.embedding AS n_vec,
+               {_duck_cos("q.q_vec", "e.embedding", 16)} AS coarse_sim,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_duck_cos("q.q_vec", "e.embedding", 16)} DESC, e.vec_id
+               ) AS rn
+        FROM q CROSS JOIN embeddings e
+      ) WHERE rn <= 20
+    )
+    SELECT q_id, n_id, sim, rank FROM (
+      SELECT q_id, n_id, {_duck_cos("q_vec", "n_vec", 64)} AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY {_duck_cos("q_vec", "n_vec", 64)} DESC, n_id
+             ) AS BIGINT) AS rank
+      FROM stage1
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine two-stage retrieval (the matryoshka-embedding
+    pattern): stage 1 scores the corpus on only the first 16 embedding
+    dimensions (4x cheaper per pair) and keeps top-20 candidates per
+    query; stage 2 reranks those 20 on all 64 dimensions to the final
+    top-5. At 100 TB the coarse pass is the only corpus-wide scan and
+    its per-pair cost dominates total work, so truncating it is a
+    near-4x saving for ~no recall loss on prefix-trained embeddings."""
+    from .functions.vector import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    coarse = F.round(
+        cosine(F.slice(F.col("q_vec"), 1, 16), F.slice(F.col("n_vec"), 1, 16)), 4
+    )
+    w1 = Window.partitionBy("q_id").orderBy(coarse.desc(), "n_id")
+    stage1 = (
+        q.crossJoin(
+            e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 20)
+    )
+    fine = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4)
+    w2 = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "n_id")
+    return (
+        stage1.select("q_id", "n_id", fine.alias("sim"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, array_to_string(t[1:len(t)//2], ' ')
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents)
+    ),
+    toks AS (SELECT doc, string_split({_NORM}, ' ') AS t FROM corpus),
+    sh AS (SELECT doc, {_SHINGLES} AS shingles FROM toks WHERE len(t) >= 2),
+    hx AS (
+      SELECT DISTINCT doc, {_HEX1} AS h1
+      FROM (SELECT doc, md5(s) AS m FROM (SELECT doc, unnest(shingles) AS s FROM sh))
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM hx GROUP BY doc),
+    shared AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_shared
+      FROM hx a JOIN hx b ON a.h1 = b.h1 AND a.doc <> b.doc
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, containment FROM (
+      SELECT id_a, id_b,
+             floor(n_shared / s.n_sh * 10000 + 0.5) / 10000.0 AS containment
+      FROM shared JOIN sizes s ON s.doc = id_a
+    ) WHERE containment >= 0.8
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup: flags docs whose shingle set is
+    ≥80% contained in another doc — the partial-copy case (excerpts,
+    quotes, boilerplate wrappers) that symmetric Jaccard misses. Corpus
+    = documents ∪ the first half of each doc (ids offset), so every
+    excerpt is a true containment hit against its source. Inverted-
+    index postings join — never all-pairs."""
+    from .operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    excerpt = d.select(
+        (F.col("doc_id") + 100000).alias("doc"),
+        F.expr(
+            "array_join(slice(split(trim(text), '\\\\s+'), 1,"
+            " CAST(floor(size(split(trim(text), '\\\\s+')) / 2) AS INT)), ' ')"
+        ).alias("text"),
+    )
+    corpus = d.select(F.col("doc_id").alias("doc"), "text").unionByName(excerpt)
+    return containment_pairs(corpus, "text", "doc", threshold=0.8)

@@ -187,3 +187,17 @@ def test_profile_table_one_pass_stats(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ExistingRDD") == 2
     assert "Expand" in plan and "HashAggregate" in plan
+
+
+def test_containment_pairs_directional(spark):
+    from catlas_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c"), (3, "x y z")],
+        "doc long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(df, "text", "doc", threshold=0.8).collect()}
+    # doc 2's bigrams {a b, b c} are fully inside doc 1's; the reverse
+    # direction is 2/4 = 0.5 and must NOT be flagged; doc 3 shares nothing
+    assert rows == {(2, 1): 1.0}
