@@ -34,6 +34,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def band_sign_bucket(a: Column, band: int, band_bits: int = 4) -> Column:
+    """Sign bucket of ONE LSH band: the signs of components
+    ``[band*band_bits+1 .. band*band_bits+band_bits]`` packed into an
+    int. With several bands, two vectors become candidates if they agree
+    on ANY band — the banding trick that trades a per-band 2^-bits
+    selectivity for multi-band recall, exactly like minhash LSH bands
+    but over hyperplane signs."""
+    bits = [
+        F.when(
+            F.element_at(as_double(a), band * band_bits + i + 1) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(band_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 def sign_bucket(a: Column, n_bits: int = 3) -> Column:
     """Random-hyperplane-style coarse LSH bucket from the signs of the
     first ``n_bits`` components (deterministic; the scale path partitions

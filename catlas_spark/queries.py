@@ -3303,3 +3303,87 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.select(F.col("doc_id").alias("doc"), "text").unionByName(excerpt)
     return containment_pairs(corpus, "text", "doc", threshold=0.8)
+
+
+def _duck_band(j: int, bits: int = 4) -> str:
+    """Packed sign bits of embedding components [j*bits+1 .. j*bits+bits]
+    — must mirror functions.vector.band_sign_bucket exactly."""
+    return " + ".join(
+        f"(CASE WHEN CAST(embedding[{j * bits + i + 1}] AS DOUBLE) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+@register(
+    "dedup_cluster_assign_lsh",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT label, vec_id AS id, embedding,
+             {_duck_band(0)} AS b0, {_duck_band(1)} AS b1,
+             {_duck_band(2)} AS b2, {_duck_band(3)} AS b3
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT label, id, band,
+             CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+                       WHEN 2 THEN b2 ELSE b3 END AS bucket
+      FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.label = b.label AND a.band = b.band
+       AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               round(
+                 list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))), 4)
+                 AS sim
+        FROM cand JOIN base x ON x.id = cand.id_a
+                  JOIN base y ON y.id = cand.id_b
+      ) WHERE sim >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (
+      SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT node, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labels
+    """,
+)
+def q_dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for near-dup clustering: pair generation via
+    sign-LSH bands (4 bands x 4 sign bits, candidates = agree on any
+    band within a label block) instead of the blocked all-pairs join of
+    `dedup_cluster_assign` — linear candidate generation, then exact
+    cosine verify and the same distributed connected components. The
+    banding is deterministic (signs of the data), so the DuckDB oracle
+    reproduces the candidate set exactly; verified similarities are
+    identical to the exact join's for every surviving pair."""
+    from .operators.dedup import banded_embedding_pairs, connected_components
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = banded_embedding_pairs(
+        e, "embedding", "vec_id", block_col="label", threshold=0.35
+    )
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return cc.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))

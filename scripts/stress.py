@@ -33,6 +33,7 @@ HEADLINE = [
     "salted_revenue_agg",
     "interval_bucket_join",
     "dedup_cluster_assign",
+    "dedup_cluster_assign_lsh",
     "dedup_cluster_keep_best",
     "table_profile",
     "weighted_sample",

@@ -201,3 +201,25 @@ def test_containment_pairs_directional(spark):
     # doc 2's bigrams {a b, b c} are fully inside doc 1's; the reverse
     # direction is 2/4 = 0.5 and must NOT be flagged; doc 3 shares nothing
     assert rows == {(2, 1): 1.0}
+
+
+def test_banded_pairs_subset_of_exact(spark, sf_dir):
+    """Banding may only REMOVE candidate pairs; every surviving pair
+    must carry the identical exact-verified similarity."""
+    from catlas_spark import queries as Q
+    from catlas_spark.operators.dedup import banded_embedding_pairs
+
+    e = Q._t(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in Q.q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.sim
+        for r in banded_embedding_pairs(
+            e, "embedding", "vec_id", block_col="label", threshold=0.35
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert lsh  # bands must not be so selective that nothing survives
+    assert all(exact[p] == s for p, s in lsh.items())
