@@ -182,3 +182,40 @@ def point_in_interval_join(
         )
         .drop("__bucket")
     )
+
+
+def set_containment_join(
+    left: DataFrame,
+    left_id: str,
+    left_arr: str,
+    right: DataFrame,
+    right_id: str,
+    right_arr: str,
+) -> DataFrame:
+    """Set-containment join on array columns: (left_id, right_id) pairs
+    where every element of ``left_arr`` appears in ``right_arr``.
+
+    NOT an array_contains cross join (quadratic in rows, re-scans the
+    right array per pair): both sides are exploded into an inverted
+    index and equi-joined on the ELEMENT, so work is
+    sum over elements of |left rows with el| x |right rows with el| —
+    sparse-data cost, one shuffle on the element key, AQE-splittable if
+    one element is hot. A pair is contained iff its matched-element
+    count equals the left set's size. Arrays must be sets (build with
+    collect_set / array_distinct).
+
+    Output: (left_id, right_id, n_left) with n_left = |left set|.
+    """
+    l = left.select(
+        left_id,
+        F.size(left_arr).alias("n_left"),
+        F.explode(left_arr).alias("_el"),
+    )
+    r = right.select(right_id, F.explode(right_arr).alias("_el"))
+    return (
+        l.join(r, "_el")
+        .groupBy(left_id, right_id, "n_left")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") == F.col("n_left"))
+        .select(left_id, right_id, "n_left")
+    )

@@ -3387,3 +3387,157 @@ def q_dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs)
     w = Window.partitionBy("cluster_id")
     return cc.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+
+
+@register(
+    "set_containment_join",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         osz AS (SELECT o, CAST(count(*) AS INTEGER) AS n_parts FROM op GROUP BY o),
+         sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+         shared AS (
+           SELECT op.o, sp.s, count(*) AS n_shared
+           FROM op JOIN sp ON op.p = sp.p
+           GROUP BY 1, 2
+         )
+    SELECT shared.o AS orderkey, shared.s AS suppkey, osz.n_parts
+    FROM shared JOIN osz ON osz.o = shared.o
+    WHERE n_shared = n_parts AND n_parts >= 2
+    """,
+)
+def q_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join on array columns: (order, supplier) pairs
+    where the order's distinct part set is entirely within the
+    supplier's supplied-part set ("one supplier could fulfill the whole
+    order"). Arrays built with collect_set, then joined via the
+    inverted-index operator — explode to elements, equi-join, count ==
+    set size — never an array_contains cross join."""
+    from .operators.relational import set_containment_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    order_parts = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    supp_parts = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    return (
+        set_containment_join(
+            order_parts, "orderkey", "parts", supp_parts, "suppkey", "parts"
+        )
+        .filter(F.col("n_left") >= 2)
+        .select("orderkey", "suppkey", F.col("n_left").alias("n_parts"))
+    )
+
+
+@register(
+    "csv_json_roundtrip",
+    """
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-parquet source/sink round-trip: nation is written to CSV
+    (header, explicit schema on read — never inferSchema, which is a
+    second full scan and type-unstable at scale) and region to JSON
+    lines, both read back and joined to the parquet customer table. The
+    oracle runs on the parquet originals, so a hash match proves the
+    round-trip is lossless. Sinks go under the engine's scratch dir;
+    at scale the same writers target object storage with partitionBy."""
+    import os
+    import tempfile
+
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"catlas_roundtrip_{os.getpid()}"
+    )
+    nation, region = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    csv_dir, json_dir = f"{scratch}/nation_csv", f"{scratch}/region_json"
+    nation.write.mode("overwrite").option("header", True).csv(csv_dir)
+    region.write.mode("overwrite").json(json_dir)
+    nation_rt = spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", True).csv(csv_dir)
+    region_rt = spark.read.schema("r_regionkey int, r_name string").json(json_dir)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(nation_rt),
+            nation_rt["n_nationkey"] == c["c_nationkey"],
+        )
+        .join(
+            F.broadcast(region_rt),
+            region_rt["r_regionkey"] == nation_rt["n_regionkey"],
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "grouped_bootstrap_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ),
+    sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    picks AS (
+      SELECT lang, k AS draw,
+             CAST(('0x' || substr(md5(lang || ':' || CAST(k AS VARCHAR)), 1, 7))::BIGINT
+                  % n AS BIGINT) + 1 AS rn
+      FROM sizes CROSS JOIN (SELECT unnest(generate_series(1, 30)) AS k)
+    )
+    SELECT p.lang, p.draw, r.doc_id
+    FROM picks p JOIN ranked r ON r.lang = p.lang AND r.rn = p.rn
+    """,
+)
+def q_grouped_bootstrap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped reservoir sampling WITH replacement (bootstrap resample):
+    30 draws per language stratum; draw k picks rank
+    md5(lang:k) mod group_size over a hash-ordered ranking, so the
+    sample is deterministic and engine-portable (no RNG state). Scale
+    shape: one window to rank, one tiny draws table (groups x 30)
+    joined back on (group, rank) — no per-draw shuffle, no collect;
+    the same plan bootstraps per-group metrics at 100 TB where true
+    reservoir UDAFs would serialize Python state."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        d.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    picks = sizes.select(
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.lit(30))).alias("k"),
+        "n",
+    ).select(
+        "lang",
+        F.col("k").cast("long").alias("draw"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("k").cast("string"))),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n")
+            + 1
+        ).alias("rn"),
+    )
+    return picks.join(ranked, ["lang", "rn"]).select("lang", "draw", "doc_id")

@@ -223,3 +223,22 @@ def test_banded_pairs_subset_of_exact(spark, sf_dir):
     assert set(lsh) <= set(exact)
     assert lsh  # bands must not be so selective that nothing survives
     assert all(exact[p] == s for p, s in lsh.items())
+
+
+def test_set_containment_join_basic(spark):
+    from catlas_spark.operators.relational import set_containment_join
+
+    left = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "z"]), (3, ["c"])],
+        "lid long, els array<string>",
+    )
+    right = spark.createDataFrame(
+        [(10, ["a", "b", "c"]), (20, ["a", "z"])],
+        "rid long, els array<string>",
+    )
+    got = {
+        (r.lid, r.rid): r.n_left
+        for r in set_containment_join(left, "lid", "els", right, "rid", "els").collect()
+    }
+    # {a,b}⊆{a,b,c}; {a,z}⊆{a,z}; {c}⊆{a,b,c}; {a,z}⊄{a,b,c} (z missing)
+    assert got == {(1, 10): 2, (2, 20): 2, (3, 10): 1}
