@@ -3541,3 +3541,106 @@ def q_grouped_bootstrap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rn"),
     )
     return picks.join(ranked, ["lang", "rn"]).select("lang", "draw", "doc_id")
+
+
+@register(
+    "streaming_interval_join",
+    """
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, c.click_id, p.user_id
+    FROM p JOIN c ON c.user_id = p.user_id
+       AND c.click_ts <= p.purchase_ts
+       AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the REAL readStream path:
+    clicks and purchases split from the watermarked event stream, each
+    purchase matched to the same user's clicks in the preceding hour
+    (SURVEY §2's streaming surface; the batch oracle is the plain
+    interval join, so the hash match proves the streaming plan emits
+    exactly the batch semantics on a finite source). State is bounded
+    by the two-sided watermark, so the same query runs indefinitely on
+    an unbounded source; append-mode sink because join matches are
+    emitted as they arrive."""
+    from .streaming.events import (
+        click_purchase_join,
+        read_event_stream,
+        run_batch_like_stream,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+    out = run_batch_like_stream(
+        click_purchase_join(stream), "gate_interval_join", output_mode="append"
+    )
+    return out.select("purchase_id", "click_id", "user_id")
+
+
+@register(
+    "incremental_dedup_memo",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+         delta AS (
+           SELECT doc_id + 100000 AS doc_id, text
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text || ' v2' AS text
+           FROM documents WHERE doc_id % 3 = 1
+         ),
+         bfp AS (SELECT substr(md5({_NORM}), 1, 16) AS fp, min(doc_id) AS keep_id
+                 FROM base GROUP BY 1),
+         dfp AS (SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fp FROM delta)
+    SELECT d.doc_id, CAST(coalesce(b.keep_id, -1) AS BIGINT) AS dup_of
+    FROM dfp d LEFT JOIN bfp b USING (fp)
+    """,
+)
+def q_incremental_dedup_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus dedup on the memo table (the reference's
+    killer feature — sqlitedict memoization, catlas/cache_utils.py:137-218
+    — as a join against a persistent parquet memo; SURVEY §2.13/R4).
+
+    Scenario: the base corpus is fingerprinted once (memo populated);
+    a delta batch arrives containing re-crawled copies (identical text)
+    and revised docs (text changed). The delta's fingerprint pass hits
+    the memo for every re-crawled text — only genuinely new content is
+    recomputed — and each delta doc is then marked with the base doc it
+    duplicates (-1 = novel). At 100 TB the memo is a partitioned
+    parquet dataset and the hit-join is one hash shuffle on the
+    xxhash64 content key; re-ingesting an unchanged crawl costs a join,
+    not a recompute."""
+    import os
+    import tempfile
+
+    from .functions.text import fingerprint
+    from .memo import memoize
+
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"catlas_fp_memo_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    delta = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+            )
+        )
+    )
+
+    def compute_fp(df: DataFrame) -> DataFrame:
+        return df.withColumn("fp", fingerprint(F.col("text")))
+
+    base_fp = memoize(spark, base, ["text"], compute_fp, scratch, version="fp1")
+    keepers = base_fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # delta pass: re-crawled texts are memo HITS (no recompute)
+    delta_fp = memoize(spark, delta, ["text"], compute_fp, scratch, version="fp1")
+    return delta_fp.join(keepers, "fp", "left").select(
+        "doc_id", F.coalesce("keep_id", F.lit(-1)).cast("long").alias("dup_of")
+    )

@@ -67,12 +67,16 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_batch_like_stream(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_batch_like_stream(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming query over the available files to completion
     (memory sink) and return the result as a batch DataFrame — the
-    local smoke path for streaming operators."""
+    local smoke path for streaming operators. Aggregations use the
+    default ``complete`` mode; stream-stream joins must pass ``append``
+    (matches are emitted as they arrive; complete mode is unsupported)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -227,3 +227,55 @@ def test_memo_compact(spark, tmp_path):
     # memo still serves correct results
     out = memoize(spark, df, ["x"], _expensive, table)
     assert {r.result for r in out.collect()} == {i * 10 for i in range(50)}
+
+
+def test_incremental_fingerprint_memo(spark, sf_dir, tmp_path):
+    """Incremental-corpus shape behind the incremental_dedup_memo query:
+    re-crawled (identical) texts must be memo hits — zero new rows —
+    while revised texts append exactly their distinct new keys."""
+    from catlas_spark.functions.text import fingerprint
+    from catlas_spark.memo import memoize
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def compute(df):
+        return df.withColumn("fp", fingerprint(F.col("text")))
+
+    table = str(tmp_path / "fp_memo")
+    memoize(spark, d, ["text"], compute, table).count()
+    n1 = spark.read.parquet(table).count()
+    assert n1 == d.select("text").distinct().count()
+
+    recrawl = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = memoize(spark, recrawl, ["text"], compute, table)
+    assert out.count() == d.count()
+    assert spark.read.parquet(table).count() == n1  # all hits, no appends
+
+    revised = recrawl.withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    memoize(spark, revised, ["text"], compute, table).count()
+    n_new = revised.select("text").distinct().join(
+        d.select("text").distinct(), "text", "left_anti"
+    ).count()
+    assert spark.read.parquet(table).count() == n1 + n_new
+
+
+def test_streaming_interval_join_mode(spark, sf_dir):
+    """run_batch_like_stream append mode drives a stream-stream join to
+    completion and matches the batch interval join."""
+    from catlas_spark.queries import _events
+    from catlas_spark.streaming.events import (
+        click_purchase_join,
+        read_event_stream,
+        run_batch_like_stream,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+    got = run_batch_like_stream(
+        click_purchase_join(stream), "mode_smoke", output_mode="append"
+    )
+    a = {(r.purchase_id, r.click_id) for r in got.collect()}
+    b = {
+        (r.purchase_id, r.click_id)
+        for r in click_purchase_join(_events(spark, sf_dir)).collect()
+    }
+    assert a == b and len(a) > 0
