@@ -72,19 +72,25 @@ def memoize(
     memo = _read_memo(spark, table_path)
 
     if memo is None:
-        computed = compute(keyed)
-        result_cols = [c for c in computed.columns if c not in keyed.columns]
-        computed.select(KEY_COL, *result_cols).write.mode("append").parquet(table_path)
-        return computed.drop(KEY_COL)
+        hits = None
+        misses = keyed
+    else:
+        hits = keyed.join(memo, KEY_COL, "inner")
+        misses = keyed.join(memo.select(KEY_COL), KEY_COL, "left_anti")
 
-    hits = keyed.join(memo, KEY_COL, "inner")
-    misses = keyed.join(memo.select(KEY_COL), KEY_COL, "left_anti")
+    # Write-then-read-back: the append below is the ONLY execution of the
+    # compute plan. Misses are then served from the freshly persisted rows,
+    # so the values returned are exactly the values persisted — a
+    # nondeterministic `compute` cannot write one result and return another,
+    # and the expensive plan never runs a second time at consumption.
     computed = compute(misses)
     result_cols = [c for c in computed.columns if c not in keyed.columns]
-    new_rows = computed.select(KEY_COL, *result_cols)
-    if new_rows.limit(1).count() > 0:
-        new_rows.write.mode("append").parquet(table_path)
-    return hits.drop(KEY_COL).unionByName(computed.drop(KEY_COL))
+    computed.select(KEY_COL, *result_cols).write.mode("append").parquet(table_path)
+    memo_after = _read_memo(spark, table_path)
+    miss_rows = misses.join(memo_after, KEY_COL, "inner")
+    if hits is None:
+        return miss_rows.drop(KEY_COL)
+    return hits.drop(KEY_COL).unionByName(miss_rows.drop(KEY_COL))
 
 
 def compact(spark: SparkSession, table_path: str) -> int:
