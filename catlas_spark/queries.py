@@ -40,12 +40,46 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# Entries already driver-verified (green rows in CORRECTNESS_r01.json). The
+# driver's correctness window covers the first 50 registry entries in
+# insertion order, so previously-verified entries rotate to the back and
+# never-verified entries (plus anything new this round) surface to the
+# front. Update this set each round from the latest CORRECTNESS_r*.json so
+# the window always sweeps the least-verified half of the registry.
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "pricing_summary", "filter_in_ids", "filter_not_in_ids", "filter_range",
+        "filter_sample_deterministic", "grouped_topk", "best_within_threshold",
+        "group_exists_soft_delete", "grouped_min_argmin", "join_revenue_per_nation",
+        "cross_join_small", "semi_join_customers_with_orders",
+        "anti_join_customers_without_orders", "lookup_join_supplier_nation",
+        "explode_word_counts", "union_distinct_keys", "regex_extract_ids",
+        "running_sum_per_supplier", "sessionization", "parity_regression",
+        "frame_mean_error", "events_tumbling_hour", "rollup_revenue", "cube_counts",
+        "pivot_status_priority", "orderby_limit_topn", "array_subset_filter",
+        "required_elements_filter", "scalar_math", "exact_quantiles",
+        "group_concat_sorted", "sum_array_lengths", "conditional_step_counts",
+        "window_lag_lead", "json_extract_props", "asof_most_recent_purchase",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "text_quality", "text_langid", "doc_fingerprint", "ann_cosine_topk",
+        "ann_bucketed", "multimodal_decode", "hash_functions", "date_functions",
+        "string_functions", "distinct_aggregates",
+    }
+)
+
+
+def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
+    front = {k: v for k, v in _REGISTRY.items() if k not in _DRIVER_VERIFIED}
+    back = {k: v for k, v in _REGISTRY.items() if k in _DRIVER_VERIFIED}
+    return {**front, **back}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: v[0] for k, v in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {k: v[1] for k, v in _ordered().items() if v[1] is not None}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
