@@ -39,10 +39,25 @@ def memo_key(key_cols: list[str], version: str) -> F.Column:
     return F.xxhash64(*key_cols, F.lit(version))
 
 
-def _read_memo(spark: SparkSession, path: str) -> DataFrame | None:
-    if not os.path.exists(path):
+def _memo_files(path: str) -> list[str]:
+    """Pinned snapshot of the memo table: the explicit list of part files
+    currently on disk. Reading from this list (not the directory) freezes
+    the scan — a later append to the same directory is invisible to any
+    lazy plan built over this snapshot. This is the local-FS analog of a
+    table-format snapshot id (Delta/Iceberg) on a real cluster."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def _read_memo(spark: SparkSession, files: list[str]) -> DataFrame | None:
+    if not files:
         return None
-    memo = spark.read.parquet(path)
+    memo = spark.read.parquet(*files)
     # idempotent reads: keep one row per key (appends may duplicate on retry)
     w = Window.partitionBy(KEY_COL).orderBy(F.col(KEY_COL))
     return memo.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
@@ -67,9 +82,18 @@ def memoize(
     NOTE: materializes the miss partition (the append is an action) —
     this mirrors the reference, where the memo write happens inside the
     task itself (`catlas/cache_utils.py:155-166`).
+
+    Snapshot consistency: both memo scans are pinned to explicit file
+    lists. The hit/miss classification reads ONLY the part files that
+    existed before the append, and the read-back of computed misses reads
+    ONLY the files that exist after it. Without the pin, the lazy anti-join
+    would re-list the directory at evaluation time — after the append —
+    classify the just-computed misses as hits-in-memo, and return an
+    inconsistent (miss-dropping) result.
     """
     keyed = df.withColumn(KEY_COL, memo_key(key_cols, version))
-    memo = _read_memo(spark, table_path)
+    files_before = _memo_files(table_path)
+    memo = _read_memo(spark, files_before)
 
     if memo is None:
         hits = None
@@ -86,7 +110,7 @@ def memoize(
     computed = compute(misses)
     result_cols = [c for c in computed.columns if c not in keyed.columns]
     computed.select(KEY_COL, *result_cols).write.mode("append").parquet(table_path)
-    memo_after = _read_memo(spark, table_path)
+    memo_after = _read_memo(spark, _memo_files(table_path))
     miss_rows = misses.join(memo_after, KEY_COL, "inner")
     if hits is None:
         return miss_rows.drop(KEY_COL)
@@ -98,7 +122,7 @@ def compact(spark: SparkSession, table_path: str) -> int:
     appends left by task retries / concurrent runs — the maintenance
     counterpart of the read-side dedup). Returns the compacted row count.
     """
-    memo = _read_memo(spark, table_path)
+    memo = _read_memo(spark, _memo_files(table_path))
     if memo is None:
         return 0
     tmp = table_path + ".compact"

@@ -135,11 +135,22 @@ def _e_above_hull(df, v, _):
 
 
 def _band_gap(df, v, _):
+    """F11 band-gap range. Reference grammar keys are ``min_gap`` /
+    ``max_gap`` (`catlas/filters.py:116-129`); the legacy ``lower`` /
+    ``upper`` spellings are accepted as aliases. A config with neither
+    spelling warns and applies no filter (reference behavior)."""
+    import warnings
+
+    lo = v.get("min_gap", v.get("lower"))
+    hi = v.get("max_gap", v.get("upper"))
+    if lo is None and hi is None:
+        warnings.warn("Band gap filtering was not specified properly -> skipping it.")
+        return df
     out = df
-    if v.get("lower") is not None:
-        out = out.filter(F.col("bulk_band_gap") >= float(v["lower"]))
-    if v.get("upper") is not None:
-        out = out.filter(F.col("bulk_band_gap") <= float(v["upper"]))
+    if lo is not None:
+        out = out.filter(F.col("bulk_band_gap") >= float(lo))
+    if hi is not None:
+        out = out.filter(F.col("bulk_band_gap") <= float(hi))
     return out
 
 

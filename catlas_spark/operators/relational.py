@@ -75,13 +75,20 @@ def best_within_relative_threshold(
 ) -> DataFrame:
     """Keep rows whose score is within ``threshold`` (relative) of the
     group minimum (reference F17 `filter_best_facet_by_surface_property`,
-    `catlas/filter_utils.py:654-678`: keep while (s - min) / |min| <= t).
+    `catlas/filter_utils.py:654-678`: keep while (s - min) <= t * min).
+
+    Exact reference semantics, including the negative-minimum edge: when
+    the group min is negative the bound ``t * min`` is below zero and no
+    row (not even the minimum itself) passes — the reference's sorted
+    retention loop breaks on its first element in that case. Surface
+    scores are non-negative in practice, but we reproduce the formula
+    rather than "fixing" it with abs().
     """
     w = Window.partitionBy(*group_cols)
     min_s = F.min(score).over(w)
     return (
         df.withColumn("__min_s", min_s)
-        .filter((score - F.col("__min_s")) <= F.abs(F.col("__min_s")) * F.lit(threshold))
+        .filter((score - F.col("__min_s")) <= F.col("__min_s") * F.lit(threshold))
         .drop("__min_s")
     )
 

@@ -57,35 +57,59 @@ def _components(n: int, edges: np.ndarray) -> np.ndarray:
 
 
 def _nuclearity_one(elements: list[str], edges: list[list[int]]) -> dict:
-    """Per-element component analysis of one structure + its 2x replica
-    (reference semantics: replica max-component growing ⇒ infinite;
-    growing but not doubling ⇒ semi-finite — nuclearity.py:98-105)."""
+    """Per-element component analysis of one structure vs its 2x2 replica,
+    with the reference's EXACT infiniteness ratios
+    (`evaluate_infiniteness`, catlas/nuclearity.py:86-105):
+
+        max1 == max4        → finite, nuclearity = str(max1)
+        max1 == 0.5 * max4  → "semi-finite"  (periodic in one direction)
+        max1 == 0.25 * max4 → "infinite"     (periodic in both)
+        otherwise           → "somewhat-infinite"
+
+    The reference tiles the real slab ``repeat((2, 2, 1))`` and lets the
+    pymatgen neighbor list re-derive cross-cell bonds. Without pymatgen
+    in this container the replica is a surrogate: four copies of the
+    graph in a 2x2 grid, where nodes ≡ 0 (mod 4) act as the x-periodic
+    boundary (wrap-connect x-adjacent copies) and nodes ≡ 2 (mod 4) as
+    the y-periodic boundary (wrap-connect y-adjacent copies). A component
+    touching one boundary doubles (semi-finite), touching both
+    quadruples (infinite), touching neither stays fixed (finite) — the
+    same growth signatures the real tiling produces."""
     n = len(elements)
     edge_arr = np.array(edges, dtype=np.int64).reshape(-1, 2) if edges else np.empty((0, 2), int)
     labels1 = _components(n, edge_arr)
-    # 2x replica: duplicate nodes and edges; wrap-connect only the
-    # "cell boundary" nodes (every 4th) — the surrogate of periodic
-    # boundary contact. Components touching the boundary merge across
-    # replicas (infinite-like); interior clusters stay finite.
-    rep_edges = np.concatenate([edge_arr, edge_arr + n]) if len(edge_arr) else edge_arr
-    wrap = np.array([[i, i + n] for i in range(0, n, 4)], dtype=np.int64)
-    all2 = np.concatenate([rep_edges, wrap]) if len(rep_edges) else wrap
-    labels2 = _components(2 * n, all2)
+    # 2x2 grid of copies k=0..3 at node offsets k*n; grid adjacency:
+    # x-pairs (0,1),(2,3); y-pairs (0,2),(1,3)
+    parts = [edge_arr + k * n for k in range(4)] if len(edge_arr) else []
+    wrap = [
+        [i + a * n, i + b * n]
+        for (a, b) in ((0, 1), (2, 3))
+        for i in range(0, n, 4)
+    ] + [
+        [i + a * n, i + b * n]
+        for (a, b) in ((0, 2), (1, 3))
+        for i in range(2, n, 4)
+    ]
+    wrap_arr = np.array(wrap, dtype=np.int64).reshape(-1, 2)
+    all4 = np.concatenate(parts + [wrap_arr]) if parts else wrap_arr
+    labels4 = _components(4 * n, all4)
 
     out = {}
     el_arr = np.array(elements)
     for el in sorted(set(elements)):
         mask1 = el_arr == el
         comp1 = pd.Series(labels1[mask1]).value_counts().sort_values().tolist()
-        mask2 = np.concatenate([mask1, mask1])
-        comp2 = pd.Series(labels2[mask2]).value_counts().sort_values().tolist()
-        max1, max2 = (max(comp1) if comp1 else 0), (max(comp2) if comp2 else 0)
-        if max2 >= 2 * max1 and max1 > 0 and len(comp2) < 2 * len(comp1):
-            nuclearity = "infinite"
-        elif max2 > max1:
-            nuclearity = "semi-finite"
-        else:
+        mask4 = np.concatenate([mask1] * 4)
+        comp4 = pd.Series(labels4[mask4]).value_counts().sort_values().tolist()
+        max1, max4 = (max(comp1) if comp1 else 0), (max(comp4) if comp4 else 0)
+        if max1 == max4:
             nuclearity = str(max1)
+        elif 2 * max1 == max4:
+            nuclearity = "semi-finite"
+        elif 4 * max1 == max4:
+            nuclearity = "infinite"
+        else:
+            nuclearity = "somewhat-infinite"
         out[el] = {"nuclearity": nuclearity, "nuclearities": [int(c) for c in comp1]}
     return out
 

@@ -32,6 +32,31 @@ def _active(v: Any) -> bool:
     return v is not None and v != "None"
 
 
+# Legal filter names per section — mirrors the cerberus grammar, which
+# REJECTS unknown keys at validation time (`catlas/config_validation.py:67-319`;
+# the runtime dispatch loop merely warns, `catlas/filters.py:135` — we keep
+# that split: validator errors, executor warns).
+_KNOWN_BULK_FILTERS = frozenset(
+    {
+        "filter_by_bulk_ids", "filter_ignore_bulk_ids",
+        "filter_by_acceptable_elements", "filter_by_num_elements",
+        "filter_by_required_elements", "filter_by_object_size",
+        "filter_by_elements_active_host", "filter_by_element_groups",
+        "filter_by_pourbaix_stability", "filter_by_bulk_e_above_hull",
+        "filter_by_bulk_band_gap", "filter_fraction",
+    }
+)
+_KNOWN_SLAB_FILTERS = frozenset(
+    {
+        "filter_by_object_size", "filter_by_max_miller_index",
+        "filter_by_broken_bonds", "filter_by_surface_density",
+        "filter_best_shift_by_broken_bonds", "filter_best_shift_by_surface_density",
+    }
+)
+_KNOWN_ADSORBATE_FILTERS = frozenset({"filter_by_smiles"})
+_BAND_GAP_KEYS = frozenset({"min_gap", "max_gap", "lower", "upper"})
+
+
 def validate_config(config: dict[str, Any]) -> dict[str, Any]:
     """Validate and normalize a screen config; raises ConfigError with a
     precise message on the first violation. Returns the config unchanged
@@ -40,6 +65,24 @@ def validate_config(config: dict[str, Any]) -> dict[str, Any]:
 
     bf = config.get("bulk_filters", {})
     _require(isinstance(bf, dict), "bulk_filters must be a mapping")
+    for key in bf:
+        _require(
+            key in _KNOWN_BULK_FILTERS,
+            f"unknown bulk filter {key!r} (legal: {sorted(_KNOWN_BULK_FILTERS)})",
+        )
+    bg = bf.get("filter_by_bulk_band_gap")
+    if _active(bg):
+        _require(isinstance(bg, dict), "filter_by_bulk_band_gap must be a mapping")
+        bad = set(bg) - _BAND_GAP_KEYS
+        _require(
+            not bad,
+            f"filter_by_bulk_band_gap: unknown keys {sorted(bad)} — use min_gap/"
+            "max_gap (reference grammar, catlas/filters.py:116-129)",
+        )
+        _require(
+            any(k in bg for k in _BAND_GAP_KEYS),
+            "filter_by_bulk_band_gap needs min_gap and/or max_gap",
+        )
     for key in ("filter_by_bulk_ids", "filter_ignore_bulk_ids"):
         ids = bf.get(key)
         if _active(ids):
@@ -96,6 +139,11 @@ def validate_config(config: dict[str, Any]) -> dict[str, Any]:
 
     sf = config.get("slab_filters", {})
     _require(isinstance(sf, dict), "slab_filters must be a mapping")
+    for key in sf:
+        _require(
+            key in _KNOWN_SLAB_FILTERS,
+            f"unknown slab filter {key!r} (legal: {sorted(_KNOWN_SLAB_FILTERS)})",
+        )
     for key in ("filter_by_broken_bonds", "filter_by_surface_density"):
         v = sf.get(key)
         if _active(v):
@@ -115,6 +163,11 @@ def validate_config(config: dict[str, Any]) -> dict[str, Any]:
 
     af = config.get("adsorbate_filters", {})
     _require(isinstance(af, dict), "adsorbate_filters must be a mapping")
+    for key in af:
+        _require(
+            key in _KNOWN_ADSORBATE_FILTERS,
+            f"unknown adsorbate filter {key!r} (legal: {sorted(_KNOWN_ADSORBATE_FILTERS)})",
+        )
     if _active(af.get("filter_by_smiles")):
         _require(
             isinstance(af["filter_by_smiles"], list),

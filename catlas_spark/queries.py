@@ -13,6 +13,7 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -40,38 +41,55 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Entries already driver-verified (green rows in CORRECTNESS_r01.json). The
-# driver's correctness window covers the first 50 registry entries in
-# insertion order, so previously-verified entries rotate to the back and
-# never-verified entries (plus anything new this round) surface to the
-# front. Update this set each round from the latest CORRECTNESS_r*.json so
-# the window always sweeps the least-verified half of the registry.
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "pricing_summary", "filter_in_ids", "filter_not_in_ids", "filter_range",
-        "filter_sample_deterministic", "grouped_topk", "best_within_threshold",
-        "group_exists_soft_delete", "grouped_min_argmin", "join_revenue_per_nation",
-        "cross_join_small", "semi_join_customers_with_orders",
-        "anti_join_customers_without_orders", "lookup_join_supplier_nation",
-        "explode_word_counts", "union_distinct_keys", "regex_extract_ids",
-        "running_sum_per_supplier", "sessionization", "parity_regression",
-        "frame_mean_error", "events_tumbling_hour", "rollup_revenue", "cube_counts",
-        "pivot_status_priority", "orderby_limit_topn", "array_subset_filter",
-        "required_elements_filter", "scalar_math", "exact_quantiles",
-        "group_concat_sorted", "sum_array_lengths", "conditional_step_counts",
-        "window_lag_lead", "json_extract_props", "asof_most_recent_purchase",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "text_quality", "text_langid", "doc_fingerprint", "ann_cosine_topk",
-        "ann_bucketed", "multimodal_decode", "hash_functions", "date_functions",
-        "string_functions", "distinct_aggregates",
-    }
-)
+def _correctness_history() -> dict[str, tuple[int, bool]]:
+    """name -> (round last driver-checked, passed that check), derived from
+    the CORRECTNESS_r*.json artifacts the driver writes at the repo root.
+
+    Derived, never hand-maintained: a renamed or deleted query simply has
+    no registry entry to order, and a stale name in an old artifact is
+    ignored — there is no allowlist to go out of date.
+    """
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            ok = (
+                bool(row.get("rows_match"))
+                and bool(row.get("hash_match"))
+                and row.get("err") is None
+            )
+            hist[name] = (rnd, ok)
+    return hist
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
-    front = {k: v for k, v in _REGISTRY.items() if k not in _DRIVER_VERIFIED}
-    back = {k: v for k, v in _REGISTRY.items() if k in _DRIVER_VERIFIED}
-    return {**front, **back}
+    """Registry in least-recently-verified-first order. The driver's
+    correctness window covers the first 50 entries, so: queries whose last
+    driver check FAILED (or errored) come first, then never-checked ones,
+    then green ones ordered by how long ago they were verified. Every
+    query therefore re-enters the window periodically (LRU rotation) —
+    nothing is permanently exempt from re-verification, and regressions in
+    previously-green queries surface within a couple of rounds."""
+    hist = _correctness_history()
+
+    def rank(item: tuple[int, str]) -> tuple[int, int]:
+        idx, name = item
+        last_round, ok = hist.get(name, (0, True))
+        return ((last_round if ok else -1), idx)
+
+    order = sorted(enumerate(_REGISTRY), key=rank)
+    return {name: _REGISTRY[name] for _, name in order}
 
 
 def queries() -> dict[str, QueryFn]:
@@ -99,13 +117,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events scan. The driver parquet stores ts as TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read nanos as long (session conf)
-    and convert to a microsecond timestamp column."""
+    """Events scan, normalized so ``ts`` is always a session-TZ TimestampType
+    column (session pinned UTC) regardless of the physical flavor the driver
+    parquet uses. Observed flavors across rounds: TIMESTAMP(MICROS, NTZ)
+    (current testdata), TIMESTAMP(NANOS) (reads as bigint under
+    ``nanosAsLong``), and plain TIMESTAMP. Do NOT assume one flavor — it has
+    changed between rounds before."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # harmless for micros files; lets a NANOS file read as bigint instead of failing
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":
+        # int64 epoch; unit by magnitude: 1e17 is year ~5138 in micros but
+        # only 1973 in nanos, so > 1e17 ⇒ nanos for any modern dataset
+        micros = F.when(
+            F.col("ts") > F.lit(10**17), (F.col("ts") / 1000).cast("long")
+        ).otherwise(F.col("ts"))
+        ev = ev.withColumn("ts", F.timestamp_micros(micros))
+    elif dt == "timestamp_ntz":
+        # NTZ wall-clock == UTC instant under the pinned-UTC session
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -266,7 +298,7 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, l_linenumber, l_extendedprice,
              min(l_extendedprice) OVER (PARTITION BY l_orderkey) AS min_p
       FROM lineitem
-    ) WHERE (l_extendedprice - min_p) <= abs(min_p) * 0.1
+    ) WHERE (l_extendedprice - min_p) <= min_p * 0.1
     """,
 )
 def q_best_within_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,8 +579,13 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     capability over the reference)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    new_session = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    prev = F.lag(F.col("ts")).over(w)
+    # exact interval comparison (not unix-seconds subtraction): matches the
+    # oracle's `ts - lag(ts) > INTERVAL 30 MINUTE` on any timestamp flavor
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         ev.withColumn("new_session", new_session)
@@ -2019,13 +2056,23 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_frames(attach_binary_payload(d), n_frames=4)
 
 
-@register("streaming_tumbling_counts", None)  # genuinely non-SQL: readStream path
+@register(
+    "streaming_tumbling_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the REAL readStream path (file source
     → watermark → tumbling window → availableNow memory sink), returned
-    as a batch DataFrame. No oracle by design: the driver records the
-    rows-only check for streaming operators; the batch-equivalence proof
-    lives in tests/test_memo_and_streaming.py."""
+    as a batch DataFrame. Oracle = the batch tumbling SQL: on a finite
+    source the streaming plan must emit exactly the batch result, so the
+    hash match proves stream/batch equivalence at the driver gate."""
     from .streaming.events import read_event_stream, run_batch_like_stream, tumbling_counts
 
     stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")

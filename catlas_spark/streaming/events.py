@@ -19,7 +19,9 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos (driver parquet)
+        # physical: TIMESTAMP(MICROS, isAdjustedToUTC=false) in the driver
+        # parquet (verified via parquet_schema — NOT nanos; see NOTES)
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -29,10 +31,12 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, dir_glob: str) -> DataFrame:
-    """File-source stream over events parquet (nanos ts → timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over events parquet. ``ts`` is read as NTZ
+    (matching the file) and normalized to session-TZ TimestampType under
+    the pinned-UTC session, so watermarks/windows see real event time."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(dir_glob)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

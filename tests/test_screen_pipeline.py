@@ -202,6 +202,34 @@ def test_config_validation_errors():
         )
     with pytest.raises(ConfigError, match="not a valid bulk id"):
         validate_config({"bulk_filters": {"filter_by_bulk_ids": ["xx-1"]}})
+    # unknown filter names are rejected at validation (reference cerberus
+    # grammar rejects unknown keys; the runtime dispatch loop only warns)
+    with pytest.raises(ConfigError, match="unknown bulk filter"):
+        validate_config({"bulk_filters": {"filter_by_bandgap": {"min_gap": 1}}})
+    with pytest.raises(ConfigError, match="unknown keys"):
+        validate_config(
+            {"bulk_filters": {"filter_by_bulk_band_gap": {"lo": 0.1, "hi": 2.0}}}
+        )
+
+
+def test_band_gap_filter_reference_grammar(spark, bulks):
+    """F11: reference key spelling min_gap/max_gap (catlas/filters.py:116-129)
+    must filter identically to the legacy lower/upper aliases."""
+    from catlas_spark.operators.filters import BULK_FILTERS
+
+    f = BULK_FILTERS["filter_by_bulk_band_gap"]
+    ref = f(bulks, {"min_gap": 0.5, "max_gap": 2.0}, None).collect()
+    legacy = f(bulks, {"lower": 0.5, "upper": 2.0}, None).collect()
+    assert len(ref) > 0
+    assert sorted(r.bulk_id for r in ref) == sorted(r.bulk_id for r in legacy)
+    assert all(0.5 <= r.bulk_band_gap <= 2.0 for r in ref)
+    # reference-style one-sided bound
+    half = f(bulks, {"min_gap": 1.0}, None).collect()
+    assert all(r.bulk_band_gap >= 1.0 for r in half)
+    # neither spelling present: warn + no-op (reference behavior)
+    with pytest.warns(UserWarning, match="not specified properly"):
+        out = f(bulks, {}, None)
+    assert out.count() == bulks.count()
 
 
 def test_cli_end_to_end(spark, tmp_path, monkeypatch):
