@@ -40,7 +40,10 @@ def run_query(fn, spark, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark("bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    qs = Q.queries()
+    # stable name order: queries() is ordered for the driver's correctness
+    # window (least-recently-verified first), which reshuffles every round;
+    # bench artifacts should diff cleanly round-over-round
+    qs = dict(sorted(Q.queries().items()))
     # warm up the JVM + parquet footers with the cheapest scan
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 

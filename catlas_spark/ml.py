@@ -109,11 +109,27 @@ def brp_ann(
     vec_col: str = "embedding",
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
+    max_driver_queries: int = 32,
+    bulk_radius: float = 10.0,
 ) -> DataFrame:
     """ANN via BucketedRandomProjectionLSH over dense vectors (Euclidean
-    buckets — the MLlib scale path; cosine variants normalize first)."""
+    buckets — the MLlib scale path; cosine variants normalize first).
+
+    Two physical strategies by query cardinality:
+
+    - ≤ ``max_driver_queries`` rows: per-query ``approxNearestNeighbors``
+      (one driver-side job per query — exact-k within the hash candidate
+      set; right for a handful of interactive probes).
+    - larger query TABLES: one distributed ``approxSimilarityJoin``
+      within ``bulk_radius`` + a per-query top-k window. No collect, no
+      per-row driver loop — the 100 TB path. The radius bounds candidate
+      volume (the LSH contract); queries whose k-th neighbor lies beyond
+      it return fewer than k rows, so widen ``bulk_radius`` for sparse
+      regions rather than falling back to the driver loop.
+    """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
 
     base = emb.select(
         F.col(id_col).alias("nid"),
@@ -127,25 +143,45 @@ def brp_ann(
         seed=42,
     )
     model = lsh.fit(base)
-    out_rows = []
-    for q in queries.select(id_col, vec_col).collect():
+
+    q_small = queries.select(id_col, vec_col).limit(max_driver_queries + 1).collect()
+    if len(q_small) <= max_driver_queries:
         from pyspark.ml.linalg import Vectors
 
-        qv = Vectors.dense([float(x) for x in q[vec_col]])
-        nn = model.approxNearestNeighbors(
-            base.filter(F.col("nid") != q[id_col]), qv, k, distCol="dist"
-        )
-        out_rows.append(
-            nn.select(
-                F.lit(q[id_col]).alias("q_id"),
-                F.col("nid").alias("n_id"),
-                F.round("dist", 4).alias("dist"),
+        out_rows = []
+        for q in q_small:
+            qv = Vectors.dense([float(x) for x in q[vec_col]])
+            nn = model.approxNearestNeighbors(
+                base.filter(F.col("nid") != q[id_col]), qv, k, distCol="dist"
             )
-        )
-    result = out_rows[0]
-    for r in out_rows[1:]:
-        result = result.unionByName(r)
-    return result
+            out_rows.append(
+                nn.select(
+                    F.lit(q[id_col]).alias("q_id"),
+                    F.col("nid").alias("n_id"),
+                    F.round("dist", 4).alias("dist"),
+                )
+            )
+        result = out_rows[0]
+        for r in out_rows[1:]:
+            result = result.unionByName(r)
+        return result
+
+    qbase = queries.select(
+        F.col(id_col).alias("qid"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
+    )
+    joined = model.approxSimilarityJoin(qbase, base, bulk_radius, distCol="dist")
+    flat = joined.select(
+        F.col("datasetA.qid").alias("q_id"),
+        F.col("datasetB.nid").alias("n_id"),
+        F.col("dist"),
+    ).filter(F.col("q_id") != F.col("n_id"))
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        flat.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("q_id", "n_id", F.round("dist", 4).alias("dist"))
+    )
 
 
 def fit_parity_model(validation: DataFrame, frame: int = -1):

@@ -339,20 +339,18 @@ def connected_components(
         prop = edges.join(
             labels, edges["s"] == labels["node"]
         ).select(F.col("d").alias("node"), "label")
-        new_labels = (
+        # fold the old label into the checkpointed round result so the
+        # convergence test is a filter over cached blocks, not a second
+        # shuffle join per round
+        merged = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .join(labels.select("node", F.col("label").alias("__old")), "node")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("__old")).limit(1).count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
@@ -540,4 +538,133 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
+    )
+
+
+def _norm_tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text (the corpus-wide
+    normalization every cross-engine hash in this module builds on)."""
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 10,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Paragraph-level (fixed-chunk) boilerplate detection — the C4 /
+    RefinedWeb-style cleanup that removes spans repeated across many
+    documents (cookie banners, nav text) while keeping the rest of the
+    doc. No reference counterpart (LLM-pipeline extension).
+
+    Each doc is cut into fixed ``chunk_tokens``-token chunks; a chunk
+    seen in ≥ ``min_docs`` DISTINCT docs is boilerplate. Output per doc:
+    (id, n_chunks, n_boilerplate, boiler_frac).
+
+    Plan shape: chunks are built with transform/slice (no shuffle),
+    exploded once, document-frequency is one map-side-combinable groupBy
+    on the chunk string, and the flag rejoins on the chunk key — the
+    same inverted-index discipline as the shingle paths; never all-pairs.
+
+    CAVEAT (by construction): fixed windows are shift-sensitive — a
+    banner PREPENDED to documents aligns at chunk 0 and is caught; the
+    same banner APPENDED lands at a different offset in every doc and is
+    missed. :func:`cdc_chunk_stats` is the shift-robust variant.
+    """
+    toks = _norm_tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    exploded = df.select(F.col(id_col).alias("doc"), F.explode(chunks).alias("chunk"))
+    doc_freq = exploded.groupBy("chunk").agg(
+        F.count_distinct("doc").alias("__nd")
+    )
+    return (
+        exploded.join(doc_freq, "chunk")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__nd") >= min_docs, 1).otherwise(0)).alias(
+                "n_boilerplate"
+            ),
+        )
+        .withColumn(
+            # floor(x*1e4+0.5)/1e4, not round(): ratios of small ints hit
+            # the Spark-vs-DuckDB double-rounding divergence systematically
+            "boiler_frac",
+            F.floor(F.col("n_boilerplate") / F.col("n_chunks") * 10000 + 0.5) / 10000,
+        )
+    )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    boundary_mod: int = 4,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Content-defined chunking (CDC) shared-span detection — the
+    shift-robust counterpart of :func:`chunk_dedup_stats`.
+
+    Chunk boundaries are decided by the CONTENT (a token whose hash ≡ 0
+    mod ``boundary_mod`` starts a new chunk), not by position, so an
+    insertion or prefix shift changes only the chunks it touches — the
+    storage-dedup trick (Rabin chunking) applied to corpus text. A
+    banner appended at arbitrary offsets still produces identical chunk
+    strings everywhere and is caught by the same document-frequency
+    test fixed windows miss.
+
+    Plan: posexplode tokens (codegen) → boundary flag from the portable
+    md5-derived hash → chunk id as a running sum per doc (one window) →
+    chunk strings via sort_array(collect_list(struct(pos, tok))) — order
+    restored without a second shuffle — → document frequency groupBy →
+    rejoin. Expected chunk length is ``boundary_mod`` tokens.
+
+    Output per doc: (id, n_chunks, n_shared, shared_frac).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    boundary = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+        % boundary_mod
+        == 0
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = toks.withColumn("chunk_id", F.sum(boundary).over(w))
+    chunks = chunked.groupBy("doc", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk")
+    )
+    doc_freq = chunks.groupBy("chunk").agg(F.count_distinct("doc").alias("__nd"))
+    return (
+        chunks.join(doc_freq, "chunk")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__nd") >= min_docs, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.floor(F.col("n_shared") / F.col("n_chunks") * 10000 + 0.5) / 10000,
+        )
     )

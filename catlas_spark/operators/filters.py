@@ -28,23 +28,44 @@ from .relational import (
 
 FilterFn = Callable[[DataFrame, Any, dict], DataFrame]
 
-# Static element-group tables (public periodic-table facts). The reference
-# resolves groups through pymatgen element predicates
-# (`get_elements_in_groups`, catlas/filter_utils.py:133-191); a static map
-# gives identical semantics for the supported groups without the
-# dependency.
+# Static element-group tables (public periodic-table facts), matching
+# pymatgen's Element predicates element-for-element — the reference
+# resolves groups through those predicates (`get_elements_in_groups`,
+# catlas/filter_utils.py:145-169), so a static map gives identical
+# semantics without the dependency:
+# - is_transition_metal: Z in 21-30, 39-48, 57-80, 89-112
+# - is_rare_earth_metal: lanthanoids (57-71) + actinoids (89-103)
+# - is_post_transition_metal: Al Ga In Tl Sn Pb Bi Po
+_LANTHANOIDS = [
+    "La", "Ce", "Pr", "Nd", "Pm", "Sm", "Eu", "Gd", "Tb", "Dy",
+    "Ho", "Er", "Tm", "Yb", "Lu",
+]
+_ACTINOIDS = [
+    "Ac", "Th", "Pa", "U", "Np", "Pu", "Am", "Cm", "Bk", "Cf",
+    "Es", "Fm", "Md", "No", "Lr",
+]
 ELEMENT_GROUPS: dict[str, list[str]] = {
     "transition metal": [
         "Sc", "Ti", "V", "Cr", "Mn", "Fe", "Co", "Ni", "Cu", "Zn",
         "Y", "Zr", "Nb", "Mo", "Tc", "Ru", "Rh", "Pd", "Ag", "Cd",
-        "Hf", "Ta", "W", "Re", "Os", "Ir", "Pt", "Au", "Hg", "La",
+        *_LANTHANOIDS,
+        "Hf", "Ta", "W", "Re", "Os", "Ir", "Pt", "Au", "Hg",
+        *_ACTINOIDS,
+        "Rf", "Db", "Sg", "Bh", "Hs", "Mt", "Ds", "Rg", "Cn",
     ],
+    "rare earth metal": [*_LANTHANOIDS, *_ACTINOIDS],
     "alkali": ["Li", "Na", "K", "Rb", "Cs", "Fr"],
-    "alkaline earth": ["Be", "Mg", "Ca", "Sr", "Ba", "Ra"],
+    "alkaline": ["Be", "Mg", "Ca", "Sr", "Ba", "Ra"],
     "metalloid": ["B", "Si", "Ge", "As", "Sb", "Te", "Po"],
-    "post-transition metal": ["Al", "Ga", "In", "Sn", "Tl", "Pb", "Bi"],
+    "post-transition metal": ["Al", "Ga", "In", "Tl", "Sn", "Pb", "Bi", "Po"],
     "halogen": ["F", "Cl", "Br", "I", "At"],
     "chalcogen": ["O", "S", "Se", "Te", "Po"],
+}
+# reference name aliases (catlas/filter_utils.py:161: "alkaline" or
+# "alkali earth"; we also keep the common "alkaline earth" spelling)
+ELEMENT_GROUP_ALIASES: dict[str, str] = {
+    "alkali earth": "alkaline",
+    "alkaline earth": "alkaline",
 }
 
 
@@ -99,9 +120,21 @@ def _elements_active_host(df, v, _):
 def _element_groups(df, v, _):
     """elements ⊆ union of named periodic-table groups
     (catlas/filters.py:88-98): a driver-expanded allowed set, i.e. a
-    semi-join against a derived dimension."""
-    allowed = sorted({el for g in v for el in ELEMENT_GROUPS.get(g, [])})
-    return df.filter(_subset_of("bulk_elements", allowed))
+    semi-join against a derived dimension. Unimplemented group names warn
+    (reference `get_elements_in_groups`, catlas/filter_utils.py:183-190);
+    `validate_config` rejects them up front so a config typo cannot
+    silently match nothing."""
+    allowed: set[str] = set()
+    for g in v:
+        g_canon = ELEMENT_GROUP_ALIASES.get(g, g)
+        if g_canon not in ELEMENT_GROUPS:
+            warnings.warn(
+                f"Group not implemented: {g}\n Implemented groups are: "
+                f"{sorted(ELEMENT_GROUPS) + sorted(ELEMENT_GROUP_ALIASES)}"
+            )
+            continue
+        allowed.update(ELEMENT_GROUPS[g_canon])
+    return df.filter(_subset_of("bulk_elements", sorted(allowed)))
 
 
 def _pourbaix_stability(df, v, ctx):

@@ -211,6 +211,12 @@ def set_containment_join(
     count equals the left set's size. Arrays must be sets (build with
     collect_set / array_distinct).
 
+    Length filter (the PPJoin-style pruning rule): a right set smaller
+    than the left set can never contain it, so ``n_right >= n_left`` is
+    applied inside the postings join — pairs violating it never reach
+    the aggregation. At 100x corpus scale this is the difference between
+    aggregating every co-occurrence and only the plausible ones.
+
     Output: (left_id, right_id, n_left) with n_left = |left set|.
     """
     l = left.select(
@@ -218,9 +224,14 @@ def set_containment_join(
         F.size(left_arr).alias("n_left"),
         F.explode(left_arr).alias("_el"),
     )
-    r = right.select(right_id, F.explode(right_arr).alias("_el"))
+    r = right.select(
+        right_id,
+        F.size(right_arr).alias("__n_right"),
+        F.explode(right_arr).alias("_el"),
+    )
     return (
         l.join(r, "_el")
+        .filter(F.col("__n_right") >= F.col("n_left"))
         .groupBy(left_id, right_id, "n_left")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") == F.col("n_left"))

@@ -120,6 +120,22 @@ def validate_config(config: dict[str, Any]) -> dict[str, Any]:
             isinstance(v, dict) and set(v) >= {"active", "host"},
             "filter_by_elements_active_host needs {active, host} lists",
         )
+    eg = bf.get("filter_by_element_groups")
+    if _active(eg):
+        from ..operators.filters import ELEMENT_GROUP_ALIASES, ELEMENT_GROUPS
+
+        _require(
+            isinstance(eg, list) and all(isinstance(g, str) for g in eg),
+            "filter_by_element_groups must be a list of group names",
+        )
+        legal = set(ELEMENT_GROUPS) | set(ELEMENT_GROUP_ALIASES)
+        bad_groups = [g for g in eg if g not in legal]
+        _require(
+            not bad_groups,
+            f"filter_by_element_groups: unknown groups {bad_groups} — supported: "
+            f"{sorted(legal)} (reference grammar `valid_element_groups`, "
+            "catlas/config_validation.py:7-16)",
+        )
     pb = bf.get("filter_by_pourbaix_stability")
     if _active(pb):
         _require(isinstance(pb, dict), "filter_by_pourbaix_stability must be a mapping")

@@ -3032,10 +3032,18 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties to smallest id). Emits (doc, keep_id) for every clustered doc —
     the table a 100 TB pipeline would anti-join against the corpus to
     drop redundant copies while keeping the best representative."""
+    from pyspark import StorageLevel
+
     from .operators.dedup import connected_components, minhash_lsh_pairs
 
-    corpus = _mutated_corpus(spark, sf_dir).filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+    # the corpus feeds the minhash signature pass AND the final keeper
+    # election join — persist so the scan+mutate subtree runs once
+    # (unpersisted, the election re-read cost ~2x at sf0.1; MEMORY_ONLY
+    # per the array-column cache-build note in minhash_lsh_pairs)
+    corpus = (
+        _mutated_corpus(spark, sf_dir)
+        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2)
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     pairs = minhash_lsh_pairs(corpus, "text", "doc", n_perm=12, band_size=4, threshold=0.5)
     cc = connected_components(pairs)
@@ -3724,4 +3732,160 @@ def q_incremental_dedup_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_fp = memoize(spark, delta, ["text"], compute_fp, scratch, version="fp1")
     return delta_fp.join(keepers, "fp", "left").select(
         "doc_id", F.coalesce("keep_id", F.lit(-1)).cast("long").alias("dup_of")
+    )
+
+
+_BANNER = "subscribe now click here to continue reading the full article"
+
+
+@register(
+    "dedup_paragraph_chunks",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN '{_BANNER} ' || text ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM corpus),
+    cl AS (
+      SELECT doc_id,
+             [array_to_string(t[(i*10+1):(i*10+10)], ' ')
+              for i in generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)] AS cs
+      FROM toks
+    ),
+    chunks AS (SELECT doc_id, unnest(cs) AS chunk FROM cl),
+    dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+    SELECT c.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN dfreq.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           floor(CAST(sum(CASE WHEN dfreq.nd >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS boiler_frac
+    FROM chunks c JOIN dfreq USING (chunk)
+    GROUP BY 1
+    """,
+)
+def q_dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate detection (C4/RefinedWeb-style line
+    dedup): fixed 10-token chunks, document-frequency >= 5 distinct docs
+    => boilerplate. Corpus: every 4th doc gets a 10-token banner
+    PREPENDED, so the banner aligns at chunk 0 and is caught — the
+    shift-sensitivity caveat (an APPENDED banner would be missed) is the
+    documented contrast with dedup_cdc_chunks. One explode + two
+    map-side-combinable groupBys; never all-pairs."""
+    from .operators.dedup import chunk_dedup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.lit(_BANNER + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return chunk_dedup_stats(corpus, "text", "doc_id", chunk_tokens=10, min_docs=5).select(
+        F.col("doc").alias("doc_id"), "n_chunks", "n_boilerplate", "boiler_frac"
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text || ' {_BANNER}' ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS pos
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM corpus)
+    ),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             sum(CASE WHEN ('0x' || substr(md5(tok), 1, 7))::BIGINT % 4 = 0
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM chunked GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+    SELECT c.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN dfreq.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           floor(CAST(sum(CASE WHEN dfreq.nd >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS shared_frac
+    FROM chunks c JOIN dfreq USING (chunk)
+    GROUP BY 1
+    """,
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style) shared-span detection: chunk
+    boundaries chosen by token hash (md5 % 4 == 0), so chunks survive
+    arbitrary offset shifts. Corpus: every 4th doc gets the banner
+    APPENDED — misaligned for fixed windows, but CDC still yields
+    identical banner-interior chunks in every doc, caught by the same
+    document-frequency test. The storage-dedup technique applied to
+    corpus text."""
+    from .operators.dedup import cdc_chunk_stats
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" " + _BANNER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cdc_chunk_stats(corpus, "text", "doc_id", boundary_mod=4, min_docs=5).select(
+        F.col("doc").alias("doc_id"), "n_chunks", "n_shared", "shared_frac"
+    )
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window through the REAL readStream path, proven
+    equivalent to the batch lag+cumsum sessionization: Spark merges an
+    event into a session iff it lands strictly inside [start, last+gap),
+    so the batch oracle opens a new session when the gap is >= 30
+    minutes, and session_end = last event + gap. Cross-engine check of
+    the session-merge semantics itself — not just row plumbing."""
+    from .streaming.events import (
+        read_event_stream,
+        run_batch_like_stream,
+        sessionized_stream,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+    out = run_batch_like_stream(sessionized_stream(stream), "gate_session_windows")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
     )

@@ -45,6 +45,22 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
 
 
+def load_pickled_dataframe(spark: SparkSession, path: str) -> DataFrame:
+    """S7 pickled-pandas-DataFrame scan (reference
+    `catlas/parity/parity_utils.py:281-287`, `bin/optimize_frame.py:56-58`:
+    per-model validation DataFrames shipped as .pkl).
+
+    Legacy-ingest path only: the pickle is read on the driver (these
+    files are small, one per model id) and distributed via
+    ``createDataFrame`` — new data should land as parquet so the scan
+    stays lazy and distributed."""
+    import pandas as pd
+
+    pdf = pd.read_pickle(path)
+    # stable column order; object columns with None stay nullable strings
+    return spark.createDataFrame(pdf)
+
+
 def load_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """S6 analog (trajectory-file scan, bin/process_trajectories_for_
     validation.py:50-57): one row per file with (path, modificationTime,

@@ -48,6 +48,22 @@ def test_brp_ann_overlaps_exact_topk(spark, sf_dir):
     assert len(a & e) >= 3
 
 
+def test_brp_ann_bulk_path_matches_driver_path(spark, sf_dir):
+    """Query tables above the driver-loop cap route through one
+    distributed approxSimilarityJoin (no per-query collect loop); results
+    must agree with the per-query path on common queries."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # force the bulk path by setting the cap below the query count
+    bulk = brp_ann(emb, queries, k=10, max_driver_queries=2, bulk_radius=50.0)
+    loop = brp_ann(emb, queries, k=10, max_driver_queries=32)
+    b = {(r.q_id, r.n_id) for r in bulk.collect()}
+    l = {(r.q_id, r.n_id) for r in loop.collect()}
+    assert {q for q, _ in b} == {q for q, _ in l}  # every query answered
+    # within-radius candidates are ranked by the same metric: high overlap
+    assert len(b & l) / len(l) >= 0.8
+
+
 def test_parity_model_matches_closed_form(spark):
     val = fixtures.make_validation(spark, n=500)
     model = fit_parity_model(val)

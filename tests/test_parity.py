@@ -41,3 +41,27 @@ def test_frame_curve_monotone_and_argmin(spark, validation):
         expected = sub.sort_values(["mae", "frame"]).iloc[0]
         assert row.best_frame == expected.frame
         assert row.best_mae == expected.mae
+
+
+def test_load_pickled_dataframe_roundtrip(spark, tmp_path):
+    """S7: a pickled pandas validation DataFrame loads with schema and
+    values intact (reference parity_utils.py:281-287 ingest path)."""
+    import pandas as pd
+
+    from catlas_spark.sources.star import load_pickled_dataframe
+
+    pdf = pd.DataFrame(
+        {
+            "random_id": ["random1", "random2"],
+            "distribution": ["id", "ood"],
+            "DFT_energy": [-1.25, 0.5],
+            "ML_energy": [[-1.0, -1.2], [0.6, 0.4]],
+        }
+    )
+    p = str(tmp_path / "val.pkl")
+    pdf.to_pickle(p)
+    df = load_pickled_dataframe(spark, p)
+    rows = {r.random_id: r for r in df.collect()}
+    assert set(df.columns) == set(pdf.columns)
+    assert rows["random1"].DFT_energy == -1.25
+    assert list(rows["random2"].ML_energy) == [0.6, 0.4]

@@ -242,3 +242,31 @@ def test_set_containment_join_basic(spark):
     }
     # {a,b}⊆{a,b,c}; {a,z}⊆{a,z}; {c}⊆{a,b,c}; {a,z}⊄{a,b,c} (z missing)
     assert got == {(1, 10): 2, (2, 20): 2, (3, 10): 1}
+
+
+def test_cdc_chunks_shift_robust_where_fixed_chunks_fail(spark):
+    """The design contrast between the two chunk-dedup operators: a
+    banner APPENDED at a different token offset in every doc is invisible
+    to fixed-window chunking but caught by content-defined chunking."""
+    from catlas_spark.operators.dedup import cdc_chunk_stats, chunk_dedup_stats
+
+    banner = "subscribe now click here to continue reading the full article"
+    rows = [
+        (i, " ".join(f"u{i}t{j}" for j in range(7 + 3 * i)) + " " + banner)
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fixed = chunk_dedup_stats(docs, "text", "doc_id", chunk_tokens=10, min_docs=5)
+    assert fixed.filter("n_boilerplate > 0").count() == 0  # misaligned → missed
+
+    cdc = cdc_chunk_stats(docs, "text", "doc_id", boundary_mod=4, min_docs=5)
+    assert cdc.filter("n_shared >= 1").count() == 6  # every doc's banner caught
+
+    # and fixed chunking DOES catch the aligned (prepended) case
+    pre = spark.createDataFrame(
+        [(i, banner + " " + t.split(banner)[0].strip()) for i, t in rows],
+        "doc_id long, text string",
+    )
+    fixed_pre = chunk_dedup_stats(pre, "text", "doc_id", chunk_tokens=10, min_docs=5)
+    assert fixed_pre.filter("n_boilerplate >= 1").count() == 6

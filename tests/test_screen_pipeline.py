@@ -212,6 +212,28 @@ def test_config_validation_errors():
         )
 
 
+def test_element_groups_reference_grammar(spark, bulks):
+    """F8: group names validate against the reference's legal set; alias
+    spellings resolve; unknown groups warn at runtime (reference
+    get_elements_in_groups behavior) but error in validate_config."""
+    from catlas_spark.operators.filters import BULK_FILTERS, ELEMENT_GROUPS
+
+    f = BULK_FILTERS["filter_by_element_groups"]
+    tm = f(bulks, ["transition metal"], None).collect()
+    assert all(
+        set(r.bulk_elements) <= set(ELEMENT_GROUPS["transition metal"]) for r in tm
+    )
+    # alias spelling == canonical spelling
+    a = {r.bulk_id for r in f(bulks, ["alkaline earth"], None).collect()}
+    b = {r.bulk_id for r in f(bulks, ["alkaline"], None).collect()}
+    assert a == b
+    with pytest.warns(UserWarning, match="Group not implemented"):
+        out = f(bulks, ["noble gas"], None)
+    assert out.count() == 0  # empty allowed set matches nothing
+    with pytest.raises(ConfigError, match="unknown groups"):
+        validate_config({"bulk_filters": {"filter_by_element_groups": ["noble gas"]}})
+
+
 def test_band_gap_filter_reference_grammar(spark, bulks):
     """F11: reference key spelling min_gap/max_gap (catlas/filters.py:116-129)
     must filter identically to the legacy lower/upper aliases."""
