@@ -3478,9 +3478,7 @@ def q_dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
 
 
-@register(
-    "set_containment_join",
-    """
+_CONTAINMENT_ORACLE = """
     WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          osz AS (SELECT o, CAST(count(*) AS INTEGER) AS n_parts FROM op GROUP BY o),
          sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
@@ -3492,17 +3490,10 @@ def q_dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shared.o AS orderkey, shared.s AS suppkey, osz.n_parts
     FROM shared JOIN osz ON osz.o = shared.o
     WHERE n_shared = n_parts AND n_parts >= 2
-    """,
-)
-def q_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-containment join on array columns: (order, supplier) pairs
-    where the order's distinct part set is entirely within the
-    supplier's supplied-part set ("one supplier could fulfill the whole
-    order"). Arrays built with collect_set, then joined via the
-    inverted-index operator — explode to elements, equi-join, count ==
-    set size — never an array_contains cross join."""
-    from .operators.relational import set_containment_join
+    """
 
+
+def _order_supplier_parts(spark: SparkSession, sf_dir: str):
     li = _t(spark, sf_dir, "lineitem")
     order_parts = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
         F.collect_set("l_partkey").alias("parts")
@@ -3510,8 +3501,48 @@ def q_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_parts = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.collect_set("l_partkey").alias("parts")
     )
+    return order_parts, supp_parts
+
+
+@register("set_containment_join", _CONTAINMENT_ORACLE)
+def q_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join on array columns: (order, supplier) pairs
+    where the order's distinct part set is entirely within the
+    supplier's supplied-part set ("one supplier could fulfill the whole
+    order"). Arrays built with collect_set, then joined via the
+    inverted-index operator — explode to elements, equi-join with the
+    PPJoin length filter, count == set size — never an array_contains
+    cross join. Baseline strategy; `set_containment_prefix` is the
+    100x scale path (same oracle, same output)."""
+    from .operators.relational import set_containment_join
+
+    order_parts, supp_parts = _order_supplier_parts(spark, sf_dir)
     return (
         set_containment_join(
+            order_parts, "orderkey", "parts", supp_parts, "suppkey", "parts"
+        )
+        .filter(F.col("n_left") >= 2)
+        .select("orderkey", "suppkey", F.col("n_left").alias("n_parts"))
+    )
+
+
+@register("set_containment_prefix", _CONTAINMENT_ORACLE)
+def q_set_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filter strategy for the same containment join:
+    candidates generated only from each order's globally RAREST part
+    (document-frequency broadcast + min_by), then exact array_except
+    verify. Identical output to `set_containment_join` — the hash match
+    against the same oracle proves a physical-strategy swap is safe.
+    Regime note (see the operator docstring for 10x measurements): this
+    dense order/supplier shape actually favors the postings baseline;
+    prefix wins on sparse zipfian vocabularies (text shingles) where
+    rarest-element DF ~ 1. Both are registered so the engine can pick by
+    element-DF profile."""
+    from .operators.relational import set_containment_join_prefix
+
+    order_parts, supp_parts = _order_supplier_parts(spark, sf_dir)
+    return (
+        set_containment_join_prefix(
             order_parts, "orderkey", "parts", supp_parts, "suppkey", "parts"
         )
         .filter(F.col("n_left") >= 2)
@@ -3889,3 +3920,69 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+def _km_d2(v: str, c: str) -> str:
+    """DuckDB: squared L2 as an in-order fold, snapped to the 1e-4 grid —
+    mirrors the Spark zip_with/aggregate fold bit-for-bit (both engines
+    left-fold doubles in array order)."""
+    return (
+        f"floor(list_sum([({v}[i] - {c}[i]) * ({v}[i] - {c}[i]) "
+        f"for i in generate_series(1, len({v}))]) * 10000 + 0.5) / 10000"
+    )
+
+
+@register(
+    "kmeans_ivf_train",
+    f"""
+    WITH v AS (
+      SELECT vec_id AS vid, [CAST(x AS DOUBLE) for x in embedding] AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM v WHERE vid < 8),
+    s1 AS (
+      SELECT v.vid, v.v, c0.cid, {_km_d2("v.v", "c0.c")} AS d2
+      FROM v, c0
+    ),
+    a1 AS (
+      SELECT vid, v, cid, d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rk
+            FROM s1)
+      WHERE rk = 1
+    ),
+    m1 AS (
+      SELECT cid, pos, floor(avg(x) * 10000 + 0.5) / 10000 AS m
+      FROM (SELECT cid, unnest(v) AS x,
+                   unnest(generate_series(1, len(v))) AS pos
+            FROM a1)
+      GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid),
+    s2 AS (
+      SELECT a.vid, a.v, c1.cid, {_km_d2("a.v", "c1.c")} AS d2
+      FROM (SELECT vid, v FROM a1) a, c1
+    ),
+    a2 AS (
+      SELECT vid, cid, d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rk
+            FROM s2)
+      WHERE rk = 1
+    )
+    SELECT cid AS cluster_id, count(*) AS n_members, round(sum(d2), 2) AS inertia
+    FROM a2
+    GROUP BY cid
+    """,
+)
+def q_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 iterations) — the training step
+    of an IVF ANN index, as pure DataFrame ops (broadcast cross join
+    assignment + posexplode/groupBy centroid update; linear per
+    iteration, corpus never leaves the executors). The oracle REPLAYS
+    both iterations in SQL: deterministic init (k smallest ids),
+    grid-snapped distances and means, id tie-breaks — so the hash match
+    certifies the whole iterative algorithm, not just the final
+    aggregation."""
+    from .operators.similarity import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, "embedding", "vec_id", k=8, iters=2)

@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_cluster_keep_best",
     "table_profile",
     "weighted_sample",
+    "dedup_paragraph_chunks",
+    "dedup_cdc_chunks",
+    "set_containment_join",
+    "set_containment_prefix",
 ]
 
 

@@ -70,3 +70,43 @@ def test_parity_model_matches_closed_form(spark):
     summary = parity_summary(val.withColumn("distribution", F.lit("all"))).collect()[0]
     assert abs(model.coefficients[0] - summary.slope) < 1e-2
     assert abs(model.intercept - summary.intercept) < 1e-2
+
+
+def test_kmeans_lloyd_matches_numpy_replay(spark, sf_dir):
+    """The distributed Lloyd iterations must equal a single-machine numpy
+    replay using the same deterministic init, grid snapping, and id
+    tie-breaks — the local ground truth for the distributed plan."""
+    import numpy as np
+
+    from catlas_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r.cluster_id: (r.n_members, r.inertia)
+        for r in kmeans_lloyd(emb, k=8, iters=2).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([[float(x) for x in r.embedding] for r in rows])  # double
+    snap = lambda a: np.floor(a * 10000 + 0.5) / 10000
+    C = V[np.argsort(ids)][:8][np.argsort(np.sort(ids)[:8])]  # ids 0..7 in order
+    assign = None
+    for _ in range(2):
+        d2 = snap(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        C = np.array(
+            [
+                snap(V[assign == c].mean(axis=0)) if (assign == c).any() else C[c]
+                for c in range(8)
+            ]
+        )
+    # recompute the final assignment's stats (assign is vs pre-update C)
+    exp = {}
+    d2 = snap(((V[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2))
+    for c in range(8):
+        m = assign == c
+        if m.any():
+            exp[c] = int(m.sum())
+    assert {c: n for c, (n, _) in got.items()} == exp
+    assert all(i > 0 for _, i in got.values())
