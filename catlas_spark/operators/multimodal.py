@@ -105,3 +105,53 @@ def extract_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out_rows, columns=["doc_id", "frame_idx", "frame_mean"])
 
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_h int, src_w int, out_h int, out_w int, "
+    "resized binary, checksum long"
+)
+
+
+def resize_nearest(
+    df: DataFrame, out_h: int = 8, out_w: int = 8, src_h: int = 16
+) -> DataFrame:
+    """Image-resize plumbing with REAL resampling math: the payload's
+    first ``src_h * (len // src_h)`` bytes are treated as a src_h x w
+    single-channel image and nearest-neighbor downsampled to
+    (out_h, out_w) — the index arithmetic (row r maps to source row
+    ``(r * src_h) // out_h``) is exactly what a real image pipeline
+    does; only the pixel SOURCE is a stand-in for decoded media (see
+    module docstring). Emits the resized payload plus a checksum so an
+    engine-independent oracle can verify the resample positions without
+    comparing binaries.
+
+    Arrow-batched mapInPandas; numpy strided indexing per batch — no
+    per-row Python in the driver, no UDF serde per element.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = len(payload) // src_h
+                if w == 0:
+                    continue
+                buf = np.frombuffer(payload[: src_h * w], dtype=np.uint8).reshape(
+                    src_h, w
+                )
+                rr = (np.arange(out_h) * src_h) // out_h
+                cc = (np.arange(out_w) * w) // out_w
+                small = buf[np.ix_(rr, cc)]
+                rows.append(
+                    (int(doc_id), src_h, int(w), out_h, out_w, small.tobytes(), int(small.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_h", "src_w", "out_h", "out_w", "resized", "checksum",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)

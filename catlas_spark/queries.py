@@ -3526,27 +3526,60 @@ def q_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("set_containment_prefix", _CONTAINMENT_ORACLE)
+@register(
+    "set_containment_prefix",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    ex AS (
+      SELECT doc_id AS ex_id,
+             list_distinct([t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2]
+                            for i in generate_series(1, len(t2) - 2)]) AS sh
+      FROM (SELECT doc_id, t[1:12] AS t2 FROM toks WHERE len(t) >= 13)
+    ),
+    fdoc AS (SELECT doc_id AS doc,
+                    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in generate_series(1, len(t) - 2)]) AS shingles
+             FROM toks WHERE len(t) >= 3),
+    lp AS (SELECT ex_id, unnest(sh) AS s FROM ex),
+    rp AS (SELECT doc, unnest(shingles) AS s FROM fdoc),
+    shared AS (SELECT ex_id, doc, count(*) AS ns FROM lp JOIN rp USING (s)
+               GROUP BY 1, 2)
+    SELECT shared.ex_id, shared.doc, l.n_shingles
+    FROM shared
+    JOIN (SELECT ex_id, CAST(len(sh) AS INTEGER) AS n_shingles FROM ex) l
+      USING (ex_id)
+    WHERE ns = n_shingles
+    """,
+)
 def q_set_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPJoin prefix-filter strategy for the same containment join:
-    candidates generated only from each order's globally RAREST part
-    (document-frequency broadcast + min_by), then exact array_except
-    verify. Identical output to `set_containment_join` — the hash match
-    against the same oracle proves a physical-strategy swap is safe.
-    Regime note (see the operator docstring for 10x measurements): this
-    dense order/supplier shape actually favors the postings baseline;
-    prefix wins on sparse zipfian vocabularies (text shingles) where
-    rarest-element DF ~ 1. Both are registered so the engine can pick by
-    element-DF profile."""
+    """PPJoin prefix-filter containment join on its HOME regime — sparse
+    text-shingle sets: which documents fully contain the trigram-shingle
+    set of each doc's 12-token excerpt (excerpt/quotation detection as
+    exact set containment). Candidates come only from each excerpt's
+    globally RAREST shingle (document-frequency broadcast + min_by),
+    then exact array_except verify. Trigram shingles deliberately: this
+    corpus's BIGRAM vocabulary is only ~900 shingles (min-DF ~260 — the
+    dense regime, measured 13 s because candidates ~ co-occurrences),
+    while trigrams give ~27k shingles with min-DF ~4, so candidates
+    collapse to ~4 per excerpt. Shingle width is the knob that buys the
+    sparse regime. The dense-dimension case, where the postings baseline
+    wins instead, is `set_containment_join`."""
+    from .functions.text import token_shingles
     from .operators.relational import set_containment_join_prefix
 
-    order_parts, supp_parts = _order_supplier_parts(spark, sf_dir)
-    return (
-        set_containment_join_prefix(
-            order_parts, "orderkey", "parts", supp_parts, "suppkey", "parts"
-        )
-        .filter(F.col("n_left") >= 2)
-        .select("orderkey", "suppkey", F.col("n_left").alias("n_parts"))
+    d = _t(spark, sf_dir, "documents")
+    norm_toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    excerpts = d.filter(F.size(norm_toks) >= 13).select(
+        F.col("doc_id").alias("ex_id"),
+        token_shingles(F.array_join(F.slice(norm_toks, 1, 12), " "), 3).alias("sh"),
+    )
+    docs = d.select(
+        F.col("doc_id").alias("doc"), token_shingles(F.col("text"), 3).alias("sh")
+    )
+    return set_containment_join_prefix(excerpts, "ex_id", "sh", docs, "doc", "sh").select(
+        "ex_id", "doc", F.col("n_left").alias("n_shingles")
     )
 
 
@@ -3986,3 +4019,37 @@ def q_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return kmeans_lloyd(e, "embedding", "vec_id", k=8, iters=2)
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id, text, len(text) // 16 AS w
+      FROM documents WHERE len(text) // 16 >= 1
+    )
+    SELECT doc_id, 16 AS src_h, CAST(w AS INTEGER) AS src_w,
+           CAST(list_sum(
+             list_transform(
+               flatten([[ ((r * 2) * w + ((c * w) // 8)) + 1
+                          for c in generate_series(0, 7)]
+                         for r in generate_series(0, 7)]),
+               p -> ascii(substr(text, CAST(p AS INTEGER), 1))
+             )
+           ) AS BIGINT) AS checksum
+    FROM dims
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image-resize plumbing (16 x w byte grid → 8 x 8):
+    the resample index arithmetic runs as real numpy inside an
+    Arrow-batched mapInPandas, and the oracle recomputes the sampled
+    positions as ascii codes over the same bytes — verifying the
+    resize geometry itself without comparing binaries. (r*2 = the
+    (r*16)//8 row map.)"""
+    from .operators.multimodal import attach_binary_payload, resize_nearest
+
+    d = _t(spark, sf_dir, "documents")
+    return resize_nearest(attach_binary_payload(d)).select(
+        "doc_id", "src_h", "src_w", "checksum"
+    )

@@ -306,3 +306,79 @@ def test_streaming_interval_join_mode(spark, sf_dir):
         for r in click_purchase_join(_events(spark, sf_dir)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics proof on the real multi-batch file source
+    (maxFilesPerTrigger=1 → one file per micro-batch, so the watermark
+    advances between them). The GUARANTEED contract is state-centric:
+    once the watermark passes a window's end its state is evicted at
+    end-of-batch, and a too-late row can neither resurrect nor re-emit
+    it. (A late row arriving in the SAME batch that would evict its
+    window may still be aggregated — eviction is end-of-batch, which is
+    why an intermediate batch sits between max-event and the late row
+    here.) Rows inside the watermark merge normally."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.streaming.events import EVENTS_SCHEMA, tumbling_counts
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    # batch 0: buckets 01:00, 05:00, 06:00; max ts 06:10
+    write_file(
+        "f1",
+        [
+            (1, "2024-01-01 01:10:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 05:30:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 06:10:00", 1, "click", 1.0, "{}"),
+        ],
+    )
+    # batch 1 runs with watermark 04:10 → evicts the 01:00 window state
+    write_file("f2", [(6, "2024-01-01 06:20:00", 1, "click", 1.0, "{}")])
+    # batch 2: a row far below the watermark (dropped — its state is
+    # gone) and one inside it (merged into the live 05:00 window)
+    write_file(
+        "f3",
+        [
+            (4, "2024-01-01 01:20:00", 1, "click", 1.0, "{}"),  # too late
+            (5, "2024-01-01 05:45:00", 1, "click", 1.0, "{}"),  # in time
+        ],
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT date_format(bucket_start, 'HH:mm') AS b, n FROM wm_test"
+    ).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.b, []).append(r.n)
+    # the too-late row was dropped: 01:00 emitted exactly once, count 1
+    assert by_bucket["01:00"] == [1]
+    # the in-watermark row merged: 05:00 reaches n=2
+    assert max(by_bucket["05:00"]) == 2
