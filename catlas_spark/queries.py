@@ -4053,3 +4053,43 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_nearest(attach_binary_payload(d)).select(
         "doc_id", "src_h", "src_w", "checksum"
     )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT n.n_name, e.event_type,
+           count(*) AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join through the REAL readStream path:
+    each micro-batch of events joins the static customer→nation
+    dimension (broadcast per batch — the static side never enters the
+    state store; only the downstream aggregation is stateful), then a
+    running per-nation/event-type aggregate. The third streaming join
+    class alongside stream-stream (interval) and stream-stateful
+    (session); oracle = the batch join+aggregate, which the finite
+    stream must hash-match."""
+    from .streaming.events import read_event_stream, run_batch_like_stream
+
+    stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    static = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    enriched = stream.join(static, stream.user_id == static.c_custkey)
+    agg = enriched.groupBy("n_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    return run_batch_like_stream(agg, "gate_static_enrich").select(
+        "n_name", "event_type", "n", "total_value"
+    )

@@ -382,3 +382,62 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert by_bucket["01:00"] == [1]
     # the in-watermark row merged: 05:00 reaches n=2
     assert max(by_bucket["05:00"]) == 2
+
+
+def test_streaming_incremental_ingest_with_memo(spark, tmp_path):
+    """The two engine features composed: a document stream ingested via
+    foreachBatch + memoize. Re-crawled texts arriving in later
+    micro-batches are memo HITS — nothing is recomputed or re-appended
+    for them — so the memo table ends with exactly one physical row per
+    DISTINCT text across the whole stream. This is the streaming form
+    of the reference's incremental-recompute contract
+    (catlas/cache_utils.py:137-218)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.functions.text import fingerprint
+    from catlas_spark.memo import memoize
+
+    src = str(tmp_path / "docs_src")
+    table = str(tmp_path / "fp_memo")
+    os.makedirs(src)
+
+    def write_file(name, ids):
+        spark.createDataFrame(
+            [(i, f"document body {i}") for i in ids], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+        _time.sleep(1.1)
+
+    write_file("f1", range(0, 10))
+    write_file("f2", range(5, 15))  # 5 re-crawls + 5 new
+
+    def compute_fp(df):
+        return df.withColumn("fp", fingerprint(F.col("text")))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+
+    def sink(batch_df, epoch_id):
+        memoize(spark, batch_df, ["text"], compute_fp, table, version="s1")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    memo_rows = spark.read.parquet(table)
+    # one physical row per distinct text — hits were never re-appended
+    assert memo_rows.count() == 15
+    assert memo_rows.select("__memo_key").distinct().count() == 15
+    # and the memo serves a full re-crawl entirely from hits (no growth)
+    recrawl = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(0, 15)], "doc_id long, text string"
+    )
+    out = memoize(spark, recrawl, ["text"], compute_fp, table, version="s1")
+    assert out.count() == 15
+    assert spark.read.parquet(table).count() == 15
