@@ -4093,3 +4093,58 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_batch_like_stream(agg, "gate_static_enrich").select(
         "n_name", "event_type", "n", "total_value"
     )
+
+
+@register(
+    "corpus_mixture_report",
+    f"""
+    WITH per AS (
+      SELECT source, lang,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source, lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS all_tokens, count(*) AS n_groups FROM per)
+    SELECT source, lang, n_docs, n_tokens,
+           floor(CAST(n_tokens AS DOUBLE) / all_tokens * 10000 + 0.5) / 10000
+             AS token_share,
+           floor((CAST(all_tokens AS DOUBLE) / n_groups) / n_tokens * 10000 + 0.5)
+             / 10000 AS uniform_factor
+    FROM per, tot
+    """,
+)
+def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing table every pretraining pipeline materializes:
+    per (source, lang) document and token counts, each group's token
+    share, and the up/down-sampling factor that would equalize the
+    mixture (uniform target; swap in any target vector the same way).
+    One map-side-combinable groupBy + a broadcast of the 1-row totals —
+    the 100 TB plan is the same two stages. `mixture_resample` is the
+    operator that then APPLIES such factors map-side."""
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("all_tokens"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(F.col("n_tokens") / F.col("all_tokens") * 10000 + F.lit(0.5)) / 10000
+        ).alias("token_share"),
+        (
+            F.floor(
+                (F.col("all_tokens") / F.col("n_groups")) / F.col("n_tokens") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("uniform_factor"),
+    )
