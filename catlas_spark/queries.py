@@ -4148,3 +4148,36 @@ def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("uniform_factor"),
     )
+
+
+@register(
+    "heavy_hitters_contract",
+    """
+    WITH counts AS (
+      SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT l_suppkey, n
+    FROM counts, tot
+    WHERE n > total * 0.0008
+    """,
+)
+def q_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (hot suppliers) via Spark's freqItems sketch
+    (single-pass, bounded memory — the Karp/Misra-Gries family), proven
+    by its CONTRACT: the sketch may return false positives but must
+    never miss an item above the support threshold, so intersecting the
+    exact frequent set with the sketch output must reproduce the exact
+    set — which is what the oracle computes. A dropped true heavy
+    hitter breaks the hash match. Same proven-by-contract pattern as
+    the HLL and quantile-sketch queries; the pretraining use is
+    hot-domain / hot-shard detection without a full groupBy at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    support = 0.0008
+    sketch = set(li.stat.freqItems(["l_suppkey"], support).collect()[0][0])
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    total = li.count()
+    return counts.filter(
+        (F.col("n") > total * support)
+        & F.col("l_suppkey").isin(list(sketch))
+    )
