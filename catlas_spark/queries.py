@@ -123,22 +123,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (current testdata), TIMESTAMP(NANOS) (reads as bigint under
     ``nanosAsLong``), and plain TIMESTAMP. Do NOT assume one flavor — it has
     changed between rounds before."""
+    from catlas_spark.sources.events_io import normalize_ts, probe_ts_flavor
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # harmless for micros files; lets a NANOS file read as bigint instead of failing
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    dt = dict(ev.dtypes)["ts"]
-    if dt == "bigint":
-        # int64 epoch; unit by magnitude: 1e17 is year ~5138 in micros but
-        # only 1973 in nanos, so > 1e17 ⇒ nanos for any modern dataset
-        micros = F.when(
-            F.col("ts") > F.lit(10**17), (F.col("ts") / 1000).cast("long")
-        ).otherwise(F.col("ts"))
-        ev = ev.withColumn("ts", F.timestamp_micros(micros))
-    elif dt == "timestamp_ntz":
-        # NTZ wall-clock == UTC instant under the pinned-UTC session
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    return ev
+    # unit decided ONCE PER FILE from the parquet logical type (footer
+    # probe) — never per-row by magnitude, which misreads pre-1973 nanos
+    return normalize_ts(ev, probe_ts_flavor(f"{sf_dir}/events.parquet"))
 
 
 # ---------------------------------------------------------------------------

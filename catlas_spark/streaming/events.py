@@ -16,27 +16,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        # physical: TIMESTAMP(MICROS, isAdjustedToUTC=false) in the driver
-        # parquet (verified via parquet_schema — NOT nanos; see NOTES)
-        T.StructField("ts", T.TimestampNTZType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from catlas_spark.sources.events_io import normalize_ts, probe_ts_flavor, spark_ts_type
+
+
+def events_schema(ts_type: T.DataType | None = None) -> T.StructType:
+    """Events read schema; the ``ts`` field type is supplied per-file
+    because the driver parquet's physical flavor changes between rounds
+    (r1 NANOS, r3/r4 MICROS-NTZ — see sources/events_io.py)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type or T.TimestampNTZType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# default-flavor schema kept for callers that build their own sources
+EVENTS_SCHEMA = events_schema()
 
 
 def read_event_stream(spark: SparkSession, dir_glob: str) -> DataFrame:
-    """File-source stream over events parquet. ``ts`` is read as NTZ
-    (matching the file) and normalized to session-TZ TimestampType under
-    the pinned-UTC session, so watermarks/windows see real event time."""
+    """File-source stream over events parquet. The footer is probed ONCE
+    at stream construction (pyarrow, no data IO) and the schema + ``ts``
+    normalization are derived from the file's actual logical type —
+    NANOS, MICROS-NTZ, UTC-adjusted, and raw-int64 flavors all end as a
+    session-TZ TimestampType column under the pinned-UTC session, so
+    watermarks/windows see real event time (mirrors the batch _events)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(dir_glob)
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # harmless for micros files; lets a NANOS file read as bigint instead of failing
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    flavor = probe_ts_flavor(dir_glob)
+    raw = spark.readStream.schema(events_schema(spark_ts_type(flavor))).parquet(dir_glob)
+    return normalize_ts(raw, flavor)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -1,0 +1,94 @@
+"""The events ``ts`` column's physical parquet flavor changes between
+driver rounds (r1 NANOS, r3/r4 MICROS-NTZ). Both the batch scan
+(queries._events) and the streaming source (read_event_stream) must
+normalize EVERY flavor to the same UTC instants — these tests write one
+file per flavor and drive both paths over each."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from catlas_spark.sources import events_io
+
+# one canonical set of instants (UTC), expressed as epoch micros
+EPOCH_US = [1_704_067_200_000_000, 1_704_070_800_000_000, 1_704_074_400_000_000]
+EXPECTED = {"2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 02:00:00"}
+
+FLAVORS = {
+    "ntz_micros": (pa.timestamp("us"), [u for u in EPOCH_US], events_io.TS_NTZ_MICROS),
+    "tz_micros": (
+        pa.timestamp("us", tz="UTC"),
+        [u for u in EPOCH_US],
+        events_io.TS_TZ_MICROS,
+    ),
+    "nanos": (pa.timestamp("ns"), [u * 1000 for u in EPOCH_US], events_io.TS_NANOS),
+    "int64_micros": (pa.int64(), [u for u in EPOCH_US], events_io.TS_INT64_MICROS),
+    "int64_nanos": (pa.int64(), [u * 1000 for u in EPOCH_US], events_io.TS_INT64_NANOS),
+}
+
+
+def _write_events(path: str, ts_type, ts_vals) -> None:
+    n = len(ts_vals)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts_vals, ts_type),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    # version 2.6 preserves TIMESTAMP(NANOS) instead of coercing to micros
+    pq.write_table(table, path, version="2.6")
+
+
+@pytest.mark.parametrize("name", sorted(FLAVORS))
+def test_probe_classifies_flavor(tmp_path, name):
+    ts_type, vals, want = FLAVORS[name]
+    f = str(tmp_path / "events.parquet")
+    _write_events(f, ts_type, vals)
+    assert events_io.probe_ts_flavor(f) == want
+
+
+@pytest.mark.parametrize("name", sorted(FLAVORS))
+def test_batch_normalization_per_flavor(spark, tmp_path, name):
+    from pyspark.sql import functions as F
+
+    ts_type, vals, _ = FLAVORS[name]
+    f = str(tmp_path / "events.parquet")
+    _write_events(f, ts_type, vals)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = events_io.normalize_ts(spark.read.parquet(f), events_io.probe_ts_flavor(f))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {
+        r.s
+        for r in df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")).collect()
+    }
+    assert got == EXPECTED
+
+
+@pytest.mark.parametrize("name", sorted(FLAVORS))
+def test_stream_normalization_per_flavor(spark, tmp_path, name):
+    from catlas_spark.streaming.events import read_event_stream, run_batch_like_stream, tumbling_counts
+
+    ts_type, vals, _ = FLAVORS[name]
+    f = str(tmp_path / "events.parquet")
+    _write_events(f, ts_type, vals)
+    stream = read_event_stream(spark, str(tmp_path / "events*.parquet"))
+    got = run_batch_like_stream(tumbling_counts(stream), f"flavor_{name}")
+    rows = {(str(r.bucket_start), r.n) for r in got.collect()}
+    assert rows == {(s, 1) for s in EXPECTED}
+
+
+def test_int64_unit_decided_per_file_not_per_row(tmp_path):
+    """A nanos file containing a pre-1973 instant (below the 1e17
+    magnitude cutoff) must STILL be read as nanos — the unit comes from
+    the file's max statistic, applied uniformly to every row."""
+    f = str(tmp_path / "events.parquet")
+    early_ns = 50_000_000_000_000_000  # 1971-08 in nanos; 1973-magnitude trap
+    _write_events(f, pa.int64(), [early_ns] + [u * 1000 for u in EPOCH_US])
+    assert events_io.probe_ts_flavor(f) == events_io.TS_INT64_NANOS
