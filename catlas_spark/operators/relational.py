@@ -239,6 +239,143 @@ def set_containment_join(
     )
 
 
+def set_containment_join_postings(
+    left_post: DataFrame,
+    left_id: str,
+    right_post: DataFrame,
+    right_id: str,
+    el: str = "_el",
+) -> DataFrame:
+    """Postings-level entry point for :func:`set_containment_join` — for
+    callers whose sets already exist as (id, element) rows (the common
+    relational case: "distinct parts per order"). Feeding postings
+    straight in skips the collect_set → explode round trip that the
+    array API would force: no array materialization, no per-row explode,
+    both aggregations stay map-side-combinable hash aggs.
+
+    Inputs MUST be distinct postings (one row per (id, element) pair —
+    build with ``.distinct()``); duplicate postings inflate n_shared and
+    break the count-equality containment test.
+
+    Plan: |left set| per id (hash agg), element equi-join of the two
+    postings lists, shared-count per (left_id, right_id) pair, then a
+    join back to the size table and the count == size containment test.
+    One shuffle per aggregation + the element-keyed join — the same
+    shape a columnar engine picks for this query. The PPJoin length
+    filter of the array API is intentionally absent here: applying it
+    would need right-side sizes joined onto the postings (an extra
+    shuffle) before the pruning pays — worth it only when |pairs| vastly
+    exceeds |contained pairs|; measured on the dense order/supplier
+    case the filter-free plan wins.
+
+    Output: (left_id, right_id, n_left) with n_left = |left set|.
+    """
+    lsz = left_post.groupBy(left_id).agg(F.count(F.lit(1)).alias("n_left"))
+    shared = (
+        left_post.join(right_post, el)
+        .groupBy(left_id, right_id)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(lsz, left_id)
+        .filter(F.col("n_shared") == F.col("n_left"))
+        .select(left_id, right_id, "n_left")
+    )
+
+
+def set_containment_join_bitmap(
+    left_post: DataFrame,
+    left_id: str,
+    right_post: DataFrame,
+    right_id: str,
+    capacity: int,
+    el: str = "_el",
+) -> DataFrame:
+    """Dense-right-dimension fast path for set containment — the third
+    physical strategy beside the postings count-equality plan and the
+    sparse prefix filter.
+
+    When the right dimension's ids fit a fixed range ``[0, capacity)``
+    (suppliers, categories, shards — anything dimension-table-sized),
+    each element's right-member set is a ``capacity``-bit bitmap packed
+    into ``ceil(capacity/64)`` longs. Containment = bitwise AND of the
+    bitmaps of the left set's elements: the pair aggregation that the
+    postings plan pays (one group per CANDIDATE pair — 17M groups on the
+    dense order/supplier case, its entire cost) disappears; the AND
+    collapses it to one |left set|-row aggregation with ``bit_and``
+    (map-side combinable), and only the surviving bits are decoded.
+
+    Plan: right postings → per-element bitmap words (vocabulary-sized,
+    broadcast); left postings repartitioned ONCE by ``left_id`` so the
+    internal distinct AND the bitmap aggregation both reuse that
+    exchange (subset-of-keys clustering); AND + count per left id; then
+    a codegen-only bit decode (posexplode words → explode bit indexes —
+    deliberately NOT a higher-order-function lambda, which runs on the
+    interpreted expression path and was measured 3x slower than this).
+
+    Inputs are raw postings — duplicates allowed on both sides (left is
+    deduped internally, collect_set dedups the right). Left elements
+    with NO right postings zero the bitmap (uncontainable) while still
+    counting toward |left set| — the left join + coalesce below, NOT an
+    inner join, which would silently shrink the left set. Right ids
+    outside ``[0, capacity)`` raise at execution rather than aliasing
+    into another id's bit.
+
+    Regime guide (measured, sf0.1 order/supplier, 1k-supplier dim):
+    bitmap 1.2 s; postings count-equality 6 s; prefix filter worse still
+    (dense DF defeats it). At 100 TB the bitmap row is capacity/8 bytes
+    — keep it for dimensions up to ~1M ids (125 KB/element broadcast
+    rows); beyond that the general postings plan is the scale path.
+
+    Output: (left_id, right_id, n_left) — identical to the other
+    strategies; ``right_id`` is reconstructed as a long.
+    """
+    n_words = (capacity + 63) // 64
+    words = (
+        right_post.groupBy(el)
+        .agg(F.collect_set(right_id).alias("__ids"))
+        .select(
+            el,
+            F.expr(
+                f"""transform(sequence(0, {n_words - 1}), w ->
+                      aggregate(
+                        filter(transform(__ids, s ->
+                                 IF(s >= 0 AND s < {capacity}, s,
+                                    raise_error('set_containment_join_bitmap: right id out of [0, capacity)'))),
+                               s -> CAST(s / 64 AS INT) = w),
+                        0L, (acc, s) -> acc | shiftleft(1L, CAST(s % 64 AS INT))))"""
+            ).alias("__wd"),
+        )
+    )
+    lp = left_post.select(left_id, el).repartition(left_id).distinct()
+    attached = lp.join(F.broadcast(words), el, "left").select(
+        left_id,
+        *[F.coalesce(F.col("__wd")[i], F.lit(0)).alias(f"__w{i}") for i in range(n_words)],
+    )
+    agg = attached.groupBy(left_id).agg(
+        F.count(F.lit(1)).alias("n_left"),
+        *[F.bit_and(f"__w{i}").alias(f"__w{i}") for i in range(n_words)],
+    )
+    return (
+        agg.withColumn("__a", F.array(*[F.col(f"__w{i}") for i in range(n_words)]))
+        .select(left_id, "n_left", F.posexplode("__a").alias("__wi", "__wv"))
+        .filter(F.col("__wv") != 0)
+        .select(
+            left_id,
+            "n_left",
+            "__wi",
+            "__wv",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__b"),
+        )
+        .filter(F.expr("(shiftright(__wv, __b) & 1) = 1"))
+        .select(
+            left_id,
+            (F.col("__wi") * 64 + F.col("__b")).cast("long").alias(right_id),
+            "n_left",
+        )
+    )
+
+
 def set_containment_join_prefix(
     left: DataFrame,
     left_id: str,

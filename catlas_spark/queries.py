@@ -3486,36 +3486,34 @@ _CONTAINMENT_ORACLE = """
     """
 
 
-def _order_supplier_parts(spark: SparkSession, sf_dir: str):
-    li = _t(spark, sf_dir, "lineitem")
-    order_parts = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
-        F.collect_set("l_partkey").alias("parts")
-    )
-    supp_parts = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.collect_set("l_partkey").alias("parts")
-    )
-    return order_parts, supp_parts
-
-
 @register("set_containment_join", _CONTAINMENT_ORACLE)
 def q_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-containment join on array columns: (order, supplier) pairs
-    where the order's distinct part set is entirely within the
-    supplier's supplied-part set ("one supplier could fulfill the whole
-    order"). Arrays built with collect_set, then joined via the
-    inverted-index operator — explode to elements, equi-join with the
-    PPJoin length filter, count == set size — never an array_contains
-    cross join. Baseline strategy; `set_containment_prefix` is the
-    100x scale path (same oracle, same output)."""
-    from .operators.relational import set_containment_join
+    """Set-containment join: (order, supplier) pairs where the order's
+    distinct part set is entirely within the supplier's supplied-part
+    set ("one supplier could fulfill the whole order"). The sets are
+    born relational — (id, part) postings — and the supplier dimension
+    is small and dense, which is exactly the bitmap strategy's regime:
+    per-part supplier bitmaps, broadcast, AND-folded per order. No
+    collect_set arrays (the array API re-explodes them — measured 17x
+    slower), and no per-candidate-pair aggregation (the postings
+    count-equality plan builds 17M groups here — measured 5x slower).
+    The capacity scalar comes off the supplier dimension table (a
+    dimension-sized driver scalar, same class as a broadcast).
+    `set_containment_prefix` is the sparse-vocabulary scale path;
+    `set_containment_join_postings` the general unbounded-dimension
+    path (same oracle shape)."""
+    from .operators.relational import set_containment_join_bitmap
 
-    order_parts, supp_parts = _order_supplier_parts(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    capacity = int(sup.agg(F.max("s_suppkey")).first()[0]) + 1
+    op = li.select(F.col("l_orderkey").alias("orderkey"), F.col("l_partkey").alias("_el"))
+    sp = li.select(F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("_el"))
     return (
-        set_containment_join(
-            order_parts, "orderkey", "parts", supp_parts, "suppkey", "parts"
-        )
+        set_containment_join_bitmap(op, "orderkey", sp, "suppkey", capacity)
         .filter(F.col("n_left") >= 2)
-        .select("orderkey", "suppkey", F.col("n_left").alias("n_parts"))
+        # int cast: |set| is int32 in the array API (F.size) and the oracle
+        .select("orderkey", "suppkey", F.col("n_left").cast("int").alias("n_parts"))
     )
 
 

@@ -244,6 +244,94 @@ def test_set_containment_join_basic(spark):
     assert got == {(1, 10): 2, (2, 20): 2, (3, 10): 1}
 
 
+def test_set_containment_postings_matches_array_api(spark):
+    """The postings-level entry point must produce exactly the array
+    API's output when fed the exploded-distinct form of the same sets
+    (including duplicate source rows collapsed by .distinct())."""
+    import pyspark.sql.functions as F
+
+    from catlas_spark.operators.relational import (
+        set_containment_join,
+        set_containment_join_postings,
+    )
+
+    left = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "z"]), (3, ["c"])],
+        "lid long, els array<string>",
+    )
+    right = spark.createDataFrame(
+        [(10, ["a", "b", "c"]), (20, ["a", "z"])],
+        "rid long, els array<string>",
+    )
+    via_arrays = {
+        (r.lid, r.rid, r.n_left)
+        for r in set_containment_join(left, "lid", "els", right, "rid", "els").collect()
+    }
+    # postings with deliberate duplicates — .distinct() must collapse them
+    l_post = left.select("lid", F.explode("els").alias("_el"))
+    l_post = l_post.union(l_post).distinct()
+    r_post = right.select("rid", F.explode("els").alias("_el")).distinct()
+    via_postings = {
+        (r.lid, r.rid, r.n_left)
+        for r in set_containment_join_postings(l_post, "lid", r_post, "rid").collect()
+    }
+    assert via_postings == via_arrays
+
+
+def test_set_containment_bitmap_matches_array_api(spark):
+    """The bitmap strategy must agree with the array API, including the
+    left-element-with-no-right-postings trap: that element must zero the
+    bitmap AND still count toward |left set| (an inner join would
+    silently claim containment of the remaining elements)."""
+    import pyspark.sql.functions as F
+
+    from catlas_spark.operators.relational import (
+        set_containment_join,
+        set_containment_join_bitmap,
+    )
+
+    left = spark.createDataFrame(
+        # lid=4's element "q" has NO right postings → uncontainable
+        [(1, ["a", "b"]), (2, ["a", "z"]), (3, ["c"]), (4, ["a", "q"])],
+        "lid long, els array<string>",
+    )
+    right = spark.createDataFrame(
+        [(10, ["a", "b", "c"]), (20, ["a", "z"]), (63, ["a", "b"]), (64, ["a"])],
+        "rid long, els array<string>",
+    )
+    via_arrays = {
+        (r.lid, r.rid, r.n_left)
+        for r in set_containment_join(left, "lid", "els", right, "rid", "els").collect()
+    }
+    # duplicates on both sides — the operator dedups internally
+    l_post = left.select("lid", F.explode("els").alias("_el"))
+    l_post = l_post.union(l_post)
+    r_post = right.select("rid", F.explode("els").alias("_el"))
+    r_post = r_post.union(r_post)
+    via_bitmap = {
+        (r.lid, r.rid, r.n_left)
+        for r in set_containment_join_bitmap(
+            l_post, "lid", r_post, "rid", capacity=65
+        ).collect()
+    }
+    assert via_bitmap == via_arrays
+    assert not any(lid == 4 for lid, _, _ in via_bitmap)
+    # rid=64 sits in the second bitmap word — cross-word decode covered
+    assert (3, 10, 1) in via_bitmap and (1, 63, 2) in via_bitmap
+
+
+def test_set_containment_bitmap_rejects_out_of_range_ids(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from catlas_spark.operators.relational import set_containment_join_bitmap
+
+    l_post = spark.createDataFrame([(1, "a")], "lid long, _el string")
+    r_post = spark.createDataFrame([(99, "a")], "rid long, _el string")
+    with _pytest.raises(Exception, match="capacity"):
+        set_containment_join_bitmap(l_post, "lid", r_post, "rid", capacity=10).collect()
+
+
 def test_cdc_chunks_shift_robust_where_fixed_chunks_fail(spark):
     """The design contrast between the two chunk-dedup operators: a
     banner APPENDED at a different token offset in every doc is invisible
