@@ -2217,11 +2217,25 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartile bucketing (deterministic global order with key
-    tiebreak) + per-bucket stats."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiebreak) + per-bucket stats — WITHOUT `ntile() OVER (ORDER BY ...)`
+    with no partition, which funnels the whole table through one reducer.
+    Exact global rank via range-partitioned ranking (every partition
+    sorts in parallel), then ntile's tile formula applied arithmetically:
+    the first n%4 tiles hold ceil(n/4) rows, the rest floor(n/4)."""
+    from .partitioning import ranked_by_range
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, totals = ranked_by_range(o, ["o_totalprice", "o_orderkey"])
+    n = totals["count"]
+    base, rem = divmod(n, 4)
+    cut = (base + 1) * rem  # rows in the rem over-full leading tiles
+    q = (
+        F.when(F.col("rnk") <= cut, F.ceil(F.col("rnk") / (base + 1)))
+        .otherwise(rem + F.ceil((F.col("rnk") - cut) / max(base, 1)))
+        .cast("long")
+    )
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("q"))
+        ranked.select("o_totalprice", q.alias("q"))
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2590,10 +2604,13 @@ def q_token_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency (Zipf) profile: global token counts, rank,
     and cumulative probability mass of the top-100 vocabulary. The
     explode+groupBy is corpus-sized (map-side combinable, one shuffle);
-    the single-partition window runs on the VOCABULARY-sized aggregate
-    (bounded — at 100 TB the vocab is still ~millions of rows), and the
-    grand total joins in as a broadcast scalar, not a second scan of the
-    corpus."""
+    rank AND running sum over the vocabulary-sized aggregate come from
+    range-partitioned ranking — every partition sorts in parallel with
+    prefix offsets, never a single-partition window (the vocab is
+    bounded but still ~millions of rows at 100 TB). The grand total is
+    a free by-product of the offset pass, not a second corpus scan."""
+    from .partitioning import ranked_by_range
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(
@@ -2601,21 +2618,17 @@ def q_token_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.sum("n").alias("tot"))
-    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked, totals = ranked_by_range(
+        counts, [F.col("n").desc(), "tok"], cum_cols=("n",)
+    )
     return (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "cum_share",
-            F.round(
-                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
-                / F.col("tot"),
-                4,
-            ),
+        ranked.filter(F.col("rnk") <= 100)
+        .select(
+            "tok",
+            "n",
+            "rnk",
+            F.round(F.col("cum_n") / F.lit(totals["sum_n"]), 4).alias("cum_share"),
         )
-        .filter(F.col("rnk") <= 100)
-        .select("tok", "n", "rnk", "cum_share")
     )
 
 

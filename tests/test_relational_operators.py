@@ -73,6 +73,59 @@ def test_grouped_min_argmin(spark):
     assert got == {("a", 2, 5.0), ("b", 1, 1.0), ("c", 1, 7.0)}
 
 
+def test_ranked_by_range_matches_global_window(spark):
+    """Exact global rank + running sum from the range-partitioned plan
+    must equal the single-partition window's, on a value-skewed input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from catlas_spark.partitioning import ranked_by_range
+
+    # zipf-ish skewed values with a unique tiebreak key
+    df = spark.range(0, 5000).select(
+        (F.floor(F.pow(F.col("id") % 97 + 1, 2.0))).alias("v"), F.col("id").alias("k")
+    )
+    ranked, totals = ranked_by_range(df, [F.col("v").desc(), "k"], cum_cols=("v",))
+    assert totals["count"] == 5000
+    assert totals["sum_v"] == df.agg(F.sum("v")).first()[0]
+    w = Window.orderBy(F.col("v").desc(), "k")
+    truth = df.withColumn("r2", F.row_number().over(w).cast("long")).withColumn(
+        "c2", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    bad = (
+        ranked.join(truth, ["v", "k"])
+        .filter((F.col("rnk") != F.col("r2")) | (F.col("cum_v") != F.col("c2")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ranked_by_range_partitions_are_size_balanced(spark):
+    """B5 (size-balanced repartition, catlas/dask_utils.py:28-66, the
+    Spark way): repartitionByRange samples boundaries so partitions are
+    count-balanced even when the VALUE distribution is heavily skewed —
+    unlike fixed-width value bucketing, which would put ~all rows in one
+    bucket for this input."""
+    from pyspark.sql import functions as F
+
+    # exponential-ish value skew: half the mass below 4, long tail to 1e9
+    df = spark.range(0, 8000).select(
+        F.floor(F.pow(F.lit(10.0), (F.col("id") % 1000) / 111.0)).alias("v"),
+        F.col("id").alias("k"),
+    )
+    sizes = [
+        r.n
+        for r in df.repartitionByRange(8, "v", "k")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 8
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 2 * mean  # balanced despite the value skew
+    assert min(sizes) >= 0.25 * mean
+
+
 def test_salted_agg_matches_plain(spark):
     from pyspark.sql import functions as F
 
