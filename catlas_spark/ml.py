@@ -69,8 +69,10 @@ def fit_minhash_dedup(
     """
     feat_model = text_featurizer(text_col, seed_features).fit(df)
     featurized = feat_model.transform(df)
-    nnz = F.udf(lambda v: int(v.numNonzeros()), "int")
-    featurized = featurized.filter(nnz("features") > 0)
+    # emptiness is decided on the pre-HashingTF shingle ARRAY — a native
+    # size() predicate in codegen, not a Python UDF over the vector
+    # (binary HashingTF yields a non-empty vector iff shingles exist)
+    featurized = featurized.filter(F.size(F.col("__shingles")) > 0)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )
@@ -124,8 +126,14 @@ def brp_ann(
       within ``bulk_radius`` + a per-query top-k window. No collect, no
       per-row driver loop — the 100 TB path. The radius bounds candidate
       volume (the LSH contract); queries whose k-th neighbor lies beyond
-      it return fewer than k rows, so widen ``bulk_radius`` for sparse
-      regions rather than falling back to the driver loop.
+      it would return fewer than k rows, so RADIUS-STARVED queries are
+      detected (per-query result count < k) and retried through the same
+      distributed join with a 4x-wider radius; queries still starved
+      after the retries fall back to per-query
+      ``approxNearestNeighbors`` when few enough for the driver loop
+      (else they contribute best-effort <k rows). The output contract —
+      k rows per query when k neighbors exist — no longer changes
+      discontinuously at the ``max_driver_queries`` threshold.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -144,21 +152,16 @@ def brp_ann(
     )
     model = lsh.fit(base)
 
-    q_small = queries.select(id_col, vec_col).limit(max_driver_queries + 1).collect()
-    if len(q_small) <= max_driver_queries:
-        from pyspark.ml.linalg import Vectors
-
+    def _per_query(q_pairs) -> DataFrame:
+        """Driver-loop path: one approxNearestNeighbors job per (id, Vector)."""
         out_rows = []
-        for q in q_small:
-            qv = Vectors.dense([float(x) for x in q[vec_col]])
+        for qid, qv in q_pairs:
             nn = model.approxNearestNeighbors(
-                base.filter(F.col("nid") != q[id_col]), qv, k, distCol="dist"
+                base.filter(F.col("nid") != qid), qv, k, distCol="dist"
             )
             out_rows.append(
                 nn.select(
-                    F.lit(q[id_col]).alias("q_id"),
-                    F.col("nid").alias("n_id"),
-                    F.round("dist", 4).alias("dist"),
+                    F.lit(qid).alias("q_id"), F.col("nid").alias("n_id"), F.col("dist")
                 )
             )
         result = out_rows[0]
@@ -166,22 +169,64 @@ def brp_ann(
             result = result.unionByName(r)
         return result
 
+    q_small = queries.select(id_col, vec_col).limit(max_driver_queries + 1).collect()
+    if len(q_small) <= max_driver_queries:
+        from pyspark.ml.linalg import Vectors
+
+        pairs = [
+            (q[id_col], Vectors.dense([float(x) for x in q[vec_col]])) for q in q_small
+        ]
+        return _per_query(pairs).select(
+            "q_id", "n_id", F.round("dist", 4).alias("dist")
+        )
+
     qbase = queries.select(
         F.col(id_col).alias("qid"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
     )
-    joined = model.approxSimilarityJoin(qbase, base, bulk_radius, distCol="dist")
-    flat = joined.select(
-        F.col("datasetA.qid").alias("q_id"),
-        F.col("datasetB.nid").alias("n_id"),
-        F.col("dist"),
-    ).filter(F.col("q_id") != F.col("n_id"))
     w = Window.partitionBy("q_id").orderBy("dist", "n_id")
-    return (
-        flat.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select("q_id", "n_id", F.round("dist", 4).alias("dist"))
-    )
+
+    def _bulk_topk(pending_q: DataFrame, radius: float) -> DataFrame:
+        joined = model.approxSimilarityJoin(pending_q, base, radius, distCol="dist")
+        flat = joined.select(
+            F.col("datasetA.qid").alias("q_id"),
+            F.col("datasetB.nid").alias("n_id"),
+            F.col("dist"),
+        ).filter(F.col("q_id") != F.col("n_id"))
+        return flat.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+
+    max_radius_retries = 2
+    pending, radius = qbase, bulk_radius
+    chunks: list[DataFrame] = []
+    for _ in range(max_radius_retries + 1):
+        got = _bulk_topk(pending, radius)
+        # a query is satisfied iff its k-th candidate fell inside the radius
+        sat = (
+            got.groupBy("q_id")
+            .agg(F.max("__rk").alias("__n"))
+            .filter(F.col("__n") >= k)
+            .select("q_id")
+        )
+        chunks.append(got.join(sat, "q_id", "semi").select("q_id", "n_id", "dist"))
+        pending = pending.join(sat, pending["qid"] == sat["q_id"], "anti")
+        if pending.isEmpty():
+            pending = None
+            break
+        radius *= 4.0
+    if pending is not None:
+        # retries exhausted: per-query fallback for a driver-loop-sized
+        # remainder (cap independent of max_driver_queries, which may be
+        # tuned low to steer the MAIN path), best-effort (<k) beyond that
+        fallback_cap = max(max_driver_queries, 32)
+        leftover = pending.limit(fallback_cap + 1).collect()
+        if 0 < len(leftover) <= fallback_cap:
+            chunks.append(_per_query([(r["qid"], r["vec"]) for r in leftover]))
+        elif len(leftover) > fallback_cap:
+            chunks.append(_bulk_topk(pending, radius).select("q_id", "n_id", "dist"))
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out.select("q_id", "n_id", F.round("dist", 4).alias("dist"))
 
 
 def fit_parity_model(validation: DataFrame, frame: int = -1):

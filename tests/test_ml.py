@@ -64,6 +64,34 @@ def test_brp_ann_bulk_path_matches_driver_path(spark, sf_dir):
     assert len(b & l) / len(l) >= 0.8
 
 
+def test_brp_ann_bulk_path_retries_radius_starved_queries(spark, sf_dir):
+    """A bulk_radius too small to hold k neighbors must NOT silently
+    drop queries or truncate their k: starved queries are re-joined at a
+    wider radius, so every query still answers with k rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    tiny = brp_ann(emb, queries, k=10, max_driver_queries=2, bulk_radius=0.01)
+    per_q = {}
+    for r in tiny.collect():
+        per_q.setdefault(r.q_id, set()).add(r.n_id)
+    assert set(per_q) == {0, 1, 2, 3, 4}  # no query dropped
+    assert all(len(v) == 10 for v in per_q.values())  # full k after retries
+
+
+def test_mllib_face_has_no_python_udf_stages(spark, corpus):
+    """Plan sweep over the MLlib face: featurization + LSH join must not
+    contain BatchEvalPython stages (the empty-vector filter is a native
+    size() predicate on the shingle array, not a Python UDF)."""
+    from catlas_spark.ml import fit_minhash_dedup
+
+    lsh_model, featurized = fit_minhash_dedup(corpus)
+    plan = featurized._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    joined = lsh_model.approxSimilarityJoin(featurized, featurized, 0.5, distCol="d")
+    plan2 = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2 and "PythonUDF" not in plan2
+
+
 def test_parity_model_matches_closed_form(spark):
     val = fixtures.make_validation(spark, n=500)
     model = fit_parity_model(val)
