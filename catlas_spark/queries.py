@@ -3089,13 +3089,12 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of lineitem: per-column null count, exact
     distinct count, typed min/max — the QA summary a pipeline
-    materializes next to every corpus snapshot. Two aggregation passes:
-    counts/distincts/numeric extremes stay in HashAggregate (the
-    count_distinct expand rewrite), string min/max run separately so
-    their immutable buffers don't force the expanded rows through
-    SortAggregate (measured 5x at 6M rows); stack() unpivots. The
-    oracle reads the table once per column — same values, O(n_cols)
-    more scans."""
+    materializes next to every corpus snapshot. One group-aggregate
+    branch per column (distinct counting = group counting, no
+    count_distinct Expand; string min/max fold over group keys so no
+    raw-row SortAggregate) unioned into the profile — the same plan
+    shape the columnar oracle picks, 2.2x the old two-pass design
+    (see operators/profile.py for the measured graveyard)."""
     from .operators.profile import profile_table
 
     li = _t(spark, sf_dir, "lineitem")

@@ -235,11 +235,13 @@ def test_profile_table_one_pass_stats(spark):
     # string column: numeric stats NULL, string min/max populated
     assert s["min_num"] is None and (s["min_str"], s["max_str"]) == ("a", "b")
     assert s["n_null"] == 1 and s["n_distinct"] == 2
-    # two passes by design (hash-agg stats + string min/max), never one
-    # per column; and the distinct-count expand must stay in HashAggregate
+    # per-column group-aggregate branches: distinct counting is group
+    # counting — NO count_distinct Expand anywhere — and no string
+    # aggregate ever sees raw rows (only group keys), so no raw-row
+    # SortAggregate either
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ExistingRDD") == 2
-    assert "Expand" in plan and "HashAggregate" in plan
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_containment_pairs_directional(spark):
