@@ -10,15 +10,19 @@ Methodology (steady-state, TPC-style):
   JIT + whole-stage-codegen compile cost (~0.3-2 s/query), which on a
   long-lived cluster is paid once per plan shape, not per query.
 - Cached intermediates are dropped (clearCache) after warmup so the
-  timed pass re-executes the full compute, not a cache hit.
-- Pass 2 is the reported timing. "cold_total_seconds" (pass 1) is also
-  emitted so both regimes are visible.
+  timed passes re-execute the full compute, not a cache hit.
+- THREE warm passes follow; the reported per-query time and total are
+  the per-query MEDIANS. Single warm passes measured up to ±25% apart
+  on an idle box (JIT/GC noise) — too noisy to gate a 2x bar.
+  "warm_pass_totals" exposes the raw per-pass totals and
+  "cold_total_seconds" (pass 1) keeps both regimes visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,20 +58,28 @@ def main() -> None:
         except Exception as e:
             print(f"bench warmup error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             cold[name] = -1.0
-    # drop persisted intermediates: the timed pass must re-run the full
-    # compute (JIT-warm), not read a cached signature table
-    spark.catalog.clearCache()
+    n_warm = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
+    warm_runs: list[dict[str, float]] = []
+    for _ in range(n_warm):
+        # drop persisted intermediates: every timed pass must re-run the
+        # full compute (JIT-warm), not read a cached signature table
+        spark.catalog.clearCache()
+        pass_t: dict[str, float] = {}
+        for name, fn in qs.items():
+            if cold[name] < 0:
+                pass_t[name] = -1.0
+                continue
+            try:
+                pass_t[name] = round(run_query(fn, spark, SF_DIR), 3)
+            except Exception as e:  # record failures as -1 so they're visible
+                print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+                pass_t[name] = -1.0
+        warm_runs.append(pass_t)
 
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        if cold[name] < 0:
-            timings[name] = -1.0
-            continue
-        try:
-            timings[name] = round(run_query(fn, spark, SF_DIR), 3)
-        except Exception as e:  # record failures as -1 so they're visible
-            print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+    for name in qs:
+        vals = sorted(t[name] for t in warm_runs if t[name] >= 0)
+        timings[name] = round(statistics.median(vals), 3) if vals else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
     print(
@@ -78,6 +90,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_seconds": cold_total,
+                "warm_pass_totals": [
+                    round(sum(t for t in run.values() if t >= 0), 3)
+                    for run in warm_runs
+                ],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
