@@ -21,17 +21,32 @@ Key design points mapped from the reference:
 At scale the memo table is just another partitioned parquet dataset: the
 hit-join is a shuffle (or broadcast when small) and compaction is a
 normal parquet rewrite.
+
+Sharded layout (``n_shards``): the reference shards its sqlite memo by
+key hash (`catlas/cache_utils.py:189-190`); the Spark-native conclusion
+is hive-partitioning the memo by a key-derived shard column. An
+incremental run touching few keys then PRUNES the memo scan to the
+shard directories its keys can live in — the hit-join reads a strict
+subset of the table's files (asserted in tests via ``inputFiles``), so
+lookup cost scales with the INPUT's shard footprint, not the memo's
+total size. The shard set is collected from the input keys (a
+map-side-combinable distinct of at most ``n_shards`` values) and
+applied as a static partition filter.
 """
 
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 KEY_COL = "__memo_key"
+# no underscore prefix: this becomes a hive PATH segment (memo_shard=K/),
+# and Spark's file listing treats leading-underscore paths as hidden
+SHARD_COL = "memo_shard"
 
 
 def memo_key(key_cols: list[str], version: str) -> F.Column:
@@ -41,23 +56,31 @@ def memo_key(key_cols: list[str], version: str) -> F.Column:
 
 def _memo_files(path: str) -> list[str]:
     """Pinned snapshot of the memo table: the explicit list of part files
-    currently on disk. Reading from this list (not the directory) freezes
-    the scan — a later append to the same directory is invisible to any
-    lazy plan built over this snapshot. This is the local-FS analog of a
-    table-format snapshot id (Delta/Iceberg) on a real cluster."""
+    currently on disk (recursive — sharded tables keep their files under
+    ``memo_shard=K/`` hive directories). Reading from this list (not
+    the directory) freezes the scan — a later append to the same
+    directory is invisible to any lazy plan built over this snapshot.
+    This is the local-FS analog of a table-format snapshot id
+    (Delta/Iceberg) on a real cluster."""
     if not os.path.isdir(path):
         return []
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return sorted(out)
 
 
-def _read_memo(spark: SparkSession, files: list[str]) -> DataFrame | None:
+def _read_memo(spark: SparkSession, files: list[str], base_path: str) -> DataFrame | None:
     if not files:
         return None
-    memo = spark.read.parquet(*files)
+    # basePath recovers hive partition columns (the shard) from dir names
+    # even though the scan is pinned to explicit leaf files
+    memo = spark.read.option("basePath", base_path).parquet(*files)
     # idempotent reads: keep one row per key (appends may duplicate on retry)
     w = Window.partitionBy(KEY_COL).orderBy(F.col(KEY_COL))
     return memo.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
@@ -72,6 +95,7 @@ def memoize(
     compute: Callable[[DataFrame], DataFrame],
     table_path: str,
     version: str = "v1",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Compute-once operator application.
 
@@ -90,17 +114,47 @@ def memoize(
     would re-list the directory at evaluation time — after the append —
     classify the just-computed misses as hits-in-memo, and return an
     inconsistent (miss-dropping) result.
+
+    ``n_shards`` hive-partitions the table by ``pmod(key, n_shards)``
+    (the reference's sqlite sharding, `catlas/cache_utils.py:189-190`,
+    as a partition-pruned parquet layout): the PINNED FILE LIST itself
+    is pruned to the shard directories that THIS input's keys can live
+    in (rows of other shards cannot match any input key — the shard is
+    a pure function of the key), so an incremental run reads a strict
+    subset of the memo's files instead of the whole table. This is
+    manifest-level pruning, the same thing a table format's snapshot +
+    partition predicate does; filtering inside the plan instead would
+    not prune the scan here because the idempotency window sits between
+    scan and filter. Pick n_shards so one shard ~ a few hundred MB at
+    steady state; the setting must be stable for a given table.
     """
     keyed = df.withColumn(KEY_COL, memo_key(key_cols, version))
-    files_before = _memo_files(table_path)
-    memo = _read_memo(spark, files_before)
+    input_shards: set[int] | None = None
+    if n_shards:
+        keyed = keyed.withColumn(SHARD_COL, F.pmod(F.col(KEY_COL), F.lit(n_shards)))
+        # the input's shard footprint: ≤ n_shards values, map-side combinable
+        input_shards = {r[0] for r in keyed.select(SHARD_COL).distinct().collect()}
+
+    def _shard_prune(files: list[str]) -> list[str]:
+        if input_shards is None:
+            return files
+        kept = []
+        for f in files:
+            m = re.search(rf"{SHARD_COL}=(\d+)/", f)
+            # flat (pre-sharding) files carry every shard: always read them
+            if m is None or int(m.group(1)) in input_shards:
+                kept.append(f)
+        return kept
+
+    memo = _read_memo(spark, _shard_prune(_memo_files(table_path)), table_path)
 
     if memo is None:
         hits = None
         misses = keyed
     else:
-        hits = keyed.join(memo, KEY_COL, "inner")
-        misses = keyed.join(memo.select(KEY_COL), KEY_COL, "left_anti")
+        pruned = memo.drop(SHARD_COL) if SHARD_COL in memo.columns else memo
+        hits = keyed.join(pruned, KEY_COL, "inner")
+        misses = keyed.join(pruned.select(KEY_COL), KEY_COL, "left_anti")
 
     # Write-then-read-back: the append below is the ONLY execution of the
     # compute plan. Misses are then served from the freshly persisted rows,
@@ -109,26 +163,37 @@ def memoize(
     # and the expensive plan never runs a second time at consumption.
     computed = compute(misses)
     result_cols = [c for c in computed.columns if c not in keyed.columns]
-    computed.select(KEY_COL, *result_cols).write.mode("append").parquet(table_path)
-    memo_after = _read_memo(spark, _memo_files(table_path))
+    writer = computed.select(
+        KEY_COL, *([SHARD_COL] if n_shards else []), *result_cols
+    ).write.mode("append")
+    if n_shards:
+        writer = writer.partitionBy(SHARD_COL)
+    writer.parquet(table_path)
+    memo_after = _read_memo(spark, _shard_prune(_memo_files(table_path)), table_path)
+    if SHARD_COL in memo_after.columns:
+        memo_after = memo_after.drop(SHARD_COL)
     miss_rows = misses.join(memo_after, KEY_COL, "inner")
     if hits is None:
-        return miss_rows.drop(KEY_COL)
-    return hits.drop(KEY_COL).unionByName(miss_rows.drop(KEY_COL))
+        return miss_rows.drop(KEY_COL, SHARD_COL)
+    return hits.drop(KEY_COL, SHARD_COL).unionByName(miss_rows.drop(KEY_COL, SHARD_COL))
 
 
 def compact(spark: SparkSession, table_path: str) -> int:
     """Rewrite the memo table with one row per key (reclaims duplicate
     appends left by task retries / concurrent runs — the maintenance
-    counterpart of the read-side dedup). Returns the compacted row count.
-    """
-    memo = _read_memo(spark, _memo_files(table_path))
+    counterpart of the read-side dedup). Preserves a sharded table's
+    hive layout. Returns the compacted row count."""
+    memo = _read_memo(spark, _memo_files(table_path), table_path)
     if memo is None:
         return 0
+    sharded = SHARD_COL in memo.columns
     tmp = table_path + ".compact"
     memo.write.mode("overwrite").parquet(tmp)
     compacted = spark.read.parquet(tmp)
-    compacted.write.mode("overwrite").parquet(table_path)
+    writer = compacted.write.mode("overwrite")
+    if sharded:
+        writer = writer.partitionBy(SHARD_COL)
+    writer.parquet(table_path)
     n = spark.read.parquet(table_path).count()
     import shutil
 

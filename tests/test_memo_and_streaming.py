@@ -71,6 +71,53 @@ def test_memoize_computes_once_per_miss_batch(spark, tmp_path):
     assert acc.value == 30
 
 
+def test_memo_sharded_layout_prunes_hit_scan(spark, tmp_path):
+    """Sharded memo (reference sqlite sharding cache_utils.py:189-190,
+    as hive partition pruning): an incremental run whose keys land in
+    few shards must read a STRICT SUBSET of the memo's part files — the
+    scan cost follows the input's shard footprint, not the table size."""
+    from catlas_spark.memo import _memo_files, memoize
+
+    table = str(tmp_path / "memo_sharded")
+    big = spark.range(0, 2000).select(F.col("id").alias("x")).repartition(8)
+    out = memoize(spark, big, ["x"], _expensive, table, n_shards=16)
+    assert out.count() == 2000
+    all_files = set(_memo_files(table))
+    assert len(all_files) > 16  # multiple files spread across shard dirs
+    assert any("memo_shard=" in f for f in all_files)
+
+    # incremental run: 3 keys, all hits — pruned scan, no new rows
+    small = spark.createDataFrame([(7,), (8,), (9,)], "x long")
+    res = memoize(spark, small, ["x"], _expensive, table, n_shards=16)
+    got = {(r.x, r.result) for r in res.collect()}
+    assert got == {(7, 70), (8, 80), (9, 90)}
+    read = {
+        f.removeprefix("file://") for f in res.inputFiles() if "memo_sharded" in f
+    }
+    assert read and read < all_files  # strict subset: pruning happened
+    assert set(_memo_files(table)) == all_files  # hits appended nothing
+
+
+def test_memo_sharded_misses_and_compact_preserve_layout(spark, tmp_path):
+    from catlas_spark.memo import SHARD_COL, compact, memoize
+
+    table = str(tmp_path / "memo_sharded2")
+    df1 = spark.range(0, 50).select(F.col("id").alias("x"))
+    memoize(spark, df1, ["x"], _expensive, table, n_shards=4).count()
+    # superset run: 25 new keys computed, hits untouched
+    df2 = spark.range(0, 75).select(F.col("id").alias("x"))
+    out = memoize(spark, df2, ["x"], _expensive, table, n_shards=4)
+    assert {(r.x, r.result) for r in out.collect()} == {(i, i * 10) for i in range(75)}
+    memo = spark.read.parquet(table)
+    assert memo.count() == 75 and SHARD_COL in memo.columns
+    # retry double-append, then compact: layout and values survive
+    memo.write.mode("append").partitionBy(SHARD_COL).parquet(table)
+    assert compact(spark, table) == 75
+    again = memoize(spark, df2, ["x"], _expensive, table, n_shards=4)
+    assert again.count() == 75
+    assert spark.read.parquet(table).count() == 75
+
+
 def test_memoize_results_match_direct(spark, tmp_path):
     table = str(tmp_path / "memo2")
     df = spark.range(0, 40).select((F.col("id") % 7).alias("x"))
