@@ -1946,6 +1946,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_reservoir_sample",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_grouped_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample WITHOUT replacement per group (the
+    reservoir-sampling contract, k=20 docs per source): rank rows inside
+    each group by a content-independent hash and keep the first k —
+    exactly a uniform k-subset, deterministic across engines and runs
+    (the counterpart of `grouped_bootstrap_sample`, which draws WITH
+    replacement). Per-group hash sort parallelizes across groups; at
+    100 TB the rank can also come from `ranked_by_range` partitioned by
+    (group, hash) if single groups outgrow one reducer."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id")
+    )
+
+
+@register(
     "salted_revenue_agg",
     """
     SELECT l_returnflag AS flag,
@@ -3054,12 +3085,19 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(corpus, "text", "doc", n_perm=12, band_size=4, threshold=0.5)
     cc = connected_components(pairs)
     w = Window.partitionBy("cluster_id").orderBy(F.length("text").desc(), "node")
-    return (
+    res = (
         cc.join(corpus, cc["node"] == corpus["doc"])
         .select(cc["node"], "cluster_id", "text")
         .withColumn("keep_id", F.first("node").over(w))
         .select(F.col("node").alias("doc"), "keep_id")
+        # materialize the (clustered-docs-sized, tiny) election result so the
+        # corpus cache can be released NOW instead of accumulating across a
+        # 109-query session — the lazy alternative would pin it until the
+        # caller's collect
+        .localCheckpoint()
     )
+    corpus.unpersist(blocking=False)
+    return res
 
 _PROFILE_COLS = [
     ("l_orderkey", "num"),
