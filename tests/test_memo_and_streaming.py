@@ -431,6 +431,35 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert max(by_bucket["05:00"]) == 2
 
 
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The streaming surface on the RocksDB state store provider (the
+    large-state production choice: state lives off-heap/on-disk instead
+    of the default in-memory HDFS-backed map) must produce byte-for-byte
+    the same windowed aggregate as the default provider."""
+    from catlas_spark.queries import _events
+    from catlas_spark.streaming.events import (
+        read_event_stream,
+        run_batch_like_stream,
+        tumbling_counts,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+        got = run_batch_like_stream(tumbling_counts(stream), "rocksdb_smoke")
+        rows = {(str(r.bucket_start), r.event_type, r.n) for r in got.collect()}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    expected = {
+        (str(r.bucket_start), r.event_type, r.n)
+        for r in tumbling_counts(_events(spark, sf_dir)).collect()
+    }
+    assert rows == expected and len(rows) > 0
+
+
 def test_streaming_incremental_ingest_with_memo(spark, tmp_path):
     """The two engine features composed: a document stream ingested via
     foreachBatch + memoize. Re-crawled texts arriving in later
