@@ -41,6 +41,10 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "set_containment_join",
     "set_containment_prefix",
+    "ntile_quartiles",
+    "token_zipf_rank",
+    "grouped_reservoir_sample",
+    "incremental_dedup_memo",
 ]
 
 
