@@ -108,6 +108,99 @@ def ranked_by_range(
     return out.drop("__pid"), totals
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT interpolated quantiles (quantile_cont semantics: value at
+    position p*(n-1) with linear interpolation) per group, WITHOUT
+    collecting any group's values into one aggregation buffer.
+
+    Spark's ``percentile`` is exact but its final merge materializes the
+    whole group's value multiset on a single reducer — fine at sf0.1,
+    a memory cliff at 100x. The scale-safe shape, built from the same
+    ranged-offset machinery as :func:`ranked_by_range`:
+
+    1. (group, value) COUNT aggregation — data reduced to distinct
+       values per group, map-side combinable;
+    2. repartitionByRange over (group, value) (materialized once — the
+       range sampler is per-RDD-seeded) + per-(partition, group) count
+       offsets from a partition-count x group-count driver collect;
+    3. per-partition running counts + offsets = exact global rank
+       interval [cum-cnt, cum] covered by each distinct value;
+    4. target ranks (floor/ceil of p*(n-1), one tiny broadcast row per
+       group x prob) joined in; the covering values interpolate.
+
+    No group ever funnels through one task: a heavy group spans several
+    range partitions and its cumulative counts still come out exact.
+
+    Returns (group_col, prob, quantile) — one row per group x prob.
+    """
+    import math
+    from collections import defaultdict
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    g = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    parts = (
+        g.repartitionByRange(n_parts, group_col, value_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = parts.groupBy("__pid", group_col).agg(F.sum("__cnt").alias("__c")).collect()
+    acc: dict = defaultdict(int)
+    offsets: dict[str, int] = {}
+    for r in sorted(stats, key=lambda r: (str(r[group_col]), r["__pid"])):
+        offsets[f"{r['__pid']}|{r[group_col]}"] = acc[r[group_col]]
+        acc[r[group_col]] += r["__c"]
+
+    targets = []
+    for grp, ntot in acc.items():
+        for p in probs:
+            pos = p * (ntot - 1)
+            targets.append(
+                (grp, float(p), int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1, pos - math.floor(pos))
+            )
+    tdf = spark.createDataFrame(
+        targets, schema=f"{group_col} string, prob double, __lo long, __hi long, __frac double"
+    ).withColumn(group_col, F.col(group_col).cast(dict(df.dtypes)[group_col]))
+
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("__pid", group_col).orderBy(value_col)
+    cum = parts.withColumn(
+        "__cum",
+        F.sum("__cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        + F.coalesce(
+            off_map[F.concat_ws("|", F.col("__pid"), F.col(group_col))], F.lit(0)
+        ),
+    )
+    j = cum.join(F.broadcast(tdf), group_col)
+    lo_hits = (F.col("__cum") - F.col("__cnt") < F.col("__lo")) & (
+        F.col("__lo") <= F.col("__cum")
+    )
+    hi_hits = (F.col("__cum") - F.col("__cnt") < F.col("__hi")) & (
+        F.col("__hi") <= F.col("__cum")
+    )
+    return (
+        j.filter(lo_hits | hi_hits)
+        .groupBy(group_col, "prob", "__frac")
+        .agg(
+            F.min(F.when(lo_hits, F.col(value_col))).alias("__vlo"),
+            F.min(F.when(hi_hits, F.col(value_col))).alias("__vhi"),
+        )
+        .select(
+            group_col,
+            "prob",
+            (F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))).alias(
+                "quantile"
+            ),
+        )
+    )
+
+
 def spread_small_source(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Round-robin a small/single-split source across the cluster before
     a fan-out or expensive map stage."""

@@ -890,15 +890,28 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous quantiles per group (engine capability; the scale
-    path uses approx_percentile — see bench notes)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    """Exact continuous quantiles per group — computed scale-safely:
+    `partitioning.grouped_exact_quantiles` reduces to (group, value)
+    counts, range-partitions, and locates the interpolation ranks via
+    per-partition offsets, so no group's value multiset ever sits in one
+    aggregation buffer (Spark's exact `percentile` merges each group
+    onto a single reducer — the 100x memory cliff this avoids; the
+    sketch path with an error-bound oracle is `approx_quantile_bounds`)."""
+    from .partitioning import grouped_exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice"
+    )
+    qt = grouped_exact_quantiles(li, "flag", "l_extendedprice", [0.5, 0.9])
+    pivoted = qt.groupBy("flag").agg(
+        F.round(F.max(F.when(F.col("prob") == 0.5, F.col("quantile"))), 4).alias("p50"),
+        F.round(F.max(F.when(F.col("prob") == 0.9, F.col("quantile"))), 4).alias("p90"),
+    )
+    minmax = li.groupBy("flag").agg(
         F.round(F.min("l_extendedprice"), 4).alias("lo"),
         F.round(F.max("l_extendedprice"), 4).alias("hi"),
     )
+    return pivoted.join(minmax, "flag").select("flag", "p50", "p90", "lo", "hi")
 
 
 @register(

@@ -126,6 +126,33 @@ def test_ranked_by_range_partitions_are_size_balanced(spark):
     assert min(sizes) >= 0.25 * mean
 
 
+def test_grouped_exact_quantiles_matches_percentile(spark):
+    """The distributed exact-quantile plan (value counts + ranged
+    offsets + rank interpolation) must equal Spark's single-buffer
+    `percentile` on duplicate-heavy data with numeric group keys."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.partitioning import grouped_exact_quantiles
+
+    df = spark.range(0, 9001).select(
+        (F.col("id") % 4).alias("g"),
+        # heavy duplicates + uneven group sizes
+        ((F.col("id") * F.col("id")) % 113).cast("double").alias("v"),
+    ).filter((F.col("g") != 3) | (F.col("id") < 50))
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r.g, r.prob): round(r.quantile, 6)
+        for r in grouped_exact_quantiles(df, "g", "v", probs).collect()
+    }
+    truth = {}
+    for r in df.groupBy("g").agg(
+        *[F.percentile("v", F.lit(p)).alias(f"p{i}") for i, p in enumerate(probs)]
+    ).collect():
+        for i, p in enumerate(probs):
+            truth[(r.g, float(p))] = round(r[f"p{i}"], 6)
+    assert got == truth
+
+
 def test_salted_agg_matches_plain(spark):
     from pyspark.sql import functions as F
 
