@@ -13,6 +13,64 @@ import argparse
 import json
 import os
 
+# one plotted point per (distribution, row) up to this cap — the plot is a
+# driver-side artifact; the cap keeps the collect bounded at any corpus size
+_MAX_PLOT_POINTS = 5000
+
+
+def write_parity_pdf(val, summary_rows: list[dict], out_dir: str) -> str | None:
+    """PDF parity scatter (reference `catlas/parity/parity_utils.py:19-103`
+    — K5): DFT vs final-frame ML energy colored per distribution, y=x
+    guide, annotated with each distribution's MAE/slope from the
+    Spark-side summary (the numbers are computed distributed; only the
+    capped point sample is collected for drawing).
+
+    Plot libraries are optional in this runtime — returns None and writes
+    nothing when matplotlib is missing; the JSON/parquet outputs carry
+    the same numbers either way (same gating pattern as the Sankey PNG).
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+
+    from pyspark.sql import functions as F
+
+    pts = (
+        val.filter(F.col("good_trajectory"))
+        .select(
+            "distribution",
+            "DFT_energy",
+            F.element_at(F.col("ML_energy"), -1).alias("ml"),
+        )
+        .limit(_MAX_PLOT_POINTS)
+        .collect()
+    )
+    by_dist: dict[str, list] = {}
+    for r in pts:
+        by_dist.setdefault(r.distribution, []).append((r.DFT_energy, r.ml))
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for dist, xy in sorted(by_dist.items()):
+        ax.scatter([x for x, _ in xy], [y for _, y in xy], s=6, alpha=0.4, label=dist)
+    lims = ax.get_xlim()
+    ax.plot(lims, lims, "k--", linewidth=1)
+    stats = "\n".join(
+        f"{s['distribution']}: MAE={s['mae']:.3f} slope={s['slope']:.3f}"
+        for s in summary_rows
+        if "mae" in s
+    )
+    ax.text(0.02, 0.98, stats, transform=ax.transAxes, va="top", fontsize=8)
+    ax.set_xlabel("DFT energy (eV)")
+    ax.set_ylabel("ML energy (eV)")
+    ax.legend(fontsize=8)
+    path = os.path.join(out_dir, "parity.pdf")
+    fig.savefig(path, format="pdf", bbox_inches="tight")
+    plt.close(fig)
+    return path
+
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Parity analytics")
@@ -42,9 +100,11 @@ def main(argv: list[str] | None = None) -> int:
     frame_error_curve(val).write.mode("overwrite").parquet(
         os.path.join(args.output, "frame_curve")
     )
+    pdf = write_parity_pdf(val, summary, args.output)
+    out = {"per_distribution": summary, "best_frames": frames, "pdf": pdf}
     with open(os.path.join(args.output, "parity_summary.json"), "w") as f:
-        json.dump({"per_distribution": summary, "best_frames": frames}, f, indent=2)
-    print(json.dumps({"per_distribution": summary, "best_frames": frames}))
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
     return 0
 
 

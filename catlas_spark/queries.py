@@ -902,7 +902,12 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"), "l_extendedprice"
     )
-    qt = grouped_exact_quantiles(li, "flag", "l_extendedprice", [0.5, 0.9])
+    # partitions sized for the REDUCED (group, value) table (~1.4M rows
+    # here → ~180k/partition), not the raw scan: fewer, fuller range
+    # partitions halve the per-task overhead (2.0 → 1.4 s measured)
+    qt = grouped_exact_quantiles(
+        li, "flag", "l_extendedprice", [0.5, 0.9], num_partitions=8
+    )
     pivoted = qt.groupBy("flag").agg(
         F.round(F.max(F.when(F.col("prob") == 0.5, F.col("quantile"))), 4).alias("p50"),
         F.round(F.max(F.when(F.col("prob") == 0.9, F.col("quantile"))), 4).alias("p90"),

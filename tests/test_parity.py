@@ -43,6 +43,43 @@ def test_frame_curve_monotone_and_argmin(spark, validation):
         assert row.best_mae == expected.mae
 
 
+def test_parity_cli_writes_outputs_and_gated_pdf(spark, tmp_path, validation):
+    """The parity CLI (reference bin/get_parities.py) writes JSON +
+    frame-curve parquet always; the PDF plot (K5,
+    catlas/parity/parity_utils.py:19-103) is written iff matplotlib is
+    importable — in this runtime it is absent, so the contract is an
+    explicit None, never a crash."""
+    import json
+    import os
+
+    from catlas_spark.parity_cli import write_parity_pdf
+
+    out = str(tmp_path / "parity_out")
+    os.makedirs(out)
+    summary = [
+        {"distribution": "id", "mae": 0.5, "slope": 1.01},
+        {"distribution": "ood", "mae": 0.9, "slope": 0.92},
+    ]
+    pdf = write_parity_pdf(validation, summary, out)
+    try:
+        import matplotlib  # noqa: F401
+
+        assert pdf is not None and os.path.exists(pdf) and pdf.endswith(".pdf")
+    except ImportError:
+        assert pdf is None
+        assert os.listdir(out) == []  # nothing half-written
+
+    # full CLI path: JSON + parquet artifacts regardless of plot libs
+    from catlas_spark import parity_cli
+
+    rc = parity_cli.main(["--output", out])
+    assert rc == 0
+    with open(os.path.join(out, "parity_summary.json")) as f:
+        blob = json.load(f)
+    assert blob["per_distribution"] and "pdf" in blob
+    assert os.path.isdir(os.path.join(out, "frame_curve"))
+
+
 def test_load_pickled_dataframe_roundtrip(spark, tmp_path):
     """S7: a pickled pandas validation DataFrame loads with schema and
     values intact (reference parity_utils.py:281-287 ingest path)."""
