@@ -2118,7 +2118,9 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import read_event_stream, run_batch_like_stream, tumbling_counts
 
     stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
-    out = run_batch_like_stream(tumbling_counts(stream), "gate_tumbling")
+    out = run_batch_like_stream(
+        tumbling_counts(stream), "gate_tumbling", state_partitions=8
+    )
     return out.select(
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "event_type",
@@ -3786,7 +3788,10 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
     out = run_batch_like_stream(
-        click_purchase_join(stream), "gate_interval_join", output_mode="append"
+        click_purchase_join(stream),
+        "gate_interval_join",
+        output_mode="append",
+        state_partitions=8,
     )
     return out.select("purchase_id", "click_id", "user_id")
 
@@ -4005,7 +4010,9 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
-    out = run_batch_like_stream(sessionized_stream(stream), "gate_session_windows")
+    out = run_batch_like_stream(
+        sessionized_stream(stream), "gate_session_windows", state_partitions=8
+    )
     return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -4149,7 +4156,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("n_name", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
     )
-    return run_batch_like_stream(agg, "gate_static_enrich").select(
+    return run_batch_like_stream(agg, "gate_static_enrich", state_partitions=8).select(
         "n_name", "event_type", "n", "total_value"
     )
 

