@@ -376,6 +376,58 @@ def set_containment_join_bitmap(
     )
 
 
+def set_containment_join_auto(
+    left_post: DataFrame,
+    left_id: str,
+    right_post: DataFrame,
+    right_id: str,
+    el: str = "_el",
+    bitmap_capacity_cap: int = 1 << 20,
+) -> DataFrame:
+    """Stats-driven strategy pick for postings inputs — the optimizer
+    face of the containment-join family. ONE dimension-sized aggregation
+    over the right ids decides:
+
+    - integral ids packed in ``[0, cap)`` with ``cap`` at most
+      ``bitmap_capacity_cap`` (default 1M ids = 128 KB/element bitmaps)
+      → :func:`set_containment_join_bitmap` (no per-pair aggregation);
+    - anything else (huge/negative/non-integral id space)
+      → :func:`set_containment_join_postings` (unbounded general plan;
+      inputs deduplicated here, matching its distinct-postings
+      contract).
+
+    The sparse-vocabulary prefix strategy stays an explicit array-API
+    choice (:func:`set_containment_join_prefix`): its exact-verify step
+    is array-native, so it does not fit a postings-only dispatcher.
+    Duplicates are allowed on both inputs for either branch.
+
+    Output: (left_id, right_id, n_left) — identical across strategies
+    up to the id column's type (the bitmap decode yields longs).
+    """
+    from pyspark.sql import types as T
+
+    id_type = right_post.schema[right_id].dataType
+    if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        r = right_post.agg(
+            F.min(right_id).alias("mn"), F.max(right_id).alias("mx")
+        ).first()
+        if (
+            r["mn"] is not None
+            and int(r["mn"]) >= 0
+            and int(r["mx"]) < bitmap_capacity_cap
+        ):
+            return set_containment_join_bitmap(
+                left_post, left_id, right_post, right_id, int(r["mx"]) + 1, el
+            )
+    return set_containment_join_postings(
+        left_post.select(left_id, el).distinct(),
+        left_id,
+        right_post.select(right_id, el).distinct(),
+        right_id,
+        el,
+    )
+
+
 def set_containment_join_prefix(
     left: DataFrame,
     left_id: str,

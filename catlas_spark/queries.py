@@ -3567,20 +3567,20 @@ def q_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set arrays (the array API re-explodes them — measured 17x
     slower), and no per-candidate-pair aggregation (the postings
     count-equality plan builds 17M groups here — measured 5x slower).
-    The capacity scalar comes off the supplier dimension table (a
-    dimension-sized driver scalar, same class as a broadcast).
-    `set_containment_prefix` is the sparse-vocabulary scale path;
-    `set_containment_join_postings` the general unbounded-dimension
-    path (same oracle shape)."""
-    from .operators.relational import set_containment_join_bitmap
+    The strategy pick is automatic: `set_containment_join_auto` reads
+    the right-id stats (a dimension-sized aggregation) and dispatches —
+    bitmap for this packed 1k-supplier space, the general postings plan
+    for unbounded id spaces. `set_containment_prefix` is the
+    sparse-vocabulary scale path (same oracle shape)."""
+    from .operators.relational import set_containment_join_auto
 
     li = _t(spark, sf_dir, "lineitem")
-    sup = _t(spark, sf_dir, "supplier")
-    capacity = int(sup.agg(F.max("s_suppkey")).first()[0]) + 1
     op = li.select(F.col("l_orderkey").alias("orderkey"), F.col("l_partkey").alias("_el"))
     sp = li.select(F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("_el"))
     return (
-        set_containment_join_bitmap(op, "orderkey", sp, "suppkey", capacity)
+        # auto-dispatch reads the supplier-id stats (dimension-sized agg)
+        # and picks the bitmap strategy here — 1k densely packed ids
+        set_containment_join_auto(op, "orderkey", sp, "suppkey")
         .filter(F.col("n_left") >= 2)
         # int cast: |set| is int32 in the array API (F.size) and the oracle
         .select("orderkey", "suppkey", F.col("n_left").cast("int").alias("n_parts"))

@@ -402,6 +402,59 @@ def test_set_containment_bitmap_matches_array_api(spark):
     assert (3, 10, 1) in via_bitmap and (1, 63, 2) in via_bitmap
 
 
+def test_set_containment_auto_dispatches_by_right_id_stats(spark):
+    """The auto entry must pick bitmap for a packed integral right-id
+    space and fall back to the general postings plan when ids exceed the
+    bitmap cap — with identical results either way."""
+    import pyspark.sql.functions as F
+
+    from catlas_spark.operators.relational import (
+        set_containment_join,
+        set_containment_join_auto,
+    )
+
+    left = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "z"]), (3, ["c"])],
+        "lid long, els array<string>",
+    )
+    l_post = left.select("lid", F.explode("els").alias("_el"))
+
+    def expected(right):
+        return {
+            (r.lid, r.rid, r.n_left)
+            for r in set_containment_join(
+                left, "lid", "els", right, "rid", "els"
+            ).collect()
+        }
+
+    def got(right, **kw):
+        r_post = right.select("rid", F.explode("els").alias("_el"))
+        out = set_containment_join_auto(l_post, "lid", r_post, "rid", **kw)
+        return out, {(r.lid, r.rid, r.n_left) for r in out.collect()}
+
+    dense = spark.createDataFrame(
+        [(10, ["a", "b", "c"]), (20, ["a", "z"])], "rid long, els array<string>"
+    )
+    out, res = got(dense)
+    assert res == expected(dense)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" in plan  # bitmap branch (bit decode)
+
+    # same data, cap forced below the ids → general postings branch
+    out2, res2 = got(dense, bitmap_capacity_cap=4)
+    assert res2 == expected(dense)
+    assert "posexplode" not in out2._jdf.queryExecution().executedPlan().toString()
+
+    # genuinely huge id space → postings branch without forcing
+    sparse = spark.createDataFrame(
+        [(1 << 40, ["a", "b", "c"]), ((1 << 40) + 7, ["a", "z"])],
+        "rid long, els array<string>",
+    )
+    out3, res3 = got(sparse)
+    assert res3 == expected(sparse)
+    assert "posexplode" not in out3._jdf.queryExecution().executedPlan().toString()
+
+
 def test_set_containment_bitmap_rejects_out_of_range_ids(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F  # noqa: F401
