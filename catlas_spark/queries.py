@@ -1692,6 +1692,74 @@ _TFIDF_ORACLE = f"""
 """
 
 
+_LM_XENT_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS t2 FROM documents),
+    d2 AS (SELECT doc_id, t2 FROM t WHERE len(t2) >= 2),
+    flat AS (
+      SELECT doc_id,
+             unnest([t2[i] || ' ' || t2[i+1]
+                     for i in generate_series(1, len(t2) - 1)]) AS bg
+      FROM d2
+    ),
+    bc AS (SELECT bg, count(*) AS bn FROM flat GROUP BY bg),
+    uc AS (
+      SELECT w, count(*) AS un
+      FROM (SELECT unnest(t2[1:len(t2) - 1]) AS w FROM d2)
+      GROUP BY w
+    ),
+    v AS (SELECT count(DISTINCT tok) AS vsz
+          FROM (SELECT unnest(t2) AS tok FROM d2))
+    SELECT flat.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((bc.bn + 1)::DOUBLE / (uc.un + v.vsz))), 4) AS xent
+    FROM flat
+    JOIN bc ON bc.bg = flat.bg
+    JOIN uc ON uc.w = split_part(flat.bg, ' ', 1)
+    CROSS JOIN v
+    GROUP BY flat.doc_id
+    """
+
+
+@register("lm_quality_score", _LM_XENT_ORACLE)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality score: per-document cross-entropy
+    under an add-one-smoothed bigram language model TRAINED ON THE
+    CORPUS ITSELF — the filter a pretraining pipeline runs to drop
+    gibberish/boilerplate-heavy documents (low-probability token
+    transitions score high). Beyond the reference (its quality signals
+    are heuristic ratios); fully native: tokens → per-doc bigrams via a
+    doc-partitioned lead window (codegen — NOT a per-doc lambda),
+    corpus bigram/prefix counts (map-side combinable), the vocabulary
+    size as a broadcast literal, and P(w2|w1) = (B+1)/(C(w1)+V) scored
+    back onto each document's bigrams with one vocabulary-keyed join.
+    At 100 TB every stage is a hash shuffle on token keys; nothing
+    collects."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    docs = d.select("doc_id", F.split(norm, " ").alias("t")).filter(F.size("t") >= 2)
+    tok_pos = docs.select("doc_id", F.posexplode("t").alias("pos", "w1"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok_pos.withColumn("w2", F.lead("w1").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
+    uc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("un"))
+    vsz = tok_pos.select("w1").distinct().count()  # scalar → plan literal
+    scored = (
+        pairs.join(bc, ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .withColumn(
+            "nll", -F.log((F.col("bn") + 1) / (F.col("un") + F.lit(vsz)))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("xent"),
+    )
+
+
 @register("tfidf_top_terms", _TFIDF_ORACLE)
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-3 terms per document. Classic corpus statistic as a
