@@ -4155,6 +4155,60 @@ def q_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(e, "embedding", "vec_id", k=8, iters=2)
 
 
+_SEMDEDUP_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id AS vid, [CAST(x AS DOUBLE) for x in embedding] AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM v WHERE vid < 8),
+    s AS (
+      SELECT v.vid, v.v, c0.cid, {_km_d2("v.v", "c0.c")} AS d2
+      FROM v, c0
+    ),
+    a AS (
+      SELECT vid, v, cid, d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rk
+            FROM s)
+      WHERE rk = 1
+    ),
+    r AS (
+      SELECT vid, v, cid, d2,
+             sqrt(list_sum([x * x for x in v])) AS nv,
+             row_number() OVER (PARTITION BY cid ORDER BY d2, vid) AS rnk
+      FROM a
+    ),
+    dup AS (
+      SELECT DISTINCT x.vid
+      FROM r x JOIN r y ON x.cid = y.cid AND y.rnk < x.rnk
+      WHERE round(
+              list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))])
+              / (x.nv * y.nv), 4) >= 0.38
+    ),
+    sizes AS (SELECT cid, count(*) AS n_cluster_members FROM r GROUP BY cid)
+    SELECT r.vid AS vec_id, r.cid AS cluster_id, sizes.n_cluster_members
+    FROM r JOIN sizes USING (cid)
+    WHERE r.vid NOT IN (SELECT vid FROM dup)
+"""
+
+
+@register("dedup_semantic", _SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (cluster, then prune near-dups
+    only within each cluster): pairwise work is O(sum c_i^2) instead of
+    O(n^2), expressed as one equi-join on cluster id after a broadcast
+    centroid assignment. The keeper heuristic is the paper's
+    closest-to-centroid rule (priority = (d2, id)); a row is dropped iff
+    a higher-priority cluster-mate has cosine >= 0.38. The oracle replays
+    assignment, in-cluster ranking, and the pairwise prune in SQL, so
+    the hash match certifies the whole composition — the same
+    fixed-centroid convention `ann_ivf` uses, with training certified by
+    `kmeans_ivf_train`."""
+    from .operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "embedding", "vec_id", k=8, tau=0.38)
+
+
 @register(
     "multimodal_resize",
     """

@@ -138,3 +138,51 @@ def test_kmeans_lloyd_matches_numpy_replay(spark, sf_dir):
             exp[c] = int(m.sum())
     assert {c: n for c, (n, _) in got.items()} == exp
     assert all(i > 0 for _, i in got.values())
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup contract checks beyond the SQL oracle: survivors are a
+    subset of the corpus, tau=1.01 keeps everything, every dropped row
+    has a surviving higher-priority cluster-mate above tau (numpy
+    replay), and the per-cluster keeper (rank 1) always survives."""
+    import numpy as np
+
+    from catlas_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+
+    keep_all = semantic_dedup(emb, k=8, tau=1.01)
+    assert keep_all.count() == n
+
+    tau = 0.38
+    kept = {r.vec_id for r in semantic_dedup(emb, k=8, tau=tau).collect()}
+    assert kept <= {r.vec_id for r in emb.select("vec_id").collect()}
+    assert len(kept) < n  # the threshold does real work on this corpus
+
+    # numpy replay of assignment + priority + prune
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([[float(x) for x in r.embedding] for r in rows])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    snap = lambda a: np.floor(a * 10000 + 0.5) / 10000
+    C = V[:8]
+    d2 = snap(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+    assign = d2.argmin(axis=1)
+    best = d2[np.arange(len(ids)), assign]
+    nv = np.sqrt((V * V).sum(axis=1))
+    expected_kept = set()
+    for c in set(assign.tolist()):
+        m = np.where(assign == c)[0]
+        prio = m[np.lexsort((ids[m], best[m]))]  # (d2, id) ascending
+        # drop i iff ANY higher-priority cluster-mate (surviving or not)
+        # is tau-close — the non-cascading rule the operator declares
+        for pos, i in enumerate(prio):
+            sims = [
+                round(float(V[i] @ V[j]) / float(nv[i] * nv[j]), 4)
+                for j in prio[:pos]
+            ]
+            if not any(s >= tau for s in sims):
+                expected_kept.add(int(ids[i]))
+    assert kept == expected_kept
