@@ -4369,3 +4369,53 @@ def q_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") > total * support)
         & F.col("l_suppkey").isin(list(sketch))
     )
+
+
+@register(
+    "misra_gries_contract",
+    """
+    WITH z AS (
+      SELECT 4096 // ((l_orderkey * 2654435761) % 4096 + 1) AS zkey
+      FROM lineitem
+    ),
+    counts AS (SELECT zkey, count(*) AS n FROM z GROUP BY zkey),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT zkey, n
+    FROM counts, tot
+    WHERE n > total * 0.032
+    """,
+)
+def q_misra_gries_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Misra-Gries mergeable summary (capacity k=31) over a
+    deterministic Zipf-like key (multiplicative hash of the order key,
+    reciprocal-bucketed: ~127 distinct values, top bucket ~50% of rows —
+    uniform TPC-H keys would never trip the prune path), proven by its
+    CONTRACT: the summary never overcounts, undercounts by at most
+    N/(k+1) = N/32 < N * 0.032, and therefore contains every item with
+    true frequency above the 0.032 support. Intersecting the exact
+    frequent set with the sketch output UNDER those bound checks must
+    reproduce the exact set — a missed heavy hitter or an out-of-bound
+    estimate breaks the hash match. Unlike `heavy_hitters_contract`
+    (JVM freqItems), this one exercises the CUSTOM-mergeable-summary
+    recipe: Arrow-batched per-partition summaries via mapInPandas (an
+    intentional Python stage, like multimodal; at most k counters per
+    task, k rows per partition shuffled), merged with one tiny
+    groupBy."""
+    from .operators.sketches import misra_gries
+
+    li = _t(spark, sf_dir, "lineitem")
+    support, k = 0.032, 31
+    zkey = F.expr("4096 div ((l_orderkey * 2654435761) % 4096 + 1)").alias("zkey")
+    z = li.select(zkey)
+    sketch = misra_gries(z, "zkey", k=k)
+    counts = z.groupBy("zkey").agg(F.count(F.lit(1)).alias("n"))
+    total = z.count()
+    return (
+        counts.join(sketch, "zkey")
+        .filter(
+            (F.col("n") > total * support)
+            & (F.col("est") <= F.col("n"))
+            & (F.col("est") >= F.col("n") - total / (k + 1))
+        )
+        .select("zkey", "n")
+    )

@@ -1,0 +1,44 @@
+"""Misra-Gries mergeable summary: bound checks on a skewed corpus, and
+proof that the prune path actually engages (a uniform key never trips
+it, which is why the registry query uses a Zipf-like derived key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from catlas_spark.operators.sketches import misra_gries
+
+
+def _zipf_df(spark, n=50_000, n_part=8):
+    # deterministic Zipf-ish: reciprocal bucket of a hashed uniform key
+    return (
+        spark.range(n, numPartitions=n_part)
+        .select(F.expr("4096 div ((id * 2654435761) % 4096 + 1)").alias("k"))
+    )
+
+
+def test_misra_gries_bounds_and_no_false_negatives(spark):
+    df = _zipf_df(spark)
+    n = df.count()
+    k = 15
+    est = {r.k: r.est for r in misra_gries(df, "k", k=k).collect()}
+    true = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    bound = n / (k + 1)
+    for item, e in est.items():
+        assert e <= true[item], "MG must never overcount"
+        assert e >= true[item] - bound, "undercount exceeded N/(k+1)"
+    # every item above the guarantee threshold must be present
+    for item, t in true.items():
+        if t > bound:
+            assert item in est, f"heavy item {item} missing from summary"
+    # the prune path did real work on this corpus: estimates are not exact
+    assert any(e < true[i] for i, e in est.items())
+    # and the summary stayed summary-sized (<= k per input partition)
+    assert len(est) <= k * df.rdd.getNumPartitions()
+
+
+def test_misra_gries_uniform_key_is_exact_when_under_capacity(spark):
+    df = spark.range(10_000, numPartitions=4).select((F.col("id") % 50).alias("k"))
+    est = {r.k: r.est for r in misra_gries(df, "k", k=64).collect()}
+    assert est == {i: 200 for i in range(50)}  # never pruned -> exact
