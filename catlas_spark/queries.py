@@ -4419,3 +4419,161 @@ def q_misra_gries_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("zkey", "n")
     )
+
+
+@register(
+    "array_functions",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum([length(x) for x in ws]) AS BIGINT) AS total_chars,
+           CAST(len(list_filter(ws, x -> length(x) > 5)) AS BIGINT) AS n_long,
+           len(list_filter(ws, x -> length(x) > 9)) > 0 AS has_long,
+           len(list_filter(ws, x -> length(x) = 0)) = 0 AS all_nonempty,
+           array_to_string(list_sort(list_distinct(ws))[1:3], '|') AS first3_sorted,
+           CAST(list_sum([length(ws[i]) * length(ws[len(ws) - i + 1])
+                          for i in generate_series(1, len(ws))]) AS BIGINT)
+             AS palindrome_dot
+    FROM w
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function battery (transform / filter / exists /
+    forall / aggregate / zip_with / array_sort / array_distinct / slice /
+    array_join) — the §2.11 array toolbox a token-level pipeline leans
+    on. Everything is a native Column expression (no Python), and the
+    array-valued intermediates are folded to scalars/strings so the
+    cross-engine hash compare is exact."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    ws = F.split(F.col("text"), " ")
+    lens = F.transform(ws, lambda w: F.length(w))
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x).cast("long").alias("total_chars"),
+        F.size(F.filter(ws, lambda w: F.length(w) > 5)).cast("long").alias("n_long"),
+        F.exists(ws, lambda w: F.length(w) > 9).alias("has_long"),
+        F.forall(ws, lambda w: F.length(w) > 0).alias("all_nonempty"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(ws)), 1, 3), "|"
+        ).alias("first3_sorted"),
+        F.aggregate(
+            F.zip_with(ws, F.reverse(ws), lambda a, b: F.length(a) * F.length(b)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("long").alias("palindrome_dot"),
+    )
+
+
+@register(
+    "map_functions",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(string_split(text, ' ')))[1:5] AS dw
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(len(dw) AS BIGINT) AS n_entries,
+           array_to_string(dw, '|') AS keys_joined,
+           CAST(list_sum([length(x) for x in dw]) AS BIGINT) AS vals_sum,
+           CAST(length(dw[1]) AS BIGINT) AS first_val,
+           CAST(len(list_filter(dw, x -> length(x) > 3)) AS BIGINT) AS n_long,
+           CAST(2 * list_sum([length(x) for x in dw]) AS BIGINT) AS doubled_sum,
+           CAST(len(dw) + 1 AS BIGINT) AS n_concat
+    FROM w
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column battery (map_from_arrays / map_keys / map_values /
+    element_at / map_filter / transform_values / map_concat /
+    cardinality): the per-row key-value toolbox for feature dictionaries
+    and token->count columns. Keys are the first 5 sorted-distinct words
+    (so map construction is duplicate-free under the default EXCEPTION
+    dedup policy), values their lengths; every map-valued intermediate is
+    folded to a scalar/string so the oracle can state the expected VALUES
+    from plain arrays — the oracle certifies semantics, Spark exercises
+    the map machinery."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    dw = F.slice(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), 1, 5)
+    d = d.select("doc_id", dw.alias("dw"))
+    m = F.map_from_arrays(F.col("dw"), F.transform(F.col("dw"), lambda w: F.length(w)))
+    vals_sum = F.aggregate(F.map_values(m), F.lit(0), lambda a, x: a + x)
+    return d.select(
+        "doc_id",
+        F.cardinality(m).cast("long").alias("n_entries"),
+        F.array_join(F.map_keys(m), "|").alias("keys_joined"),
+        vals_sum.cast("long").alias("vals_sum"),
+        F.element_at(m, F.element_at(F.col("dw"), 1)).cast("long").alias("first_val"),
+        F.cardinality(F.map_filter(m, lambda k, v: v > 3)).cast("long").alias("n_long"),
+        F.aggregate(
+            F.map_values(F.transform_values(m, lambda k, v: v * 2)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("long").alias("doubled_sum"),
+        F.cardinality(
+            F.map_concat(m, F.create_map(F.lit("__sentinel__"), F.lit(0)))
+        ).cast("long").alias("n_concat"),
+    )
+
+
+@register(
+    "boilerplate_ngram_filter",
+    f"""
+    WITH tt AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS gram FROM tt WHERE len(t) >= 2
+    ),
+    dfq AS (SELECT gram, count(*) AS doc_freq FROM sh GROUP BY gram),
+    per AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN dfq.doc_freq > 32 THEN 1 ELSE 0 END) AS n_common
+      FROM sh s JOIN dfq ON s.gram = dfq.gram
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / n_shingles, 4) AS boilerplate_frac
+    FROM per
+    WHERE n_common * 1.0 / n_shingles <= 0.35
+    """,
+)
+def q_boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate filter by corpus-frequent n-gram fraction (the C4 /
+    RefinedWeb recipe: a document dominated by shingles that appear in
+    many OTHER documents is navigation chrome / templates, not prose).
+    Two shuffles total: distinct-bigram doc frequency (map-side
+    combinable groupBy), then one join of the shingle table against the
+    frequency table and a per-doc aggregate — no pairwise comparison
+    anywhere, so the plan is linear in corpus size at 100 TB. Thresholds
+    (df > 32, keep frac <= 0.35) are tuned to this corpus's ~916-bigram
+    vocabulary so the filter does real work (drops ~23% of docs)."""
+    from .functions.text import token_shingles
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+    )
+    sh = d.select("doc_id", F.explode(token_shingles(F.col("text"), 2)).alias("gram"))
+    dfq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    per = (
+        sh.join(dfq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("doc_freq") > 32, 1).otherwise(0)).alias("n_common"),
+        )
+    )
+    frac = F.col("n_common") / F.col("n_shingles")
+    return per.filter(frac <= 0.35).select(
+        "doc_id",
+        "n_shingles",
+        "n_common",
+        F.round(frac, 4).alias("boilerplate_frac"),
+    )

@@ -159,3 +159,57 @@ def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
     p = plan_of(spark, sf_dir, "interval_bucket_join")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_broadcast_threshold_sensitivity(spark, sf_dir):
+    """The same logical join must flip BroadcastHashJoin <-> SortMergeJoin
+    purely on spark.sql.autoBroadcastJoinThreshold, with identical results
+    — the knob a 100 TB deployment tunes per dimension-table size, so a
+    regression here (e.g. a stray hint pinning one strategy) would silently
+    force shuffle joins at scale."""
+    from pyspark.sql import functions as F
+
+    def build():
+        # fresh DataFrame per phase: an executed DF pins its (adaptive)
+        # final plan, so conf changes would not re-plan it
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        return (
+            cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def run():
+        import contextlib
+        import io
+
+        df = build()
+        rows = sorted((r.n_name, r.n) for r in df.collect())
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")  # post-run: shows the AQE final plan
+        return buf.getvalue(), rows
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",  # AQE re-broadcast knob
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, str(10 * 1024 * 1024))
+        p_bc, rows_bc = run()
+        for k in keys:
+            spark.conf.set(k, "-1")
+        p_smj, rows_smj = run()
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+    assert "BroadcastHashJoin" in p_bc and "SortMergeJoin" not in p_bc
+    assert "SortMergeJoin" in p_smj and "BroadcastHashJoin" not in p_smj
+    assert rows_bc == rows_smj and rows_bc
