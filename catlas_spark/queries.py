@@ -4577,3 +4577,41 @@ def q_boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         F.round(frac, 4).alias("boilerplate_frac"),
     )
+
+
+def _jl_dim_sql(j: int, out_dim: int = 8, seed: int = 17) -> str:
+    """DuckDB replay of one jl_project output dim: identical sign hash
+    (generate_series is 1-based, matching the operator's (i+1) over its
+    0-based transform index), identical in-order fold, identical snap."""
+    return (
+        f"floor(list_sum([v[i] * (((i * {(j + seed) * 2654435761}) % 2038074743 % 2) * 2 - 1) "
+        f"for i in generate_series(1, len(v))]) / sqrt({out_dim}) * 10000 + 0.5) / 10000"
+    )
+
+
+@register(
+    "jl_projection",
+    f"""
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      FROM embeddings WHERE vec_id % 4 = 0
+    )
+    SELECT vec_id,
+           {", ".join(f"{_jl_dim_sql(j)} AS p{j}" for j in range(8))}
+    FROM v
+    """,
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection 64 -> 8 dims with a hash-derived
+    Rademacher sign matrix (Achlioptas 2003): the embedding-compression
+    stage a 100 TB ANN pipeline runs before indexing. No materialized
+    matrix, no shuffle, no Python — each output dim is one codegen fold
+    over the input array, so the stage is a pure map over the corpus.
+    The oracle replays the exact sign hash and fold in SQL."""
+    from .functions.vector import jl_project
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    dims = jl_project(F.col("embedding"), out_dim=8)
+    return e.select(
+        "vec_id", *[c.alias(f"p{j}") for j, c in enumerate(dims)]
+    )

@@ -42,3 +42,32 @@ def test_misra_gries_uniform_key_is_exact_when_under_capacity(spark):
     df = spark.range(10_000, numPartitions=4).select((F.col("id") % 50).alias("k"))
     est = {r.k: r.est for r in misra_gries(df, "k", k=64).collect()}
     assert est == {i: 200 for i in range(50)}  # never pruned -> exact
+
+
+def test_jl_projection_preserves_distances_statistically(spark, sf_dir):
+    """JL contract: pairwise squared distances in the projected space
+    concentrate around the original ones (Achlioptas +-1 matrix). With
+    out_dim=16 the distortion is loose, so assert the MEDIAN ratio over
+    many pairs is near 1 and no systematic collapse/blow-up."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.functions.vector import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    dims = jl_project(F.col("embedding"), out_dim=16)
+    rows = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        F.array(*dims).alias("p"),
+    ).collect()
+    V = np.array([r.v for r in rows])
+    P = np.array([r.p for r in rows])
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, len(rows), size=(500, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d_orig = ((V[idx[:, 0]] - V[idx[:, 1]]) ** 2).sum(axis=1)
+    d_proj = ((P[idx[:, 0]] - P[idx[:, 1]]) ** 2).sum(axis=1)
+    ratio = d_proj / d_orig
+    assert 0.8 < float(np.median(ratio)) < 1.25
+    assert float(np.mean((ratio > 0.2) & (ratio < 5.0))) > 0.95
