@@ -902,21 +902,26 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"), "l_extendedprice"
     )
-    # partitions sized for the REDUCED (group, value) table (~1.4M rows
-    # here → ~180k/partition), not the raw scan: fewer, fuller range
-    # partitions halve the per-task overhead (2.0 → 1.4 s measured)
+    # prices are near-unique → the (group, value) pre-aggregation reduces
+    # nothing; skip its shuffle (pre_aggregate=False) and take the group
+    # min/max for free from the offsets collect (extremes=True) instead
+    # of a second raw scan. 8 fuller range partitions beat 32 thin ones
+    # for the per-task overhead (earlier measurement).
     qt = grouped_exact_quantiles(
-        li, "flag", "l_extendedprice", [0.5, 0.9], num_partitions=8
+        li,
+        "flag",
+        "l_extendedprice",
+        [0.5, 0.9],
+        num_partitions=8,
+        pre_aggregate=False,
+        extremes=True,
     )
-    pivoted = qt.groupBy("flag").agg(
+    return qt.groupBy("flag").agg(
         F.round(F.max(F.when(F.col("prob") == 0.5, F.col("quantile"))), 4).alias("p50"),
         F.round(F.max(F.when(F.col("prob") == 0.9, F.col("quantile"))), 4).alias("p90"),
+        F.round(F.min("group_min"), 4).alias("lo"),
+        F.round(F.max("group_max"), 4).alias("hi"),
     )
-    minmax = li.groupBy("flag").agg(
-        F.round(F.min("l_extendedprice"), 4).alias("lo"),
-        F.round(F.max("l_extendedprice"), 4).alias("hi"),
-    )
-    return pivoted.join(minmax, "flag").select("flag", "p50", "p90", "lo", "hi")
 
 
 @register(

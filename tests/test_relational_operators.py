@@ -152,6 +152,18 @@ def test_grouped_exact_quantiles_matches_percentile(spark):
             truth[(r.g, float(p))] = round(r[f"p{i}"], 6)
     assert got == truth
 
+    # the raw-row path (pre_aggregate=False) and the free extremes must
+    # agree with the pre-aggregated path and a plain min/max
+    raw = grouped_exact_quantiles(
+        df, "g", "v", probs, pre_aggregate=False, extremes=True
+    ).collect()
+    assert {(r.g, r.prob): round(r.quantile, 6) for r in raw} == truth
+    mm = {
+        r.g: (r.mn, r.mx)
+        for r in df.groupBy("g").agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()
+    }
+    assert {r.g: (r.group_min, r.group_max) for r in raw} == mm
+
 
 def test_salted_agg_matches_plain(spark):
     from pyspark.sql import functions as F
