@@ -573,6 +573,8 @@ def chunk_dedup_stats(
     same banner APPENDED lands at a different offset in every doc and is
     missed. :func:`cdc_chunk_stats` is the shift-robust variant.
     """
+    from ..partitioning import spread_small_source
+
     toks = _norm_tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
@@ -581,7 +583,11 @@ def chunk_dedup_stats(
             " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
         ),
     )
-    exploded = df.select(F.col(id_col).alias("doc"), F.explode(chunks).alias("chunk"))
+    # a small single-row-group corpus scans as ONE task; spread before
+    # the tokenize/chunk map phase so it uses every core
+    exploded = spread_small_source(df).select(
+        F.col(id_col).alias("doc"), F.explode(chunks).alias("chunk")
+    )
     doc_freq = exploded.groupBy("chunk").agg(
         F.count_distinct("doc").alias("__nd")
     )
@@ -629,7 +635,9 @@ def cdc_chunk_stats(
 
     Output per doc: (id, n_chunks, n_shared, shared_frac).
     """
-    toks = df.select(
+    from ..partitioning import spread_small_source
+
+    toks = spread_small_source(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "tok"),
     )

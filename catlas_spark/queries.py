@@ -1739,19 +1739,34 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto each document's bigrams with one vocabulary-keyed join.
     At 100 TB every stage is a hash shuffle on token keys; nothing
     collects."""
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     docs = d.select("doc_id", F.split(norm, " ").alias("t")).filter(F.size("t") >= 2)
     tok_pos = docs.select("doc_id", F.posexplode("t").alias("pos", "w1"))
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # the bigram table feeds FOUR consumers (bigram counts, prefix
+    # counts, the vocabulary count action, the scoring join) — persist
+    # so the explode+window subtree runs once, released after the tiny
+    # per-doc result materializes (the keep_best pattern)
     pairs = (
         tok_pos.withColumn("w2", F.lead("w1").over(wdoc))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", "w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
     uc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("un"))
-    vsz = tok_pos.select("w1").distinct().count()  # scalar → plan literal
+    # every token of a >=2-token doc occurs in some bigram, so the
+    # vocabulary is distinct(w1 ∪ w2) of the cached pairs — no second
+    # pass over the explode chain
+    vsz = (
+        pairs.select(F.col("w1").alias("w"))
+        .union(pairs.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )  # scalar → plan literal
     scored = (
         pairs.join(bc, ["w1", "w2"])
         .join(F.broadcast(uc), "w1")
@@ -1759,10 +1774,12 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nll", -F.log((F.col("bn") + 1) / (F.col("un") + F.lit(vsz)))
         )
     )
-    return scored.groupBy("doc_id").agg(
+    res = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 4).alias("xent"),
-    )
+    ).localCheckpoint()
+    pairs.unpersist(blocking=False)
+    return res
 
 
 @register("tfidf_top_terms", _TFIDF_ORACLE)
@@ -2388,11 +2405,16 @@ def q_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the sketch is the only option — one map-side-combinable pass,
     no distinct shuffle of the key universe."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.countDistinct("l_partkey").alias("exact_nd"),
+    # HLL is duplicate-insensitive, so both aggregates can share ONE
+    # pre-distinct pass: avoids the Expand (row duplication per distinct
+    # aggregate) that count(DISTINCT)-next-to-another-agg plans, and the
+    # distinct shuffle is map-side combinable (1.5 -> 0.9 s at sf0.1)
+    d = li.select(F.col("l_returnflag").alias("flag"), "l_partkey").distinct()
+    return d.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("exact_nd"),
         (
-            F.abs(F.approx_count_distinct("l_partkey", 0.02) - F.countDistinct("l_partkey"))
-            <= 0.08 * F.countDistinct("l_partkey")
+            F.abs(F.approx_count_distinct("l_partkey", 0.02) - F.count(F.lit(1)))
+            <= 0.08 * F.count(F.lit(1))
         ).alias("approx_ok"),
     )
 
