@@ -46,20 +46,33 @@ def test_semi_anti_join_strategies(spark, sf_dir):
     assert "LeftAnti" in plan_of(spark, sf_dir, "anti_join_customers_without_orders")
 
 
+# the ONLY queries allowed to carry a Python stage: the multimodal
+# decoders and the custom-mergeable-sketch exemplar, all Arrow-batched
+# MapInPandas (never row-at-a-time EvalPython)
+PYTHON_STAGE_QUERIES = (
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "misra_gries_contract",
+)
+
+
 def test_no_python_udf_in_native_queries(spark, sf_dir):
-    # every query except the explicitly-Python multimodal decode must stay
-    # JVM-side (no BatchEvalPython / ArrowEvalPython stages)
+    # everything else must stay JVM-side: no BatchEvalPython /
+    # ArrowEvalPython (scalar UDFs) and no MapInPandas either — a new
+    # Python stage must be added to the explicit whitelist above
     for name in Q.queries():
-        if name in ("multimodal_decode", "multimodal_frame_sample"):
+        if name in PYTHON_STAGE_QUERIES:
             continue
         p = plan_of(spark, sf_dir, name)
         assert "EvalPython" not in p, f"{name} fell off the JVM path"
+        assert "MapInPandas" not in p, f"{name} grew an unlisted Python stage"
 
 
 def test_multimodal_is_arrow_batched(spark, sf_dir):
-    for name in ("multimodal_decode", "multimodal_frame_sample"):
+    for name in PYTHON_STAGE_QUERIES:
         p = plan_of(spark, sf_dir, name)
         assert "MapInPandas" in p  # Arrow batch, not row-at-a-time UDF
+        assert "BatchEvalPython" not in p
 
 
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
