@@ -52,6 +52,7 @@ def test_semi_anti_join_strategies(spark, sf_dir):
 PYTHON_STAGE_QUERIES = (
     "multimodal_decode",
     "multimodal_frame_sample",
+    "multimodal_resize",
     "misra_gries_contract",
 )
 
