@@ -4642,3 +4642,47 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", *[c.alias(f"p{j}") for j, c in enumerate(dims)]
     )
+
+
+@register(
+    "train_test_split",
+    """
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+               WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM tagged
+    GROUP BY split, lang
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by a multiplicative
+    hash of the stable document id — the reproducible-split primitive
+    every training pipeline needs (no sampling state, no shuffle to
+    decide membership: the split is a map-side expression, so the same
+    doc lands in the same split on any cluster, any run, any engine).
+    Disjointness and completeness are structural (CASE over one hash);
+    the oracle checks the per-(split, lang) census."""
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
