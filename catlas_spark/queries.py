@@ -4436,13 +4436,16 @@ def q_misra_gries_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = li.select(zkey)
     sketch = misra_gries(z, "zkey", k=k)
     counts = z.groupBy("zkey").agg(F.count(F.lit(1)).alias("n"))
-    total = z.count()
+    # total folded in as a broadcast scalar (sum of the tiny counts
+    # table) instead of a separate .count() action/scan
+    tot = counts.agg(F.sum("n").alias("__total"))
     return (
         counts.join(sketch, "zkey")
+        .crossJoin(F.broadcast(tot))
         .filter(
-            (F.col("n") > total * support)
+            (F.col("n") > F.col("__total") * support)
             & (F.col("est") <= F.col("n"))
-            & (F.col("est") >= F.col("n") - total / (k + 1))
+            & (F.col("est") >= F.col("n") - F.col("__total") / (k + 1))
         )
         .select("zkey", "n")
     )
