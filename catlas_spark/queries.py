@@ -4689,3 +4689,71 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "bitwise_functions",
+    """
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT) AS band,
+           CAST(l_orderkey | 4096 AS BIGINT) AS bor,
+           CAST(xor(l_orderkey, 1365) AS BIGINT) AS bxor,
+           CAST(l_orderkey << 2 AS BIGINT) AS shl,
+           CAST(l_orderkey >> 3 AS BIGINT) AS shr,
+           CAST(~l_orderkey AS BIGINT) AS bnot,
+           CAST(bit_count(l_orderkey) AS INTEGER) AS popcnt
+    FROM lineitem WHERE l_orderkey % 101 = 0 AND l_linenumber = 1
+    """,
+)
+def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression battery (&, |, xor, shifts, ~, popcount) — the
+    §2.11 bit toolbox behind bitmap joins, bloom filters, and hash
+    bucketing. All codegen scalar expressions; popcount via bit_count."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 101 == 0) & (F.col("l_linenumber") == 1)
+    )
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.shiftleft(k, 2).cast("long").alias("shl"),
+        F.shiftright(k, 3).cast("long").alias("shr"),
+        F.bitwise_not(k).alias("bnot"),
+        F.bit_count(k).cast("int").alias("popcnt"),
+    )
+
+
+@register(
+    "conditional_functions",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           CAST(least(o_totalprice, 150000.0) AS DOUBLE) AS capped,
+           CAST(greatest(o_totalprice, 1000.0) AS DOUBLE) AS floored,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent_flag,
+           if(o_custkey % 2 = 0, 'even', 'odd') AS parity
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression battery (CASE, coalesce/nullif, least/
+    greatest, if) — §2.11 control expressions, all constant-folded /
+    codegen scalar ops."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p > 200000, "big").when(p > 100000, "mid").otherwise("small").alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.least(p, F.lit(150000.0)).alias("capped"),
+        F.greatest(p, F.lit(1000.0)).alias("floored"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent_flag"),
+        F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    )
