@@ -4229,7 +4229,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, in-cluster ranking, and the pairwise prune in SQL, so
     the hash match certifies the whole composition — the same
     fixed-centroid convention `ann_ivf` uses, with training certified by
-    `kmeans_ivf_train`."""
+    `kmeans_ivf_train`. k=8 here IS the scale rule k ~ n/250 at this
+    corpus size; at larger corpora k must grow with n so cluster size
+    stays bounded (fixed k=8 measured 120 s at 10x vs 6 s with k=n/250 —
+    scripts/stress.py runs the scaled variant)."""
     from .operators.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")

@@ -71,3 +71,30 @@ def test_jl_projection_preserves_distances_statistically(spark, sf_dir):
     ratio = d_proj / d_orig
     assert 0.8 < float(np.median(ratio)) < 1.25
     assert float(np.mean((ratio > 0.2) & (ratio < 5.0))) > 0.95
+
+
+def test_misra_gries_bounds_hold_on_random_streams(spark):
+    """Property check: for arbitrary skew shapes and capacities the MG
+    contract (never overcount, undercount <= N/(k+1), no false negative
+    above the bound) must hold. Deterministic seeds, a handful of shapes
+    — each case is a full Spark job, so the sweep stays small."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed, k, n_part in [(1, 5, 3), (2, 12, 8), (3, 40, 2), (4, 7, 16)]:
+        rng = random.Random(seed)
+        # mixture of a few hot keys and a uniform tail
+        vals = [rng.choice([0, 1, 2]) if rng.random() < 0.5 else rng.randrange(500)
+                for _ in range(4000)]
+        df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(n_part)
+        est = {r.k: r.est for r in misra_gries(df, "k", k=k).collect()}
+        true = {}
+        for v in vals:
+            true[v] = true.get(v, 0) + 1
+        bound = len(vals) / (k + 1)
+        assert all(e <= true[i] for i, e in est.items())
+        assert all(e >= true[i] - bound for i, e in est.items())
+        for i, t in true.items():
+            if t > bound:
+                assert i in est, f"seed={seed} k={k}: heavy {i} missing"
