@@ -1,0 +1,188 @@
+"""Spark 4 Python Data Source implementations of the reference's
+non-parquet ingest formats, with EXECUTOR-side IO.
+
+The reference ingests NPZ archives and pickled pandas DataFrames
+(`catlas/load_bulk_structures.py:8-22` npz; `catlas/parity/
+parity_utils.py:281-287` pkl). The legacy helpers in `star.py` read
+those on the DRIVER and distribute via ``createDataFrame`` — fine for
+one small file, a bottleneck for a directory of them. These DataSource
+classes move the file IO into tasks: one input partition per file, each
+executor opens only its own archive, and simple comparison filters are
+pushed into the reader so a filtered scan materializes only matching
+rows (the Python-source analog of parquet predicate pushdown).
+
+Register once per session::
+
+    spark.dataSource.register(NpzDataSource)
+    spark.dataSource.register(PickleDataFrameSource)
+    df = (spark.read.format("catlas_npz")
+          .schema("sid string, energy double, emb array<double>")
+          .load("/data/validation"))
+
+Schema may be omitted: it is inferred from ONE file's keys/dtypes
+(driver-side metadata peek, not a data read — npz archives are zip
+files whose members load lazily).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+def _expand(path: str, suffix: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, f"*{suffix}")))
+    return sorted(glob.glob(path)) or [path]
+
+
+def _np_field(name: str, arr) -> str:
+    import numpy as np
+
+    if arr.ndim == 2:
+        return f"{name} array<double>"
+    if np.issubdtype(arr.dtype, np.floating):
+        return f"{name} double"
+    if np.issubdtype(arr.dtype, np.integer):
+        return f"{name} long"
+    return f"{name} string"
+
+
+class _FilteredReader(DataSourceReader):
+    """Shared per-file partitioning + comparison-filter pushdown."""
+
+    _COMPARABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
+    def __init__(self, paths: list[str], schema: StructType):
+        self.paths = paths
+        self.schema_ = schema
+        self.filters: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        names = {f.name for f in self.schema_.fields}
+        for f in filters:
+            if isinstance(f, self._COMPARABLE) and f.attribute[0] in names:
+                self.filters.append(f)
+            else:
+                yield f  # unsupported -> Spark re-applies it above the scan
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(p) for p in self.paths]
+
+    def _keep(self, row: dict) -> bool:
+        for f in self.filters:
+            v = row[f.attribute[0]]
+            if v is None:
+                return False
+            if isinstance(f, EqualTo) and not v == f.value:
+                return False
+            if isinstance(f, GreaterThan) and not v > f.value:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not v >= f.value:
+                return False
+            if isinstance(f, LessThan) and not v < f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and not v <= f.value:
+                return False
+        return True
+
+
+class NpzDataSource(DataSource):
+    """``.npz`` directory/glob scan: each archive holds same-length
+    arrays keyed by column name (1-D -> scalar column, 2-D -> one
+    array<double> column per row)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "catlas_npz"
+
+    def _paths(self) -> list[str]:
+        return _expand(self.options["path"], ".npz")
+
+    def schema(self) -> str:
+        import numpy as np
+
+        with np.load(self._paths()[0], allow_pickle=False) as z:
+            return ", ".join(_np_field(k, z[k]) for k in z.files)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _NpzReader(self._paths(), schema)
+
+
+class _NpzReader(_FilteredReader):
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        import numpy as np
+
+        cols = [f.name for f in self.schema_.fields]
+        with np.load(partition.value, allow_pickle=False) as z:
+            data = {c: z[c] for c in cols}
+        n = len(next(iter(data.values())))
+        for i in range(n):
+            row = {
+                c: (a[i].tolist() if a.ndim == 2 else a[i].item())
+                for c, a in data.items()
+            }
+            if self._keep(row):
+                yield tuple(row[c] for c in cols)
+
+
+class PickleDataFrameSource(DataSource):
+    """Pickled-pandas-DataFrame scan (the reference's per-model
+    validation frames), one task per ``.pkl`` file — replaces the
+    driver-side ``load_pickled_dataframe`` legacy path for directories
+    of frames."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "catlas_pickledf"
+
+    def _paths(self) -> list[str]:
+        return _expand(self.options["path"], ".pkl")
+
+    def schema(self) -> str:
+        import pandas as pd
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+        import pyarrow as pa
+
+        pdf = pd.read_pickle(self._paths()[0])
+        return from_arrow_schema(pa.Schema.from_pandas(pdf, preserve_index=False))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _PickleReader(self._paths(), schema)
+
+
+class _PickleReader(_FilteredReader):
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        import pandas as pd
+
+        pdf = pd.read_pickle(partition.value)
+        cols = [f.name for f in self.schema_.fields]
+        for rec in pdf[cols].itertuples(index=False):
+            row = dict(zip(cols, rec))
+            if self._keep(row):
+                yield tuple(row[c] for c in cols)
+
+
+def register_python_sources(spark) -> None:
+    """Register both sources. Spark REFUSES a reader that implements
+    pushFilters() while `spark.sql.python.filterPushdown.enabled` is
+    false, so registration enables it (runtime-settable, scoped to this
+    session)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(NpzDataSource)
+    spark.dataSource.register(PickleDataFrameSource)

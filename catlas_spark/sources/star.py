@@ -53,7 +53,9 @@ def load_pickled_dataframe(spark: SparkSession, path: str) -> DataFrame:
     Legacy-ingest path only: the pickle is read on the driver (these
     files are small, one per model id) and distributed via
     ``createDataFrame`` — new data should land as parquet so the scan
-    stays lazy and distributed."""
+    stays lazy and distributed. For DIRECTORIES of frames use the
+    Spark-4 Python Data Source (``sources/pydatasource.
+    PickleDataFrameSource``): executor-side IO, one task per file."""
     import pandas as pd
 
     pdf = pd.read_pickle(path)
