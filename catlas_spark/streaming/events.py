@@ -215,3 +215,77 @@ def write_stream_parquet(stream_df: DataFrame, out_dir: str, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+TYPE_CENSUS_SCHEMA = (
+    "user_id long, n_events long, n_types long, top_type string"
+)
+
+
+def user_type_census_tws(events: DataFrame) -> DataFrame:
+    """Per-user event-type census via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful API (the successor surface to
+    `stateful_user_stats`'s applyInPandasWithState): a typed MapState
+    (event_type -> count) lives in the state store per user, updated
+    every micro-batch; the emitted row is the census AFTER the batch
+    (total events, distinct types, most-frequent type with
+    lexicographic tiebreak). Requires the RocksDB state store provider
+    (transformWithState is implemented against it); the caller/test
+    pins `spark.sql.streaming.stateStore.providerClass`. ALSO requires
+    `protobuf` (the TWS state-server wire protocol) — absent from this
+    container, so the parity test import-skips, same policy as the
+    matplotlib-gated parity PDF sink; the API usage itself is real.
+
+    MapState (vs a single packed ValueState) is the point: per-type
+    updates touch only the changed keys, so a user with a million
+    events and five types carries five counters, and state growth is
+    O(distinct types) — the right shape for an unbounded stream.
+    """
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCensusProcessor(),
+        outputStructType=TYPE_CENSUS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class TypeCensusProcessor(StatefulProcessor):
+    """The census processor itself, module-level so its batch-update
+    logic is unit-testable against a fake MapState even though the full
+    streaming drive needs protobuf (see `user_type_census_tws`)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("type_counts", "key string", "cnt long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        for pdf in rows:
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._counts.getValue((t,))[0]
+                    if self._counts.containsKey((t,))
+                    else 0
+                )
+                self._counts.updateValue((t,), (prev + int(c),))
+        counts = {k[0]: v[0] for k, v in self._counts.iterator()}
+        total = sum(counts.values())
+        top = min((-(c), t) for t, c in counts.items())[1]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [total],
+                "n_types": [len(counts)],
+                "top_type": [top],
+            }
+        )
+
+    def close(self) -> None:
+        pass

@@ -517,3 +517,99 @@ def test_streaming_incremental_ingest_with_memo(spark, tmp_path):
     out = memoize(spark, recrawl, ["text"], compute_fp, table, version="s1")
     assert out.count() == 15
     assert spark.read.parquet(table).count() == 15
+
+
+def test_transform_with_state_type_census(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-stateful API): the
+    per-user MapState census driven through a real streaming query on
+    the RocksDB provider must equal the batch ground truth; the LAST
+    update row per user is the final census.
+
+    Skips when `protobuf` is absent (the TWS state-server protocol
+    imports google.protobuf; not shipped in this container)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from catlas_spark.queries import _events
+    from catlas_spark.streaming.events import (
+        read_event_stream,
+        run_batch_like_stream,
+        user_type_census_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+        out = run_batch_like_stream(
+            user_type_census_tws(stream),
+            "tws_census_smoke",
+            output_mode="update",
+            state_partitions=8,
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.top_type)
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM tws_census_smoke) WHERE rn = 1"""
+        ).collect()
+    }
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    expected = {}
+    for r in counts.collect():
+        u = expected.setdefault(r.user_id, {})
+        u[r.event_type] = r.c
+    expected = {
+        u: (
+            sum(d.values()),
+            len(d),
+            min((-c, t) for t, c in d.items())[1],
+        )
+        for u, d in expected.items()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_type_census_processor_logic_with_fake_state():
+    """The TWS processor's per-batch update logic, unit-tested against a
+    dict-backed fake MapState (the streaming drive itself needs
+    protobuf; the logic does not)."""
+    import pandas as pd
+
+    from catlas_spark.streaming.events import TypeCensusProcessor
+
+    class FakeMap:
+        def __init__(self):
+            self.d = {}
+
+        def containsKey(self, k):
+            return k in self.d
+
+        def getValue(self, k):
+            return self.d[k]
+
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+        def iterator(self):
+            return iter(self.d.items())
+
+    p = TypeCensusProcessor()
+    p._counts = FakeMap()
+    b1 = pd.DataFrame({"event_type": ["click", "click", "view"]})
+    out1 = list(p.handleInputRows((7,), iter([b1]), None))[0]
+    assert out1.iloc[0].tolist() == [7, 3, 2, "click"]
+    # second micro-batch accumulates; tie broken lexicographically
+    b2 = pd.DataFrame({"event_type": ["view", "purchase"]})
+    out2 = list(p.handleInputRows((7,), iter([b2]), None))[0]
+    assert out2.iloc[0].tolist() == [7, 5, 3, "click"]
+    b3 = pd.DataFrame({"event_type": ["view", "purchase"]})
+    out3 = list(p.handleInputRows((7,), iter([b3]), None))[0]
+    # click=2 view=3 purchase=2 -> view wins
+    assert out3.iloc[0].tolist() == [7, 7, 3, "view"]
