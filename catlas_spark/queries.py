@@ -4760,3 +4760,78 @@ def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent_flag"),
         F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("parity"),
     )
+
+
+@register(
+    "recursive_cte_depth",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+      FROM customer WHERE c_custkey <= 63
+      UNION ALL
+      SELECT node, cur // 2 AS cur, depth + 1 AS depth
+      FROM chain WHERE cur > 1
+    )
+    SELECT node, CAST(max(depth) AS INTEGER) AS depth,
+           CAST(count(*) AS BIGINT) AS chain_len
+    FROM chain GROUP BY node
+    """,
+)
+def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): ancestor-chain depth over the
+    implicit binary tree on customer ids (parent = id div 2) — the same
+    fixed-point iteration the DuckDB oracles use for connected
+    components, now run by SPARK's own WITH RECURSIVE instead of a
+    driver loop. The iterative-join form (`dedup_cluster_assign`'s
+    min-label propagation) remains the scale path for unbounded-depth
+    graphs; the CTE is the declarative front door."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM customer WHERE c_custkey <= 63
+          UNION ALL
+          SELECT node, cur DIV 2 AS cur, depth + 1 AS depth
+          FROM chain WHERE cur > 1
+        )
+        SELECT node, CAST(max(depth) AS INT) AS depth,
+               count(*) AS chain_len
+        FROM chain GROUP BY node
+        """
+    )
+
+
+@register(
+    "lateral_topk_per_nation",
+    """
+    SELECT n.n_name, b.c_custkey, b.bal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, round(c_acctbal, 4) AS bal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) b
+    """,
+)
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (§2.6 table-valued correlation): the
+    top-2 customers by balance PER nation, expressed as a lateral
+    per-row subquery with ORDER BY/LIMIT — Catalyst rewrites it to the
+    same window/top-k shape `grouped_topk` builds explicitly, so the
+    declarative form carries no plan penalty."""
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, b.c_custkey, b.bal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, round(c_acctbal, 4) AS bal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) b
+        """
+    )
