@@ -4835,3 +4835,71 @@ def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) b
         """
     )
+
+
+@register(
+    "variant_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (new in Spark 4):
+    `parse_json` builds the binary variant once, `try_variant_get`
+    extracts typed paths WITHOUT re-parsing the JSON text per field —
+    the scale answer to repeated get_json_object parses
+    (`json_extract_props` is the classic-path sibling). Filter and
+    aggregates run on the extracted typed column inside codegen."""
+    ev = _events(spark, sf_dir)
+    v = ev.withColumn("v", F.parse_json("props")).withColumn(
+        "k", F.try_variant_get(F.col("v"), "$.k", "long")
+    )
+    return (
+        v.filter(F.col("k") % 3 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@register(
+    "sql_scalar_udf",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN o_totalprice > 150000
+                          THEN o_totalprice * 0.9
+                          ELSE o_totalprice END), 4) AS discounted_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION ... RETURN expr, new in Spark 4):
+    the function body is inlined by Catalyst into the calling plan — a
+    named, reusable expression with ZERO runtime dispatch cost, unlike a
+    Python UDF. The oracle states the inlined arithmetic directly."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION bulk_discount(p DOUBLE)
+           RETURNS DOUBLE
+           RETURN CASE WHEN p > 150000 THEN p * 0.9 ELSE p END"""
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(bulk_discount(o_totalprice)), 4) AS discounted_total
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
