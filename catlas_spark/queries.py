@@ -4903,3 +4903,65 @@ def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    SELECT l_returnflag AS flag, metric,
+           round(avg(val), 4) AS mean_val,
+           round(max(val), 4) AS max_val
+    FROM (
+      SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, metric
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide -> long): three metric columns become
+    (metric, value) rows via `DataFrame.unpivot` — one Expand node, NOT
+    three scans (the oracle's UNION ALL states the semantics; Spark's
+    physical plan reads the table once). The long shape then aggregates
+    per (group, metric) — the standard metrics-table normalization."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+    )
+    longf = li.unpivot("flag", ["quantity", "price", "discount"], "metric", "val")
+    return longf.groupBy("flag", "metric").agg(
+        F.round(F.avg("val"), 4).alias("mean_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+    )
+
+
+@register(
+    "try_functions",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_custkey % 5, 0), 4) AS safe_div,
+           try_cast(o_orderpriority AS BIGINT) AS bad_cast,
+           CAST(try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS INT)
+             AS prio_digit
+    FROM orders WHERE o_orderkey % 93 = 0
+    """,
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression battery (try_divide / try_cast): malformed
+    input yields NULL instead of failing the job — at 100 TB a single
+    dirty row must never kill a stage. The oracle states the same
+    semantics with nullif-guarded division and DuckDB's try_cast."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 93 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5), 4).alias(
+            "safe_div"
+        ),
+        F.col("o_orderpriority").try_cast("long").alias("bad_cast"),
+        F.substring(F.col("o_orderpriority"), 1, 1).try_cast("int").alias("prio_digit"),
+    )
