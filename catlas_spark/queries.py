@@ -4965,3 +4965,36 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").try_cast("long").alias("bad_cast"),
         F.substring(F.col("o_orderpriority"), 1, 1).try_cast("int").alias("prio_digit"),
     )
+
+
+@register(
+    "collation_group",
+    """
+    SELECT lower(seg) AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    GROUP BY lower(seg)
+    """,
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (new in Spark 4): a UTF8_LCASE-collated column
+    compares/groups case-insensitively INSIDE the engine — no lower()
+    rewrite at every call site, and the collation survives into joins
+    and aggregations. Mixed-case segments (synthesized by id parity)
+    collapse to one group each; the output is canonicalized with
+    lower() only for the cross-engine hash (DuckDB states the semantics
+    with an explicit lower() group)."""
+    c = _t(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+    ).otherwise(F.col("c_mktsegment"))
+    collated = mixed.cast("string collate UTF8_LCASE").alias("seg")
+    return (
+        c.select(collated)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("seg")).cast("string").alias("segment"), "n")
+    )
