@@ -214,13 +214,19 @@ def minhash_lsh_pairs(
         .distinct()
     )
     hsets = sig.select("doc", "hset")
-    return (
+    # materialize the (pairs-sized, small) verified output so the
+    # signature cache releases NOW instead of accumulating across a
+    # many-query session (the keep_best pattern; ADVICE-r3 class)
+    out = (
         cand.join(hsets.alias("sa"), cand.id_a == F.col("sa.doc"))
         .join(hsets.alias("sb"), cand.id_b == F.col("sb.doc"))
         .withColumn("jaccard", _hashed_jaccard(F.col("sa.hset"), F.col("sb.hset")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint()
     )
+    sig.unpersist(blocking=False)
+    return out
 
 
 def jaccard_pairs(
@@ -251,7 +257,10 @@ def jaccard_pairs(
     cond = F.col("a.doc") < F.col("b.doc")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    # materialize the pair output, then release the shingle-set cache
+    # (the keep_best pattern — caches must not accumulate across a
+    # many-query session)
+    out = (
         a.join(b, cond)
         .withColumn("jaccard", _hashed_jaccard(F.col("a.sh"), F.col("b.sh")))
         .filter(F.col("jaccard") >= threshold)
@@ -260,7 +269,10 @@ def jaccard_pairs(
             F.col("b.doc").alias("id_b"),
             "jaccard",
         )
+        .localCheckpoint()
     )
+    base.unpersist(blocking=False)
+    return out
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
@@ -463,7 +475,7 @@ def banded_embedding_pairs(
     vb = base.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nm").alias("nb")
     )
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -474,7 +486,11 @@ def banded_embedding_pairs(
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+        # materialize, then release the banded-base cache (keep_best pattern)
+        .localCheckpoint()
     )
+    base.unpersist(blocking=False)
+    return out
 
 
 def containment_pairs(
@@ -525,7 +541,7 @@ def containment_pairs(
     )
     sa = sets.select(F.col("doc").alias("id_a"), F.col("hset").alias("set_a"), "n_sh")
     sb = sets.select(F.col("doc").alias("id_b"), F.col("hset").alias("set_b"))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -538,7 +554,11 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
+        # materialize, then release the shingle-set cache (keep_best pattern)
+        .localCheckpoint()
     )
+    sets.unpersist(blocking=False)
+    return out
 
 
 def _norm_tokens(text: Column) -> Column:
