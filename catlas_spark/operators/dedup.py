@@ -163,6 +163,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 2,
     threshold: float = 0.5,
     shingle_mode: str = "token",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
 
@@ -214,17 +215,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
     hsets = sig.select("doc", "hset")
-    # materialize the (pairs-sized, small) verified output so the
-    # signature cache releases NOW instead of accumulating across a
-    # many-query session (the keep_best pattern; ADVICE-r3 class)
     out = (
         cand.join(hsets.alias("sa"), cand.id_a == F.col("sa.doc"))
         .join(hsets.alias("sb"), cand.id_b == F.col("sb.doc"))
         .withColumn("jaccard", _hashed_jaccard(F.col("sa.hset"), F.col("sb.hset")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .localCheckpoint()
     )
+    if not materialize:
+        # lazy form: caller owns the sig cache lifetime (plan docs use
+        # this to show the real shape — a checkpoint explains as one
+        # Scan ExistingRDD)
+        return out
+    # materialize the (pairs-sized, small) verified output so the
+    # signature cache releases NOW instead of accumulating across a
+    # many-query session (the keep_best pattern; ADVICE-r3 class)
+    out = out.localCheckpoint()
     sig.unpersist(blocking=False)
     return out
 
