@@ -3,7 +3,10 @@
 exercise a pathological skew case. Catches scale cliffs the tiny bench
 cannot (spills, single-hot-key stalls, candidate blowups).
 
-Usage: python scripts/stress.py [factor]
+Usage: python scripts/stress.py [factor] [--only name1,name2,...]
+(--only restricts the query sweep — used for the 100x runs, where the
+quadratic-in-cluster dedup family is intentionally excluded and the
+linear operators are the point)
 """
 
 from __future__ import annotations
@@ -115,7 +118,14 @@ def skew_stress(spark) -> float:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for i, a in enumerate(sys.argv[1:], 1):
+        if a == "--only" and i < len(sys.argv) - 0:
+            only = set(sys.argv[i + 1].split(","))
+        elif a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    factor = int(args[0]) if args and args[0].isdigit() else 10
     spark = get_spark("stress")
     dst = tempfile.mkdtemp(prefix="sfbig_")
     print(f"amplifying sf0.1 x{factor} -> {dst}", file=sys.stderr)
@@ -134,7 +144,8 @@ def main() -> None:
 
     overrides = {"dedup_semantic": semantic_dedup_scaled}
     timings = {}
-    for name in HEADLINE:
+    names = [n for n in HEADLINE if only is None or n in only]
+    for name in names:
         fn = overrides.get(name, Q.queries()[name])
         t0 = time.perf_counter()
         fn(spark, dst).write.format("noop").mode("overwrite").save()
