@@ -108,13 +108,26 @@ def ranked_by_range(
     return out.drop("__pid"), totals
 
 
+def decide_quantile_preagg(df: DataFrame, value_col: str) -> bool:
+    """Regime probe for :func:`grouped_exact_quantiles`: pre-aggregate
+    iff the value column's (sketched) distinct count is under half the
+    row count — duplicate-heavy data shrinks under (group, value)
+    counting, near-unique data only pays an extra shuffle. One tiny
+    aggregation job (HLL + count, map-side combinable)."""
+    row = df.agg(
+        F.approx_count_distinct(value_col).alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return bool(row["n"]) and row["nd"] < 0.5 * row["n"]
+
+
 def grouped_exact_quantiles(
     df: DataFrame,
     group_col: str,
     value_col: str,
     probs: list[float],
     num_partitions: int | None = None,
-    pre_aggregate: bool = True,
+    pre_aggregate: bool | None = None,
     extremes: bool = False,
 ) -> DataFrame:
     """EXACT interpolated quantiles (quantile_cont semantics: value at
@@ -143,18 +156,24 @@ def grouped_exact_quantiles(
     with ``extremes=True`` also (group_min, group_max), computed for free
     from the same per-(partition, group) stats collect (no extra scan).
 
-    ``pre_aggregate=False`` skips step 1 and range-partitions the raw
-    (group, value) rows with per-row count 1: when the value column is
-    near-unique (continuous prices), the (group, value) groupBy reduces
-    nothing and its shuffle is pure overhead (measured 3.9 -> 2.6 s at
-    sf0.1 on l_extendedprice); keep the default for low-cardinality
-    values, where the reduction is the whole point.
+    ``pre_aggregate``: True reduces to (group, value) counts first —
+    the right call when values repeat; False range-partitions the raw
+    rows with per-row count 1 — when the value column is near-unique
+    (continuous prices) the groupBy reduces nothing and its shuffle is
+    pure overhead (measured 3.9 -> 2.6 s at sf0.1 on l_extendedprice).
+    Default None decides from a one-row sketch probe
+    (:func:`decide_quantile_preagg`): distinct/total < 0.5 -> True.
+    The same data can sit in either regime at different scales (an
+    amplified corpus turns near-unique prices into 100x-duplicated
+    ones), so the dispatch must be per-call, not hard-coded.
     """
     import math
     from collections import defaultdict
 
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    if pre_aggregate is None:
+        pre_aggregate = decide_quantile_preagg(df, value_col)
     if pre_aggregate:
         g = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     else:

@@ -902,18 +902,18 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"), "l_extendedprice"
     )
-    # prices are near-unique → the (group, value) pre-aggregation reduces
-    # nothing; skip its shuffle (pre_aggregate=False) and take the group
-    # min/max for free from the offsets collect (extremes=True) instead
-    # of a second raw scan. 8 fuller range partitions beat 32 thin ones
-    # for the per-task overhead (earlier measurement).
+    # pre_aggregate auto-dispatches from a distinct-ratio probe: prices
+    # are near-unique at this sf (raw-row path, skipping a no-op
+    # shuffle: 3.9 -> 2.6 s) but duplicate-heavy in amplified corpora
+    # (where the (group,value) reduction is the whole point). Group
+    # min/max come free from the offsets collect (extremes=True); 8
+    # fuller range partitions beat 32 thin ones for per-task overhead.
     qt = grouped_exact_quantiles(
         li,
         "flag",
         "l_extendedprice",
         [0.5, 0.9],
         num_partitions=8,
-        pre_aggregate=False,
         extremes=True,
     )
     return qt.groupBy("flag").agg(

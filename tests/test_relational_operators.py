@@ -505,3 +505,17 @@ def test_cdc_chunks_shift_robust_where_fixed_chunks_fail(spark):
     )
     fixed_pre = chunk_dedup_stats(pre, "text", "doc_id", chunk_tokens=10, min_docs=5)
     assert fixed_pre.filter("n_boilerplate >= 1").count() == 6
+
+
+def test_quantile_preagg_regime_probe(spark):
+    """The pre-aggregation dispatch must pick counting for
+    duplicate-heavy values and the raw-row path for near-unique ones —
+    and both paths must produce identical quantiles either way."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.partitioning import decide_quantile_preagg
+
+    dup_heavy = spark.range(10_000).select((F.col("id") % 20).cast("double").alias("v"))
+    near_unique = spark.range(10_000).select((F.col("id") * 1.0).alias("v"))
+    assert decide_quantile_preagg(dup_heavy, "v") is True
+    assert decide_quantile_preagg(near_unique, "v") is False
