@@ -38,6 +38,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import materialize_and_release
 from ..functions.text import char_shingles, fingerprint, token_shingles
 
 
@@ -163,7 +164,6 @@ def minhash_lsh_pairs(
     shingle_n: int = 2,
     threshold: float = 0.5,
     shingle_mode: str = "token",
-    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
 
@@ -222,17 +222,10 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    if not materialize:
-        # lazy form: caller owns the sig cache lifetime (plan docs use
-        # this to show the real shape — a checkpoint explains as one
-        # Scan ExistingRDD)
-        return out
     # materialize the (pairs-sized, small) verified output so the
     # signature cache releases NOW instead of accumulating across a
-    # many-query session (the keep_best pattern; ADVICE-r3 class)
-    out = out.localCheckpoint()
-    sig.unpersist(blocking=False)
-    return out
+    # many-query session (caching.py; no-op under lazy_plans)
+    return materialize_and_release(out, sig)
 
 
 def jaccard_pairs(
@@ -263,9 +256,6 @@ def jaccard_pairs(
     cond = F.col("a.doc") < F.col("b.doc")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    # materialize the pair output, then release the shingle-set cache
-    # (the keep_best pattern — caches must not accumulate across a
-    # many-query session)
     out = (
         a.join(b, cond)
         .withColumn("jaccard", _hashed_jaccard(F.col("a.sh"), F.col("b.sh")))
@@ -275,10 +265,8 @@ def jaccard_pairs(
             F.col("b.doc").alias("id_b"),
             "jaccard",
         )
-        .localCheckpoint()
     )
-    base.unpersist(blocking=False)
-    return out
+    return materialize_and_release(out, base)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
@@ -492,11 +480,8 @@ def banded_embedding_pairs(
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
-        # materialize, then release the banded-base cache (keep_best pattern)
-        .localCheckpoint()
     )
-    base.unpersist(blocking=False)
-    return out
+    return materialize_and_release(out, base)
 
 
 def containment_pairs(
@@ -560,11 +545,8 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
-        # materialize, then release the shingle-set cache (keep_best pattern)
-        .localCheckpoint()
     )
-    sets.unpersist(blocking=False)
-    return out
+    return materialize_and_release(out, sets)
 
 
 def _norm_tokens(text: Column) -> Column:

@@ -239,10 +239,12 @@ def semantic_dedup(
         .distinct()
     )
 
+    from ..caching import materialize_and_release
+
     sizes = ranked.groupBy("cid").agg(F.count(F.lit(1)).alias("n_cluster_members"))
-    # materialize survivors so the assignment cache releases NOW (the
-    # keep_best pattern); a cluster deployment would stream survivors to a
-    # sink here instead of checkpointing them to executor storage
+    # materialize survivors so the assignment cache releases NOW
+    # (caching.py; a cluster deployment would stream survivors to a sink
+    # here instead of checkpointing them to executor storage)
     out = (
         ranked.join(dup_ids, "vid", "left_anti")
         .join(F.broadcast(sizes), "cid")
@@ -251,7 +253,5 @@ def semantic_dedup(
             F.col("cid").alias("cluster_id"),
             "n_cluster_members",
         )
-        .localCheckpoint()
     )
-    ranked.unpersist(blocking=False)
-    return out
+    return materialize_and_release(out, ranked)

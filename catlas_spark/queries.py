@@ -1774,12 +1774,13 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nll", -F.log((F.col("bn") + 1) / (F.col("un") + F.lit(vsz)))
         )
     )
+    from .caching import materialize_and_release
+
     res = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 4).alias("xent"),
-    ).localCheckpoint()
-    pairs.unpersist(blocking=False)
-    return res
+    )
+    return materialize_and_release(res, pairs)
 
 
 @register("tfidf_top_terms", _TFIDF_ORACLE)
@@ -3205,14 +3206,13 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(cc["node"], "cluster_id", "text")
         .withColumn("keep_id", F.first("node").over(w))
         .select(F.col("node").alias("doc"), "keep_id")
-        # materialize the (clustered-docs-sized, tiny) election result so the
-        # corpus cache can be released NOW instead of accumulating across a
-        # 109-query session — the lazy alternative would pin it until the
-        # caller's collect
-        .localCheckpoint()
     )
-    corpus.unpersist(blocking=False)
-    return res
+    # materialize the (clustered-docs-sized, tiny) election result so the
+    # corpus cache can be released NOW instead of accumulating across a
+    # many-query session (caching.py; no-op under lazy_plans)
+    from .caching import materialize_and_release
+
+    return materialize_and_release(res, corpus)
 
 _PROFILE_COLS = [
     ("l_orderkey", "num"),
@@ -4594,6 +4594,9 @@ def q_boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
     )
     sh = d.select("doc_id", F.explode(token_shingles(F.col("text"), 2)).alias("gram"))
+    # token_shingles is per-doc DISTINCT, so each (doc, gram) pair occurs
+    # once and count(*) here IS the document frequency — no Expand-costly
+    # count_distinct needed (the oracle's list_distinct mirrors this)
     dfq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
     per = (
         sh.join(dfq, "gram")

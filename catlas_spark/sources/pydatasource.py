@@ -75,7 +75,15 @@ class _FilteredReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         names = {f.name for f in self.schema_.fields}
         for f in filters:
-            if isinstance(f, self._COMPARABLE) and f.attribute[0] in names:
+            # TOP-LEVEL columns only: a nested-field filter arrives as a
+            # multi-part attribute (e.g. ("meta", "x") for meta.x = 1);
+            # claiming it while _keep compares the whole struct would
+            # silently drop every matching row — yield it back instead
+            if (
+                isinstance(f, self._COMPARABLE)
+                and len(f.attribute) == 1
+                and f.attribute[0] in names
+            ):
                 self.filters.append(f)
             else:
                 yield f  # unsupported -> Spark re-applies it above the scan

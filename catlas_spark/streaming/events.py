@@ -268,7 +268,11 @@ class TypeCensusProcessor(StatefulProcessor):
         import pandas as pd
 
         for pdf in rows:
-            for t, c in pdf["event_type"].value_counts().items():
+            # value_counts() drops nulls — count null-typed events under
+            # an explicit sentinel key so they are neither silently
+            # excluded from the census nor able to crash the min() below
+            # on an all-null first batch
+            for t, c in pdf["event_type"].fillna("__null__").value_counts().items():
                 prev = (
                     self._counts.getValue((t,))[0]
                     if self._counts.containsKey((t,))
@@ -276,6 +280,8 @@ class TypeCensusProcessor(StatefulProcessor):
                 )
                 self._counts.updateValue((t,), (prev + int(c),))
         counts = {k[0]: v[0] for k, v in self._counts.iterator()}
+        if not counts:  # zero input rows for this key in this batch
+            return
         total = sum(counts.values())
         top = min((-(c), t) for t, c in counts.items())[1]
         yield pd.DataFrame(

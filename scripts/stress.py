@@ -118,14 +118,26 @@ def skew_stress(spark) -> float:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
     only = None
-    for i, a in enumerate(sys.argv[1:], 1):
-        if a == "--only" and i < len(sys.argv) - 0:
-            only = set(sys.argv[i + 1].split(","))
+    positional = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--only":
+            if i + 1 >= len(argv):
+                raise SystemExit("--only requires a comma-separated query list")
+            only = set(argv[i + 1].split(","))
+            i += 2
         elif a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
-    factor = int(args[0]) if args and args[0].isdigit() else 10
+            i += 1
+        else:
+            positional.append(a)
+            i += 1
+    if positional and not positional[0].isdigit():
+        raise SystemExit(f"unrecognized argument: {positional[0]}")
+    factor = int(positional[0]) if positional else 10
     spark = get_spark("stress")
     dst = tempfile.mkdtemp(prefix="sfbig_")
     print(f"amplifying sf0.1 x{factor} -> {dst}", file=sys.stderr)

@@ -564,7 +564,8 @@ def test_transform_with_state_type_census(spark, sf_dir):
     expected = {}
     for r in counts.collect():
         u = expected.setdefault(r.user_id, {})
-        u[r.event_type] = r.c
+        # the processor counts null-typed events under "__null__"
+        u[r.event_type if r.event_type is not None else "__null__"] = r.c
     expected = {
         u: (
             sum(d.values()),
@@ -613,3 +614,12 @@ def test_type_census_processor_logic_with_fake_state():
     out3 = list(p.handleInputRows((7,), iter([b3]), None))[0]
     # click=2 view=3 purchase=2 -> view wins
     assert out3.iloc[0].tolist() == [7, 7, 3, "view"]
+    # null-typed events count under the sentinel instead of vanishing,
+    # and an all-null batch must not crash the top-type election
+    b4 = pd.DataFrame({"event_type": [None, None]})
+    out4 = list(p.handleInputRows((7,), iter([b4]), None))[0]
+    assert out4.iloc[0].tolist() == [7, 9, 4, "view"]
+    p2 = TypeCensusProcessor()
+    p2._counts = FakeMap()
+    out5 = list(p2.handleInputRows((8,), iter([b4]), None))[0]
+    assert out5.iloc[0].tolist() == [8, 2, 1, "__null__"]

@@ -12,7 +12,14 @@ from catlas_spark import queries as Q
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = Q.queries()[name](spark, sf_dir)
+    from catlas_spark.caching import lazy_plans
+
+    # lazy_plans: operators that normally checkpoint-and-release their
+    # caches return the full lazy tree instead of Scan ExistingRDD, so
+    # the sweep inspects (and does NOT execute) the real plan — a Python
+    # stage inside those operators stays visible to the whitelist guard
+    with lazy_plans():
+        df = Q.queries()[name](spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")

@@ -73,3 +73,18 @@ def test_pickledf_source_matches_legacy_driver_path(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2
     got = sorted((r.sid, r.pred, r.n) for r in df.collect())
     assert got == [("a", 1.0, 1), ("b", 2.0, 2), ("c", 3.0, 3), ("d", 4.0, 4)]
+
+
+def test_nested_field_filters_are_not_claimed():
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("meta struct<x: long>, sid long")
+    r = _NpzReader([], schema)
+    nested = EqualTo(("meta", "x"), 1)
+    flat = EqualTo(("sid",), 5)
+    leftover = list(r.pushFilters([nested, flat]))
+    # the nested filter must be yielded back (Spark re-applies it above
+    # the scan); claiming it would compare the whole struct and drop rows
+    assert leftover == [nested]
+    assert r.filters == [flat]
