@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, sign_bucket
+from ..functions.vector import as_double, cosine, sign_bucket
 
 
 def cosine_topk(
@@ -90,6 +90,90 @@ def bucketed_ann(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
+    )
+
+
+def quantize_vectors(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization to ``bits``-bit integers.
+
+    ``scale = max(|x|) / (2^(bits-1) - 1)`` and each component becomes
+    ``floor(x / scale + 0.5)`` — an explicit half-up formulation so the
+    oracle can replay the exact integers (engine ``round()`` half-even /
+    half-away modes never enter). Because per-vector scale cancels in
+    cosine similarity, search runs directly on the integer arrays; the
+    quantized column costs 1/4 the memory of float32 (int8) — the
+    standard scalar-quantization recipe vector stores use to fit 100 TB
+    of embeddings in cache tier. Adds ``__qvec`` (array<long>, values in
+    [-(2^(bits-1)-1), 2^(bits-1)-1]) and ``__qscale``; all pure codegen
+    expressions, no Python.
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = as_double(F.col(vec_col))
+    # guard the all-zero vector (scale 0 -> div-by-zero NULLs)
+    scale = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-30),
+    ) / F.lit(qmax)
+    return df.withColumn("__qscale", scale).withColumn(
+        "__qvec",
+        F.transform(
+            v, lambda x: F.floor(x / F.col("__qscale") + F.lit(0.5)).cast("long")
+        ),
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors computed on scalar-quantized vectors, with
+    a per-row recall annotation against the exact ranking.
+
+    The quantized scan is the production path (integer arrays, 4x less
+    memory at int8); the exact top-k here is the recall-verification
+    harness a pipeline runs on a small query sample before trusting the
+    quantized index — so paying the second scan on the sampled queries
+    is the point, not overhead. Output: ``(q_id, n_id, sim_q, rank,
+    in_exact)`` where ``in_exact`` marks neighbors that also appear in
+    the exact (float) top-k.
+    """
+    qz = quantize_vectors(emb, vec_col, bits)
+    q = queries.join(
+        qz.select(id_col, "__qvec"), id_col
+    ).select(F.col(id_col).alias("q_id"), F.col("__qvec").alias("q_vec"))
+    c = qz.select(F.col(id_col).alias("n_id"), F.col("__qvec").alias("n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("sim_q"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_q").desc(), F.col("n_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    exact = cosine_topk(emb, queries, k, id_col, vec_col).select(
+        "q_id", "n_id", F.lit(True).alias("in_exact")
+    )
+    return (
+        approx.join(exact, ["q_id", "n_id"], "left")
+        .select(
+            "q_id",
+            "n_id",
+            "sim_q",
+            "rank",
+            F.coalesce(F.col("in_exact"), F.lit(False)).alias("in_exact"),
+        )
     )
 
 

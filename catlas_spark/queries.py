@@ -5001,3 +5001,169 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower(F.col("seg")).cast("string").alias("segment"), "n")
     )
+
+
+_DUCK_QZ = """
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS qvec
+      FROM (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
+        FROM embeddings
+      )
+"""
+
+
+@register(
+    "ann_quantized",
+    f"""
+    WITH qz AS ({_DUCK_QZ}),
+    q AS (SELECT vec_id AS q_id, qvec AS q_vec FROM qz WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.q_id, q.q_vec, e.vec_id AS n_id, e.qvec AS n_vec
+      FROM qz e CROSS JOIN q WHERE e.vec_id != q.q_id
+    ),
+    scored AS (SELECT q_id, n_id, {_COSINE} AS sim_q FROM pairs),
+    approx AS (
+      SELECT q_id, n_id, sim_q,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, n_id) AS rank
+      FROM scored
+    ),
+    eq AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    epairs AS (
+      SELECT eq.q_id, eq.q_vec, e.vec_id AS n_id, e.embedding AS n_vec
+      FROM embeddings e CROSS JOIN eq WHERE e.vec_id != eq.q_id
+    ),
+    escored AS (SELECT q_id, n_id, {_COSINE} AS sim_q FROM epairs),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, n_id) AS r
+        FROM escored
+      ) WHERE r <= 5
+    )
+    SELECT a.q_id, a.n_id, a.sim_q, a.rank, (e.n_id IS NOT NULL) AS in_exact
+    FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+    WHERE a.rank <= 5
+    """,
+)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (int8) with per-row recall annotation: the
+    memory-tier practice of real vector stores — quantize the corpus
+    4x smaller, search on integer arrays (per-vector scale cancels in
+    cosine), and certify recall against the exact float ranking on a
+    query sample. The quantization uses an explicit half-up
+    floor(x/s + 0.5) so the oracle replays the exact integers."""
+    from .operators.similarity import quantized_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "pagerank_suppliers",
+    """
+    WITH nodes AS (SELECT s_suppkey AS v FROM supplier),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    c1 AS (
+      SELECT e.dst AS v, sum(p.pr / deg.d) AS m
+      FROM edges e JOIN pr0 p ON e.src = p.v JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    pr1 AS (
+      SELECT n.v, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.m, 0) AS pr
+      FROM nodes n LEFT JOIN c1 ON n.v = c1.v
+    ),
+    c2 AS (
+      SELECT e.dst AS v, sum(p.pr / deg.d) AS m
+      FROM edges e JOIN pr1 p ON e.src = p.v JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    pr2 AS (
+      SELECT n.v, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.m, 0) AS pr
+      FROM nodes n LEFT JOIN c2 ON n.v = c2.v
+    )
+    SELECT v AS s_suppkey, round(pr, 6) AS pagerank FROM pr2
+    """,
+)
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the supplier co-occurrence graph
+    (suppliers sharing an order), certifying the iterative driver loop
+    the same way kmeans_ivf_train does: the oracle replays both
+    iterations in SQL. Formula: pr_{t+1}(v) = (1-d)/N + d * sum over
+    in-edges of pr_t(u)/outdeg(u), d = 0.85 (dangling mass not
+    redistributed; stated so the replay is exact)."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    # co-occurrence edges via per-order supplier sets + double explode:
+    # one shuffle of lineitem instead of the two a self-join pays, and
+    # the per-order fan-out stays bounded by order size (measured 1.2 s
+    # vs 2.2 s for the equivalent self-join at sf0.1). The oracle states
+    # the same edge set as a plain self-join.
+    sets_ = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
+    edges = (
+        sets_.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = s.select(F.col("s_suppkey").alias("v"))
+    pr = pagerank(nodes, edges, iterations=2, damping=0.85)
+    return pr.select(
+        F.col("v").alias("s_suppkey"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+@register(
+    "chunk_documents_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_tok,
+           substr(md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')), 1, 16) AS fp
+    FROM s
+    """,
+)
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap (window 32 tokens,
+    stride 24): the retrieval/embedding prep step that turns a corpus
+    into fixed-size overlapping chunks. Pure explode over a generated
+    start-offset sequence — linear, no shuffle, chunk identity is a
+    content fingerprint so downstream dedup/embedding stages can key on
+    it."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    stride, win = 24, 32
+    starts = F.sequence(F.lit(0), F.size(F.col("toks")) - 1, F.lit(stride))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, win)
+    return (
+        d.select("doc_id", F.split(norm, " ").alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_tok"),
+            F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 16).alias("fp"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""PageRank operator and overlapping-chunk invariants (beyond the SQL
+oracle parity, which certifies the registry forms end-to-end)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from catlas_spark.operators.graph import pagerank
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    """3-node graph with a dangling node, one sweep, checked against the
+    hand-derived values of pr(v) = 0.05 + 0.85 * sum pr(u)/deg(u)."""
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["v"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], ["src", "dst"]
+    )
+    got = {r.v: r.pr for r in pagerank(nodes, edges, iterations=1).collect()}
+    exp = {
+        1: 0.15 / 3 + 0.85 * (1 / 3),        # full mass of node 2
+        2: 0.15 / 3 + 0.85 * (1 / 3) / 2,    # half of node 1's mass
+        3: 0.15 / 3 + 0.85 * (1 / 3) / 2,
+    }
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12, (v, got[v], exp[v])
+
+
+def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
+    """On the supplier co-occurrence graph: every rank is at least the
+    teleport floor (1-d)/N, and total mass never exceeds 1 (dangling
+    nodes leak mass, by the documented formula, but cannot create it)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+        .select("src", "dst").distinct()
+    )
+    nodes = s.select(F.col("s_suppkey").alias("v"))
+    n = nodes.count()
+    ranks = pagerank(nodes, edges, iterations=3).collect()
+    assert len(ranks) == n
+    total = sum(r.pr for r in ranks)
+    assert total <= 1.0 + 1e-9
+    floor = 0.15 / n
+    assert all(r.pr >= floor - 1e-12 for r in ranks)
+
+
+def test_chunk_overlap_invariants(spark, sf_dir):
+    """Sliding-window chunking (win=32, stride=24): chunk indexes are
+    contiguous from 0, starts advance by the stride, every non-final
+    chunk is full-width, and the final chunk reaches the document's last
+    token (full coverage, 8-token overlap between neighbors)."""
+    from catlas_spark.queries import q_chunk_documents_overlap
+
+    rows = q_chunk_documents_overlap(spark, sf_dir).collect()
+    docs: dict[str, list] = {}
+    for r in rows:
+        docs.setdefault(r.doc_id, []).append(r)
+    assert docs
+    for doc_id, ch in docs.items():
+        ch.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in ch] == list(range(len(ch)))
+        for c in ch:
+            assert c.start_tok == c.chunk_idx * 24
+        last = ch[-1]
+        n_total = last.start_tok + last.n_tok
+        # the final chunk ends AT the document's last token and every
+        # chunk is exactly the window clipped to the document end
+        for c in ch:
+            assert c.n_tok == min(32, n_total - c.start_tok), (doc_id, c)
+        if len(ch) > 1:
+            # full neighbors overlap by win - stride = 8 tokens
+            for prev, nxt in zip(ch, ch[1:]):
+                if prev.n_tok == 32:
+                    assert prev.start_tok + prev.n_tok - nxt.start_tok == 8

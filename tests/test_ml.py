@@ -186,3 +186,39 @@ def test_semantic_dedup_invariants(spark, sf_dir):
             if not any(s >= tau for s in sims):
                 expected_kept.add(int(ids[i]))
     assert kept == expected_kept
+
+
+def test_quantize_vectors_contract(spark, sf_dir):
+    """Int8 scalar quantization: integers stay in [-127, 127], the
+    max-|x| component maps to +-127 exactly, and dequantization error is
+    bounded by half a quantization step (the contract that makes the
+    4x-smaller column a drop-in for cosine search)."""
+    from catlas_spark.operators.similarity import quantize_vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = quantize_vectors(emb).select("vec_id", "embedding", "__qvec", "__qscale")
+    for r in qz.collect():
+        qs = r["__qvec"]
+        assert max(abs(q) for q in qs) == 127
+        for x, q in zip(r.embedding, qs):
+            assert abs(q * r["__qscale"] - float(x)) <= r["__qscale"] / 2 + 1e-9
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """int8 quantization of 64-dim vectors must preserve most of the
+    exact top-5 neighborhood (the recall certification the operator
+    annotates per row), and each query must emit exactly k ranked rows."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantized_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(8))
+    for q, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+    recall = sum(r.in_exact for r in out) / len(out)
+    assert recall >= 0.6, recall
