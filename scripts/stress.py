@@ -53,6 +53,9 @@ HEADLINE = [
     "boilerplate_ngram_filter",
     "jl_projection",
     "exact_quantiles",
+    "pagerank_suppliers",
+    "ann_quantized",
+    "chunk_documents_overlap",
 ]
 
 
@@ -157,6 +160,14 @@ def main() -> None:
     overrides = {"dedup_semantic": semantic_dedup_scaled}
     timings = {}
     names = [n for n in HEADLINE if only is None or n in only]
+    if only:
+        # an explicitly requested registry query that is not in HEADLINE
+        # runs too (unknown names error instead of silently vanishing)
+        extra = sorted(only - set(HEADLINE))
+        unknown = [n for n in extra if n not in Q.queries()]
+        if unknown:
+            raise SystemExit(f"unknown queries: {', '.join(unknown)}")
+        names += extra
     for name in names:
         fn = overrides.get(name, Q.queries()[name])
         t0 = time.perf_counter()
