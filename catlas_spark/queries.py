@@ -1744,16 +1744,22 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     docs = d.select("doc_id", F.split(norm, " ").alias("t")).filter(F.size("t") >= 2)
-    tok_pos = docs.select("doc_id", F.posexplode("t").alias("pos", "w1"))
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    # the bigram table feeds FOUR consumers (bigram counts, prefix
-    # counts, the vocabulary count action, the scoring join) — persist
-    # so the explode+window subtree runs once, released after the tiny
-    # per-doc result materializes (the keep_best pattern)
+    # bigrams via explode(sequence) + element_at: a pure generator —
+    # the doc-partitioned lead() window this replaces cost a full
+    # shuffle+sort of the exploded tokens (measured 2.3 s vs 1.5 s at
+    # sf0.1). The bigram table feeds FOUR consumers (bigram counts,
+    # prefix counts, the vocabulary count action, the scoring join) —
+    # persist so the explode subtree runs once, released after the tiny
+    # per-doc result materializes
     pairs = (
-        tok_pos.withColumn("w2", F.lead("w1").over(wdoc))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
+        docs.select(
+            "doc_id", "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+        )
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
