@@ -6,7 +6,7 @@ persisted intermediate can be released immediately, instead of pinning
 executor memory until the caller's collect — across a 130-query session,
 unreleased MEMORY_ONLY caches accumulate.
 
-Materialization is ``persist(MEMORY_ONLY) + count()``, NOT
+Materialization is ``persist(MEMORY_AND_DISK) + count()``, NOT
 ``localCheckpoint()``, for two measured/structural reasons:
 
 - ``localCheckpoint`` executes through the RDD path, which bypasses AQE;
@@ -19,6 +19,17 @@ Materialization is ``persist(MEMORY_ONLY) + count()``, NOT
   so a lost block recomputes (slowly, through the now-unpersisted
   subtree) instead of failing.
 
+MEMORY_AND_DISK (not MEMORY_ONLY) because the contract is "the big
+caches are released, the small output is materialized": MEMORY_ONLY
+silently DROPS partitions under pressure, and an evicted output
+partition would recompute through the now-unpersisted subtree.
+
+Unlike checkpointed RDD blocks (cleaned by the ContextCleaner when the
+DataFrame is garbage-collected), a persisted DataFrame is pinned by the
+session CacheManager until an explicit unpersist — so a weakref
+finalizer on the returned frame unpersists it when the caller drops the
+last reference, restoring release-on-GC across a many-query session.
+
 The cost of the discipline is plan opacity of the returned frame (it
 explains as an InMemoryTableScan). Tooling that needs the REAL lazy plan
 (the plan-regression sweep, the PLANS.md generator) wraps its calls in
@@ -29,12 +40,23 @@ caches left to the ContextCleaner, fine for explain-only use).
 
 from __future__ import annotations
 
+import weakref
 from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _MATERIALIZE = True
+
+
+def _release_on_gc(jdf) -> None:
+    """Finalizer body: unpersist the JVM Dataset when the Python frame is
+    collected (guarded — the JVM/py4j gateway may already be gone at
+    interpreter shutdown)."""
+    try:
+        jdf.unpersist(False)
+    except Exception:
+        pass
 
 
 @contextmanager
@@ -53,12 +75,16 @@ def lazy_plans():
 def materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
     """Materialize ``out`` (persist + count) and unpersist ``caches``.
 
+    The returned frame's cache entry is unpersisted automatically when
+    the caller drops the last reference (weakref finalizer), so operator
+    outputs do not accumulate in the CacheManager across a session.
     Under :func:`lazy_plans` this is a no-op returning ``out`` unchanged.
     """
     if not _MATERIALIZE:
         return out
-    out = out.persist(StorageLevel.MEMORY_ONLY)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    weakref.finalize(out, _release_on_gc, out._jdf)
     for c in caches:
         c.unpersist(blocking=False)
     return out

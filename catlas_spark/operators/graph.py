@@ -38,6 +38,8 @@ def pagerank(
     call sites).
     """
     n = nodes.count()  # node count is a scalar; one tiny job
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))  # empty graph, empty ranks
     # the edge list is read by the degree count plus every iteration's
     # join; it is deliberately NOT persisted or checkpointed — AQE's
     # runtime stage cache reuses identical shuffle stages within the

@@ -143,11 +143,14 @@ def quantized_topk(
     in_exact)`` where ``in_exact`` marks neighbors that also appear in
     the exact (float) top-k.
     """
-    qz = quantize_vectors(emb, vec_col, bits)
-    q = queries.join(
-        qz.select(id_col, "__qvec"), id_col
-    ).select(F.col(id_col).alias("q_id"), F.col("__qvec").alias("q_vec"))
-    c = qz.select(F.col(id_col).alias("n_id"), F.col("__qvec").alias("n_vec"))
+    # quantize corpus and queries independently (quantization is a pure
+    # per-vector expression) — queries need NOT be rows of the corpus
+    q = quantize_vectors(queries, vec_col, bits).select(
+        F.col(id_col).alias("q_id"), F.col("__qvec").alias("q_vec")
+    )
+    c = quantize_vectors(emb, vec_col, bits).select(
+        F.col(id_col).alias("n_id"), F.col("__qvec").alias("n_vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))

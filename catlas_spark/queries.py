@@ -5139,7 +5139,10 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT doc_id, toks,
-             unnest(generate_series(0, len(toks) - 1, 24)) AS start
+             unnest(generate_series(
+               0,
+               CAST(greatest(ceil((len(toks) - 32) / 24.0), 0) AS BIGINT) * 24,
+               24)) AS start
       FROM t
     )
     SELECT doc_id,
@@ -5156,11 +5159,21 @@ def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     into fixed-size overlapping chunks. Pure explode over a generated
     start-offset sequence — linear, no shuffle, chunk identity is a
     content fingerprint so downstream dedup/embedding stages can key on
-    it."""
+    it. Start offsets stop at the first window that reaches the document
+    end — a further stride would emit a strict subset of the previous
+    chunk (duplicate content under a fresh fingerprint), so every
+    non-final chunk is full-width and the final one ends at the last
+    token."""
     d = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     stride, win = 24, 32
-    starts = F.sequence(F.lit(0), F.size(F.col("toks")) - 1, F.lit(stride))
+    last_start = (
+        F.greatest(
+            F.ceil((F.size(F.col("toks")) - F.lit(win)) / F.lit(stride)), F.lit(0)
+        ).cast("int")
+        * stride
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     chunk = F.slice(F.col("toks"), F.col("start") + 1, win)
     return (
         d.select("doc_id", F.split(norm, " ").alias("toks"))

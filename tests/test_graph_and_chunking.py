@@ -56,8 +56,10 @@ def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
 def test_chunk_overlap_invariants(spark, sf_dir):
     """Sliding-window chunking (win=32, stride=24): chunk indexes are
     contiguous from 0, starts advance by the stride, every non-final
-    chunk is full-width, and the final chunk reaches the document's last
-    token (full coverage, 8-token overlap between neighbors)."""
+    chunk is full-width and ends strictly BEFORE the document end (start
+    generation stops at the first window reaching the end — no chunk is
+    a subset of its predecessor), and the final chunk ends at the last
+    token."""
     from catlas_spark.queries import q_chunk_documents_overlap
 
     rows = q_chunk_documents_overlap(spark, sf_dir).collect()
@@ -72,12 +74,13 @@ def test_chunk_overlap_invariants(spark, sf_dir):
             assert c.start_tok == c.chunk_idx * 24
         last = ch[-1]
         n_total = last.start_tok + last.n_tok
-        # the final chunk ends AT the document's last token and every
-        # chunk is exactly the window clipped to the document end
-        for c in ch:
-            assert c.n_tok == min(32, n_total - c.start_tok), (doc_id, c)
+        for c in ch[:-1]:
+            # non-final chunks are full windows that do NOT reach the end
+            # — a start past that point would re-emit covered tokens only
+            assert c.n_tok == 32, (doc_id, c)
+            assert c.start_tok + 32 < n_total, (doc_id, c)
+        assert last.n_tok <= 32
         if len(ch) > 1:
-            # full neighbors overlap by win - stride = 8 tokens
+            # neighbors overlap by win - stride = 8 tokens
             for prev, nxt in zip(ch, ch[1:]):
-                if prev.n_tok == 32:
-                    assert prev.start_tok + prev.n_tok - nxt.start_tok == 8
+                assert prev.start_tok + prev.n_tok - nxt.start_tok == 8
