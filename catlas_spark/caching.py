@@ -7,17 +7,15 @@ executor memory until the caller's collect — across a 130-query session,
 unreleased MEMORY_ONLY caches accumulate.
 
 Materialization is ``persist(MEMORY_AND_DISK) + count()``, NOT
-``localCheckpoint()``, for two measured/structural reasons:
-
-- ``localCheckpoint`` executes through the RDD path, which bypasses AQE;
-  on join-heavy operator plans that costs 0.5-1.3 s extra per query at
-  sf0.1 (measured across the dedup family — e.g. keep_best 4.3 s ckpt
-  vs 3.0 s cache+count) while ``count()`` materializes the same rows
-  through the fully optimized plan.
-- ``localCheckpoint`` TRUNCATES lineage: on a real cluster a lost
-  executor makes every downstream action fail. The cache keeps lineage,
-  so a lost block recomputes (slowly, through the now-unpersisted
-  subtree) instead of failing.
+``localCheckpoint()``: local wall-clock is a wash (clean isolated A/B
+over the dedup family, medians within ±0.1-0.5 s either way — an
+earlier measurement suggesting persist was 0.5-1.3 s faster was
+contaminated by cross-query cache pollution, see below), but
+``localCheckpoint`` TRUNCATES lineage, so on a real cluster a lost
+executor block makes every downstream action fail; the cache keeps
+lineage and a lost block recomputes (slowly, through the
+now-unpersisted subtree) instead of failing. At 1000 executors that
+robustness is the deciding property.
 
 MEMORY_AND_DISK (not MEMORY_ONLY) because the contract is "the big
 caches are released, the small output is materialized": MEMORY_ONLY
@@ -29,6 +27,11 @@ DataFrame is garbage-collected), a persisted DataFrame is pinned by the
 session CacheManager until an explicit unpersist — so a weakref
 finalizer on the returned frame unpersists it when the caller drops the
 last reference, restoring release-on-GC across a many-query session.
+Without the finalizer this is worse than a leak: the CacheManager
+matches cache entries by CANONICALIZED PLAN, so a later query that
+derives the same subtree silently reads the stale entry and benchmarks
+measure a cache hit instead of the plan (observed: dedup_minhash_lsh
+"ran" in 0.49 s because a prior query's lingering output matched).
 
 The cost of the discipline is plan opacity of the returned frame (it
 explains as an InMemoryTableScan). Tooling that needs the REAL lazy plan
