@@ -84,3 +84,45 @@ def test_chunk_overlap_invariants(spark, sf_dir):
             # neighbors overlap by win - stride = 8 tokens
             for prev, nxt in zip(ch, ch[1:]):
                 assert prev.start_tok + prev.n_tok - nxt.start_tok == 8
+
+
+def test_chunk_boundary_lengths(spark):
+    """Exact start-offset expectations at window/stride boundaries
+    (win=32, stride=24): the generation rule is starts = 0, 24, ...,
+    ceil((n-32)/24)*24 — one chunk for n <= 32, and never a start whose
+    predecessor already reached the document end."""
+    cases = {
+        1: [0],          # single token
+        31: [0],         # just under the window
+        32: [0],         # exactly one window
+        33: [0, 24],     # one token past -> second (9-token) chunk
+        56: [0, 24],     # second window reaches the end exactly
+        57: [0, 24, 48], # ...and one past needs a third
+        80: [0, 24, 48], # third window reaches the end exactly
+        81: [0, 24, 48, 72],
+    }
+    rows = [(str(n), " ".join(f"t{i}" for i in range(n))) for n in cases]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # run the registry operator's start-generation rule on the probe frame
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    stride, win = 24, 32
+    last_start = (
+        F.greatest(
+            F.ceil((F.size(F.col("toks")) - F.lit(win)) / F.lit(stride)), F.lit(0)
+        ).cast("int")
+        * stride
+    )
+    out = (
+        df.select("doc_id", F.split(norm, " ").alias("toks"))
+        .select("doc_id", F.explode(F.sequence(F.lit(0), last_start, F.lit(stride))).alias("start"))
+        .collect()
+    )
+    got: dict[str, list] = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.start)
+    assert {k: sorted(v) for k, v in got.items()} == {
+        str(n): v for n, v in cases.items()
+    }

@@ -222,3 +222,17 @@ def test_quantized_topk_recall(spark, sf_dir):
         assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
     recall = sum(r.in_exact for r in out) / len(out)
     assert recall >= 0.6, recall
+
+
+def test_quantize_vectors_zero_vector_guard(spark):
+    """An all-zero vector must quantize to all-zero integers (via the
+    epsilon floor on the scale) instead of NULLs or a div-by-zero."""
+    from catlas_spark.operators.similarity import quantize_vectors
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [0.5, -1.0, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r["__qvec"] for r in quantize_vectors(df).collect()}
+    assert rows[0] == [0, 0, 0]
+    assert rows[1] == [64, -127, 32]  # scale = 1.0/127
