@@ -5186,3 +5186,140 @@ def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 16).alias("fp"),
         )
     )
+
+
+_LM_HELDOUT_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t2,
+             (doc_id * 2654435761) % 100 < 80 AS is_train
+      FROM documents
+    ),
+    d2 AS (SELECT * FROM t WHERE len(t2) >= 2),
+    flat AS (
+      SELECT doc_id, is_train,
+             unnest([t2[i] || ' ' || t2[i+1]
+                     for i in generate_series(1, len(t2) - 1)]) AS bg
+      FROM d2
+    ),
+    bc AS (SELECT bg, count(*) AS bn FROM flat WHERE is_train GROUP BY bg),
+    uc AS (
+      SELECT split_part(bg, ' ', 1) AS w, count(*) AS un
+      FROM flat WHERE is_train GROUP BY 1
+    ),
+    v AS (SELECT count(DISTINCT tok) AS vsz
+          FROM (SELECT unnest(t2) AS tok FROM d2 WHERE is_train))
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((coalesce(bc.bn, 0) + 1)::DOUBLE
+                         / (coalesce(uc.un, 0) + v.vsz))), 4) AS xent
+    FROM flat f
+    LEFT JOIN bc ON bc.bg = f.bg
+    LEFT JOIN uc ON uc.w = split_part(f.bg, ' ', 1)
+    CROSS JOIN v
+    WHERE NOT f.is_train
+    GROUP BY f.doc_id
+    """
+
+
+@register("lm_heldout_perplexity", _LM_HELDOUT_ORACLE)
+def q_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation: train the add-one-smoothed bigram model on
+    the deterministic 80% hash split (`train_test_split`'s formula) and
+    score the held-out 20% — the honest form of `lm_quality_score`
+    (scoring docs under a model trained on themselves underestimates
+    cross-entropy). Unseen eval bigrams/prefixes fall back to the
+    smoothing floor via left joins; P(w2|w1) = (B+1)/(C(w1)+V) with
+    counts and V from the train split only. Same scale shape: one
+    bigram explode, token-keyed hash shuffles, broadcast prefix counts,
+    nothing collects but the vocabulary scalar."""
+    from pyspark import StorageLevel
+
+    from .caching import materialize_and_release
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    docs = d.select(
+        "doc_id",
+        F.split(norm, " ").alias("t"),
+        ((F.col("doc_id") * F.lit(2654435761)) % 100 < 80).alias("is_train"),
+    ).filter(F.size("t") >= 2)
+    pairs = (
+        docs.select(
+            "doc_id",
+            "is_train",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "is_train",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    train = pairs.filter(F.col("is_train"))
+    bc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
+    uc = train.groupBy("w1").agg(F.count(F.lit(1)).alias("un"))
+    vsz = (
+        train.select(F.col("w1").alias("w"))
+        .union(train.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )  # train vocabulary scalar -> plan literal
+    scored = (
+        pairs.filter(~F.col("is_train"))
+        .join(bc, ["w1", "w2"], "left")
+        .join(F.broadcast(uc), "w1", "left")
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.coalesce(F.col("bn"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("un"), F.lit(0)) + F.lit(vsz))
+            ),
+        )
+    )
+    res = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("xent"),
+    )
+    return materialize_and_release(res, pairs)
+
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the columnar format besides parquet a
+    warehouse migration actually encounters): a lineitem projection is
+    written as ORC — column pruning at write time, so the ORC files
+    carry only the three queried columns — read back with pushdown
+    intact (ORC readers support predicate pushdown and column pruning
+    like parquet), and aggregated. The oracle runs on the parquet
+    original, so a hash match proves the round-trip is lossless
+    including DECIMAL price semantics."""
+    import os
+    import tempfile
+
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"catlas_orc_{os.getpid()}"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orc_dir = f"{scratch}/lineitem_orc"
+    li.select("l_returnflag", "l_extendedprice", "l_suppkey").write.mode(
+        "overwrite"
+    ).orc(orc_dir)
+    rt = spark.read.orc(orc_dir)
+    return rt.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+    )
