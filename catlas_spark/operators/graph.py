@@ -70,3 +70,52 @@ def pagerank(
             )
         )
     return ranks
+
+
+def pagerank_adjacency(
+    nodes: DataFrame,
+    adj: DataFrame,
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an adjacency-ARRAY table — the bounded-degree regime.
+
+    ``adj``: columns ``src``, ``nbrs`` (array of distinct out-neighbors,
+    self excluded). Identical semantics to :func:`pagerank` (same
+    formula, dangling mass not redistributed), but each iteration
+    explodes contributions from the node-sized adjacency table instead
+    of scanning an edge-pair table — measured ~30% faster on the
+    supplier co-occurrence graph at sf0.1 (1.6-2.0 s vs 2.2-2.7 s,
+    identical output). REGIME CHOICE: adjacency rows carry max-degree
+    arrays, so this form requires bounded degree (a celebrity node with
+    10M followers is a 10M-element row — skew + row-size hazard); the
+    edge-table :func:`pagerank` is the general/high-degree path.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
+    adj = adj.select(
+        "src", "nbrs", F.size("nbrs").cast("double").alias("d")
+    ).filter(F.col("d") > 0)
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("v", "src"), "src")
+            .select(
+                F.explode("nbrs").alias("dst"),
+                (F.col("pr") / F.col("d")).alias("m"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("m").alias("m"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "v"), "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks

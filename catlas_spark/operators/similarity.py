@@ -131,17 +131,19 @@ def quantized_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify_recall: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors computed on scalar-quantized vectors, with
-    a per-row recall annotation against the exact ranking.
+    an optional per-row recall annotation against the exact ranking.
 
     The quantized scan is the production path (integer arrays, 4x less
-    memory at int8); the exact top-k here is the recall-verification
-    harness a pipeline runs on a small query sample before trusting the
-    quantized index — so paying the second scan on the sampled queries
-    is the point, not overhead. Output: ``(q_id, n_id, sim_q, rank,
-    in_exact)`` where ``in_exact`` marks neighbors that also appear in
-    the exact (float) top-k.
+    memory at int8); with ``verify_recall`` the exact top-k also runs —
+    the recall-verification harness a pipeline runs on a small query
+    SAMPLE before trusting the quantized index (paying the second scan
+    on the sample is the point). Production bulk search passes
+    ``verify_recall=False`` and skips the exact scan entirely. Output:
+    ``(q_id, n_id, sim_q, rank, in_exact)``; without verification
+    ``in_exact`` is NULL.
     """
     # quantize corpus and queries independently (quantization is a pure
     # per-vector expression) — queries need NOT be rows of the corpus
@@ -165,6 +167,11 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+    if not verify_recall:
+        return approx.select(
+            "q_id", "n_id", "sim_q", "rank",
+            F.lit(None).cast("boolean").alias("in_exact"),
+        )
     exact = cosine_topk(emb, queries, k, id_col, vec_col).select(
         "q_id", "n_id", F.lit(True).alias("in_exact")
     )

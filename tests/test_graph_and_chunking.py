@@ -126,3 +126,31 @@ def test_chunk_boundary_lengths(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         str(n): v for n, v in cases.items()
     }
+
+
+def test_pagerank_adjacency_matches_edge_form(spark, sf_dir):
+    """The adjacency-array regime and the general edge-table form are the
+    same algorithm — on the supplier co-occurrence graph their ranks
+    must agree to float noise."""
+    from catlas_spark.operators.graph import pagerank_adjacency
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sets_ = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
+    edges = (
+        sets_.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = (
+        sets_.select(F.explode("ss").alias("src"), "ss")
+        .groupBy("src")
+        .agg(F.array_distinct(F.flatten(F.collect_list("ss"))).alias("nbrs"))
+        .select("src", F.array_remove("nbrs", F.col("src")).alias("nbrs"))
+    )
+    nodes = s.select(F.col("s_suppkey").alias("v"))
+    a = {r.v: r.pr for r in pagerank(nodes, edges, iterations=3).collect()}
+    b = {r.v: r.pr for r in pagerank_adjacency(nodes, adj, iterations=3).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)

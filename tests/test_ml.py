@@ -236,3 +236,21 @@ def test_quantize_vectors_zero_vector_guard(spark):
     rows = {r.vec_id: r["__qvec"] for r in quantize_vectors(df).collect()}
     assert rows[0] == [0, 0, 0]
     assert rows[1] == [64, -127, 32]  # scale = 1.0/127
+
+
+def test_quantized_topk_production_path_skips_exact(spark, sf_dir):
+    """verify_recall=False must return the identical quantized ranking
+    with a NULL in_exact column (the exact scan is skipped entirely)."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 4)
+    full = quantized_topk(emb, qs, k=3)
+    prod = quantized_topk(emb, qs, k=3, verify_recall=False)
+    a = sorted((r.q_id, r.n_id, r.sim_q, r.rank) for r in full.collect())
+    rows = prod.collect()
+    b = sorted((r.q_id, r.n_id, r.sim_q, r.rank) for r in rows)
+    assert a == b
+    assert all(r.in_exact is None for r in rows)
