@@ -5325,3 +5325,78 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
     )
+
+
+_PMI_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS t2 FROM documents),
+    d2 AS (SELECT doc_id, t2 FROM t WHERE len(t2) >= 2),
+    flat AS (
+      SELECT unnest([t2[i] || ' ' || t2[i+1]
+                     for i in generate_series(1, len(t2) - 1)]) AS bg
+      FROM d2
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM flat),
+    bc AS (SELECT bg, count(*) AS bn FROM flat GROUP BY bg),
+    w1c AS (SELECT split_part(bg, ' ', 1) AS w, count(*) AS c1 FROM flat GROUP BY 1),
+    w2c AS (SELECT split_part(bg, ' ', 2) AS w, count(*) AS c2 FROM flat GROUP BY 1),
+    scored AS (
+      SELECT bc.bg, bc.bn,
+             round(ln((bc.bn * n.total) / (w1c.c1 * w2c.c2)), 4) AS pmi
+      FROM bc
+      JOIN w1c ON w1c.w = split_part(bc.bg, ' ', 1)
+      JOIN w2c ON w2c.w = split_part(bc.bg, ' ', 2)
+      CROSS JOIN n
+      WHERE bc.bn >= 5
+    )
+    SELECT bg AS bigram, CAST(bn AS BIGINT) AS n_occurrences, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram
+    LIMIT 50
+    """
+
+
+@register("pmi_collocations", _PMI_ORACLE)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information —
+    PMI(w1,w2) = ln(P(w1 w2) / (P(w1·) P(·w2))) over corpus bigram
+    positions, min count 5 (the classic collocation-extraction statistic;
+    Church & Hanks 1990). P(w1·)/P(·w2) use the word's count in the
+    corresponding bigram SLOT, so the three count tables share one
+    bigram explode. All token-keyed hash shuffles; the bigram total
+    folds in as a broadcast scalar; global top-50 via
+    TakeOrderedAndProject, no full sort."""
+    from pyspark import StorageLevel
+
+    from .caching import materialize_and_release
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    docs = d.select(F.split(norm, " ").alias("t")).filter(F.size("t") >= 2)
+    pairs = (
+        docs.select("t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"))
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = pairs.count()  # scalar -> plan literal (also populates the cache)
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    res = (
+        bc.filter(F.col("bn") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("bn").cast("long").alias("n_occurrences"),
+            F.round(
+                F.log((F.col("bn") * F.lit(float(total))) / (F.col("c1") * F.col("c2"))),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(50)
+    )
+    return materialize_and_release(res, pairs)
