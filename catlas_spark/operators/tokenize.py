@@ -1,0 +1,114 @@
+"""Tokenizer-training operators: distributed BPE merge learning.
+
+Reference parity: the reference has no tokenizer trainer — this is part
+of the LLM-training-data extension surface (alongside dedup / quality /
+packing), mirroring how Sennrich et al. 2016 BPE is trained at corpus
+scale: the corpus is first reduced to a word-frequency histogram (the
+only corpus-sized shuffle), and every merge iteration then runs over the
+histogram, which is vocabulary-sized (≪ corpus) by construction. That
+two-phase shape is exactly what survives 100 TB: one groupBy over the
+corpus, then an iterative loop whose working set is a few thousand rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _apply_merge(seg: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one BPE merge (a, b) → a||b to a segmentation table
+    (word, cnt, pos, sym), with BPE's left-to-right greedy non-overlap
+    rule: in a run of consecutive match positions (which only arises
+    when b == a, e.g. 'aaaa' under (a,a)), every other occurrence merges
+    — 'aaaa' → 'aa','aa', not three overlapping pairs. The run-parity
+    selection is pure window algebra (gaps-and-islands over match
+    positions), so the identical logic replays in the SQL oracle."""
+    w = Window.partitionBy("word").orderBy("pos")
+    with_n = seg.withColumn("nxt", F.lead("sym").over(w))
+    matches = with_n.filter((F.col("sym") == a) & (F.col("nxt") == b)).select(
+        "word", "pos"
+    )
+    runs = matches.withColumn(
+        "brk", F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1)
+    ).withColumn("runid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sel = (
+        runs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("word", "runid").orderBy("pos"))
+        )
+        .filter(F.col("rn") % 2 == 1)
+        .select("word", "pos")
+    )
+    # the selection table is at most vocabulary-sized — broadcast both uses
+    s_keep = F.broadcast(sel.withColumn("is_sel", F.lit(True)))
+    s_drop = F.broadcast(
+        sel.select("word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("is_drop"))
+    )
+    return (
+        with_n.join(s_keep, ["word", "pos"], "left")
+        .join(s_drop, ["word", "pos"], "left")
+        .filter(F.col("is_drop").isNull())
+        .withColumn(
+            "sym2",
+            F.when(F.col("is_sel"), F.concat("sym", "nxt")).otherwise(F.col("sym")),
+        )
+        .withColumn("pos2", F.row_number().over(w))
+        .select("word", "cnt", F.col("pos2").alias("pos"), F.col("sym2").alias("sym"))
+    )
+
+
+def bpe_train(
+    word_counts: DataFrame,
+    word_col: str = "word",
+    count_col: str = "cnt",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a word-frequency table.
+
+    Input: (word, count) — the output of the corpus-sized groupBy, the
+    standard BPE training input (no end-of-word marker; plain character
+    alphabet). Each iteration: adjacent-pair counts weighted by word
+    frequency (a lead window + one map-side-combinable groupBy over the
+    vocabulary-sized segmentation table), the arg-max pair (ties broken
+    lexicographically on (left, right) for cross-engine determinism) is
+    collected to the driver — a single row per iteration, the same
+    "tiny model state drives the next distributed step" shape as
+    ``kmeans_lloyd`` centroids — and applied everywhere via
+    :func:`_apply_merge`. The segmentation is localCheckpoint-ed per
+    iteration so the plan stays constant-size across merges.
+
+    Returns (step, left_sym, right_sym, merged, pair_count): the learned
+    merge table, k rows. Later steps' counts depend on earlier merges
+    having been applied correctly corpus-wide, so an oracle replay of
+    this table certifies the application logic too.
+    """
+    spark = word_counts.sparkSession
+    seg = (
+        word_counts.select(
+            F.col(word_col).alias("word"),
+            F.col(count_col).cast("long").alias("cnt"),
+            F.posexplode(F.regexp_extract_all(F.col(word_col), F.lit("."), 0)),
+        )
+        .select("word", "cnt", (F.col("pos") + 1).alias("pos"), F.col("col").alias("sym"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        w = Window.partitionBy("word").orderBy("pos")
+        pairs = (
+            seg.withColumn("nxt", F.lead("sym").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.col("pair_count").desc(), "sym", "nxt").limit(1).collect()
+        if not best:
+            break
+        a, b, pc = best[0]["sym"], best[0]["nxt"], int(best[0]["pair_count"])
+        merges.append((step, a, b, a + b, pc))
+        if step < n_merges:
+            seg = _apply_merge(seg, a, b).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
+    )

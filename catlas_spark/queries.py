@@ -5400,3 +5400,180 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return materialize_and_release(res, pairs)
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE iteration over state t{i-1}: pair counts →
+    deterministic arg-max pair b{i} → greedy non-overlap application
+    (run-parity selection, identical to operators/tokenize._apply_merge)
+    → next state t{i}."""
+    p = i - 1
+    return f"""
+    m{i} AS (SELECT word, cnt, pos, sym,
+                    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+             FROM t{p}),
+    q{i} AS (SELECT sym AS a, nxt AS b, sum(cnt) AS pc
+             FROM m{i} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    b{i} AS (SELECT a, b, pc FROM q{i} ORDER BY pc DESC, a, b LIMIT 1),
+    f{i} AS (SELECT m.word, m.pos
+             FROM m{i} m JOIN b{i} ON m.sym = b{i}.a AND m.nxt = b{i}.b),
+    r{i} AS (SELECT word, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY word ORDER BY pos) = 1
+                         THEN 0 ELSE 1 END AS brk
+             FROM f{i}),
+    g{i} AS (SELECT word, pos,
+                    sum(brk) OVER (PARTITION BY word ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS runid
+             FROM r{i}),
+    s{i} AS (SELECT word, pos FROM (
+               SELECT word, pos,
+                      row_number() OVER (PARTITION BY word, runid ORDER BY pos) AS rn
+               FROM g{i}) WHERE rn % 2 = 1),
+    t{i} AS (SELECT m.word, m.cnt,
+                    row_number() OVER (PARTITION BY m.word ORDER BY m.pos) AS pos,
+                    CASE WHEN ks.pos IS NOT NULL THEN m.sym || m.nxt ELSE m.sym END AS sym
+             FROM m{i} m
+             LEFT JOIN s{i} ks ON m.word = ks.word AND m.pos = ks.pos
+             LEFT JOIN s{i} dr ON m.word = dr.word AND m.pos = dr.pos + 1
+             WHERE dr.pos IS NULL)"""
+
+
+_BPE_ORACLE = f"""
+    WITH wrds AS (SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           FROM wrds WHERE word <> '' GROUP BY word),
+    t0 AS (SELECT word, cnt, pos, sym FROM (
+             SELECT word, cnt,
+                    unnest([{{'pos': i, 'sym': substr(word, CAST(i AS INTEGER), 1)}}
+                            for i in generate_series(1, length(word))],
+                           recursive := true)
+             FROM wc)),
+    {",".join(_bpe_iter_sql(i) for i in (1, 2, 3))}
+    SELECT * FROM (
+      SELECT 1 AS step, a AS left_sym, b AS right_sym, a || b AS merged,
+             CAST(pc AS BIGINT) AS pair_count FROM b1
+      UNION ALL SELECT 2, a, b, a || b, CAST(pc AS BIGINT) FROM b2
+      UNION ALL SELECT 3, a, b, a || b, CAST(pc AS BIGINT) FROM b3
+    ) ORDER BY step
+    """
+
+
+@register("bpe_merge_train", _BPE_ORACLE)
+def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 3 merges (Sennrich et al. 2016): the
+    corpus reduces to a word-frequency histogram (the ONE corpus-sized
+    shuffle — at 100 TB this is the only step that touches the data),
+    then every merge iteration runs over the vocabulary-sized
+    segmentation table: adjacent-pair counts weighted by word frequency,
+    deterministic arg-max (ties → lexicographic), greedy non-overlapping
+    application via run-parity windows. The oracle replays all three
+    iterations in SQL — like `kmeans_ivf_train`/`pagerank_suppliers`,
+    the hash match certifies the whole iterative algorithm: step-k pair
+    counts are only right if merges 1..k-1 were applied correctly over
+    every word."""
+    from .operators.tokenize import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    words = (
+        d.select(F.explode(F.split(norm, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bpe_train(words, n_merges=3)
+
+
+_DUPSPAN_ORACLE = f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM d),
+    pos AS (SELECT doc_id, n_tokens, s, gram FROM (
+              SELECT doc_id, n_tokens,
+                     unnest([{{'s': i - 1,
+                              'gram': array_to_string(
+                                toks[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ')}}
+                             for i in generate_series(1, len(toks) - 4)],
+                            recursive := true)
+              FROM n)),
+    dfreq AS (SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram)
+              WHERE nd >= 2),
+    spans AS (SELECT p.doc_id, p.s, p.s + 4 AS e
+              FROM pos p JOIN dfreq USING (gram)),
+    isl AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS pmax
+            FROM spans),
+    brk AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS b
+            FROM isl),
+    grp AS (SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS g
+            FROM brk),
+    per_isl AS (SELECT doc_id, g, max(e) - min(s) + 1 AS ce
+                FROM grp GROUP BY doc_id, g),
+    cov AS (SELECT doc_id, sum(ce) AS covered FROM per_isl GROUP BY doc_id)
+    SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           round(coalesce(cov.covered, 0) / n.n_tokens, 4) AS dup_frac
+    FROM n LEFT JOIN cov USING (doc_id)
+    """
+
+
+@register("dup_span_coverage", _DUPSPAN_ORACLE)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-level duplicate-span coverage (the substring-dedup
+    statistic of Lee et al. 2022, at 5-token granularity): a position is
+    covered iff the 5-gram starting there also appears in ANOTHER
+    document; overlapping covered windows merge into maximal spans
+    (gaps-and-islands over a per-doc running max), and each doc reports
+    the fraction of its tokens inside such spans. Distinct from
+    `boilerplate_ngram_filter` (per-shingle corpus frequency) — this
+    measures contiguous COVERAGE, the signal used to cut repeated
+    passages rather than whole docs. Plan: one positional explode
+    (lookahead regex keeps it codegen), one distinct + groupBy for gram
+    doc-frequency, one hash join back, then per-doc windows — every
+    shuffle is token- or doc-keyed, nothing pairwise, linear at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    pat = r"(?=(\S+" + r" \S+" * 4 + r"))\S+"
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("s", "gram"),
+    )
+    dfreq = (
+        pos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    spans = pos.join(dfreq, "gram").select("doc_id", "s", (F.col("s") + 4).alias("e"))
+    wprev = Window.partitionBy("doc_id").orderBy("s")
+    isl = (
+        spans.withColumn(
+            "pmax", F.max("e").over(wprev.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        .withColumn(
+            "brk",
+            F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0),
+        )
+        .withColumn(
+            "g", F.sum("brk").over(wprev.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    cov = (
+        isl.groupBy("doc_id", "g")
+        .agg((F.max("e") - F.min("s") + 1).alias("ce"))
+        .groupBy("doc_id")
+        .agg(F.sum("ce").alias("covered"))
+    )
+    alldocs = d.select("doc_id", F.size(F.split(norm, " ")).cast("long").alias("n_tokens"))
+    return alldocs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(
+            F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_tokens"), 4
+        ).alias("dup_frac"),
+    )

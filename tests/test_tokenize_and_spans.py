@@ -1,0 +1,67 @@
+"""Unit tests for BPE merge training (greedy run-parity application) and
+duplicate-span coverage (island merging) on crafted inputs, beyond the
+corpus-level oracle sweep in test_oracle_parity."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from catlas_spark.operators.tokenize import bpe_train
+from catlas_spark.queries import q_dup_span_coverage
+
+
+def test_bpe_greedy_run_parity(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] (every other match
+    in the run), never three overlapping pairs; later steps see the
+    merged symbols."""
+    wc = spark.createDataFrame(
+        [("aaaa", 2), ("ab", 3)], "word STRING, cnt LONG"
+    )
+    got = [tuple(r) for r in bpe_train(wc, n_merges=3).orderBy("step").collect()]
+    assert got == [
+        # (a,a) occurs at 3 positions per 'aaaa' x2 words = 6
+        (1, "a", "a", "aa", 6),
+        # after greedy application 'aaaa' -> [aa, aa]: (aa,aa)=2 < (a,b)=3
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "aa", "aaaa", 2),
+    ]
+
+
+def test_bpe_odd_run(spark):
+    """Odd-length run: 'aaa' -> [aa, a] (positions 1,2 match; only the
+    run-head merges), and the next iteration counts the (aa, a) pair."""
+    wc = spark.createDataFrame([("aaa", 1)], "word STRING, cnt LONG")
+    got = [tuple(r) for r in bpe_train(wc, n_merges=2).orderBy("step").collect()]
+    assert got == [(1, "a", "a", "aa", 2), (2, "aa", "a", "aaa", 1)]
+
+
+def test_bpe_stops_when_no_pairs(spark):
+    """Single-char words have no adjacent pairs: the merge table is
+    empty, not an error."""
+    wc = spark.createDataFrame([("a", 5), ("b", 2)], "word STRING, cnt LONG")
+    assert bpe_train(wc, n_merges=2).count() == 0
+
+
+def test_dup_span_islands_merge(spark, tmp_path):
+    """Two docs share an 8-token prefix: duplicated 5-gram starts at
+    positions 0..3, whose [s, s+4] windows must merge into ONE island
+    covering 8 tokens — not 4 x 5 = 20. A doc with unique text reports
+    zero coverage but still appears in the output."""
+    shared = "p q r s t u v w"
+    rows = [
+        (1, f"{shared} a b"),
+        (2, f"{shared} x y"),
+        (3, "k1 k2 k3 k4 k5 k6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    d = str(tmp_path / "star")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_frac"])
+        for r in q_dup_span_coverage(spark, d).collect()
+    }
+    assert out[1] == (10, 8, 0.8)
+    assert out[2] == (10, 8, 0.8)
+    assert out[3] == (6, 0, 0.0)
