@@ -5577,3 +5577,62 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_tokens"), 4
         ).alias("dup_frac"),
     )
+
+
+_FUZZY_ORACLE = """
+    WITH k AS (SELECT DISTINCT c_name AS name FROM customer
+               WHERE c_custkey % 10 = 0)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM k a JOIN k b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 1
+    """
+
+
+@register("fuzzy_name_join", _FUZZY_ORACLE)
+def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant self-join (edit distance ≤ 1) via SymSpell
+    deletion-neighborhood blocking: each key emits itself plus its
+    |key| delete-one-char variants (explode(sequence) + dynamic-arg
+    substring — all codegen, no HOF lambda), candidates are pairs
+    sharing a variant (covers substitution = same-position deletes,
+    and insertion/deletion = one key IS the other's variant), then an
+    exact levenshtein verify. O(n·L) blocking work vs the oracle's
+    naive O(n²) cross join — the variant hash join is the 100 TB plan:
+    group sizes are alphabet-bounded, nothing quadratic. The dist-2
+    false candidates the blocking admits (e.g. transpositions sharing
+    two different-position deletes) are killed by the verify, which
+    the crafted-edge-case test exercises.
+
+    The registry form subsamples keys 10:1 so the deliberately-naive
+    oracle stays cheap in the side-by-side DuckDB suite (a quadratic
+    oracle at full sf0.1 runs ~90 s and would skew the aggregate
+    engine comparison in Spark's favor); the full-keyspace comparison
+    is stress evidence: Spark blocked 7 s vs naive SQL 91 s at 15k
+    keys / 262k true pairs (see NOTES_BUILDER)."""
+    c = _t(spark, sf_dir, "customer")
+    keys = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_name").alias("name"))
+        .distinct()
+    )
+    var = keys.select(
+        "name", F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i")
+    ).select(
+        "name",
+        F.when(F.col("i") == 0, F.col("name"))
+        .otherwise(
+            F.expr("concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))")
+        )
+        .alias("v"),
+    )
+    cand = (
+        var.alias("a")
+        .join(var.alias("b"), F.col("a.v") == F.col("b.v"))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("int")).filter(
+        F.col("dist") <= 1
+    )

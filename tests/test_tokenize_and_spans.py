@@ -65,3 +65,25 @@ def test_dup_span_islands_merge(spark, tmp_path):
     assert out[1] == (10, 8, 0.8)
     assert out[2] == (10, 8, 0.8)
     assert out[3] == (6, 0, 0.0)
+
+
+def test_fuzzy_join_edit_classes(spark, tmp_path):
+    """Deletion-neighborhood blocking must surface all three distance-1
+    edit classes (substitution, insertion/deletion via the identity
+    variant, exact-length delete) and must NOT pass distance-2 pairs
+    that share a blocking variant (transposition 'ab'/'ba' shares both
+    'a' and 'b')."""
+    from catlas_spark.queries import q_fuzzy_name_join
+
+    names = ["abc", "axc", "ab", "ba", "xyz"]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "c_custkey LONG, c_name STRING")
+    d = str(tmp_path / "star")
+    df.write.parquet(f"{d}/customer.parquet")
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in q_fuzzy_name_join(spark, d).collect()
+    }
+    assert got == {
+        ("abc", "axc"): 1,  # substitution (shared delete-at-2 variant "ac")
+        ("ab", "abc"): 1,  # deletion: "ab" IS abc's delete-c variant
+    }
