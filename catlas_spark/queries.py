@@ -5636,3 +5636,50 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("int")).filter(
         F.col("dist") <= 1
     )
+
+
+_RLE_ORACLE = f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id, pos, tok FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'tok': toks[CAST(i AS INTEGER)]}}
+                           for i in generate_series(1, len(toks))],
+                          recursive := true)
+            FROM d)),
+    m AS (SELECT doc_id, pos, tok,
+                 CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                      IS DISTINCT FROM tok THEN 1 ELSE 0 END AS brk
+          FROM t),
+    g AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS rid
+          FROM m),
+    runs AS (SELECT doc_id, rid - 1 AS run_idx, min(tok) AS token,
+                    count(*) AS run_len
+             FROM g GROUP BY doc_id, rid)
+    SELECT doc_id, CAST(run_idx AS INTEGER) AS run_idx, token,
+           CAST(run_len AS INTEGER) AS run_len
+    FROM runs WHERE run_len >= 2
+    """
+
+
+@register("rle_tokens_udtf", _RLE_ORACLE)
+def q_rle_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of token streams through the Spark-4 native
+    Python UDTF surface (§2.12 TVF parity, third form beside built-in
+    generators and mapInPandas): a `@udtf` class walks each row's token
+    stream with an accumulator and emits (run_idx, token, run_len) rows
+    for runs of length >= 2, integrated via SQL LATERAL join —
+    Arrow-enabled, and an intentional whitelisted Python stage like the
+    multimodal decoders. The oracle computes the identical runs with
+    gaps-and-islands windows, certifying the stateful walk."""
+    from .operators.udtfs import RunLengthTokens
+
+    d = _t(spark, sf_dir, "documents")
+    spark.udtf.register("rle_tokens", RunLengthTokens)
+    d.createOrReplaceTempView("rle_src")
+    return spark.sql(
+        """
+        SELECT s.doc_id, t.run_idx, t.token, t.run_len
+        FROM rle_src s, LATERAL rle_tokens(s.text) t
+        """
+    )

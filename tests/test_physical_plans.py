@@ -54,14 +54,17 @@ def test_semi_anti_join_strategies(spark, sf_dir):
 
 
 # the ONLY queries allowed to carry a Python stage: the multimodal
-# decoders and the custom-mergeable-sketch exemplar, all Arrow-batched
-# MapInPandas (never row-at-a-time EvalPython)
-PYTHON_STAGE_QUERIES = (
+# decoders and the custom-mergeable-sketch exemplar (Arrow-batched
+# MapInPandas) plus the native Spark-4 UDTF exemplar (Arrow-enabled
+# UDTF) — never row-at-a-time EvalPython anywhere
+MAPINPANDAS_QUERIES = (
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_resize",
     "misra_gries_contract",
 )
+UDTF_QUERIES = ("rle_tokens_udtf",)
+PYTHON_STAGE_QUERIES = MAPINPANDAS_QUERIES + UDTF_QUERIES
 
 
 def test_no_python_udf_in_native_queries(spark, sf_dir):
@@ -77,9 +80,16 @@ def test_no_python_udf_in_native_queries(spark, sf_dir):
 
 
 def test_multimodal_is_arrow_batched(spark, sf_dir):
-    for name in PYTHON_STAGE_QUERIES:
+    for name in MAPINPANDAS_QUERIES:
         p = plan_of(spark, sf_dir, name)
         assert "MapInPandas" in p  # Arrow batch, not row-at-a-time UDF
+        assert "BatchEvalPython" not in p
+
+
+def test_udtf_is_arrow_enabled(spark, sf_dir):
+    for name in UDTF_QUERIES:
+        p = plan_of(spark, sf_dir, name)
+        assert "ArrowEvalPythonUDTF" in p  # Arrow batch, not pickle rows
         assert "BatchEvalPython" not in p
 
 
