@@ -340,3 +340,34 @@ def write_bucketed(
     if path:  # external table (avoids needing a writable warehouse dir)
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_ranges: int = 4,
+    row_group_bytes: int = 64 * 1024,
+) -> None:
+    """Sort-on-write clustering for parquet row-group skipping (the
+    layer BELOW hive partition pruning and ABOVE bucketing in the
+    data-skipping stack): repartitionByRange gives each file a disjoint
+    key range, sortWithinPartitions makes every row group's min/max
+    footer stats narrow, so a later range filter overlaps only a few
+    row groups and the parquet reader skips the rest before any IO
+    beyond the footer. At 100 TB this is the difference between
+    scanning a whole 128 MB row group per file and touching one — the
+    write-side shuffle is paid once, every selective range scan
+    benefits (the same pay-at-write economics as ``write_bucketed``).
+
+    ``row_group_bytes`` maps to parquet.block.size; production keeps
+    the default 128 MB — the tiny value here is for tests to get many
+    groups out of small data.
+    """
+    (
+        df.repartitionByRange(n_ranges, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(row_group_bytes))
+        .parquet(path)
+    )

@@ -244,3 +244,79 @@ def test_broadcast_threshold_sensitivity(spark, sf_dir):
     assert "BroadcastHashJoin" in p_bc and "SortMergeJoin" not in p_bc
     assert "SortMergeJoin" in p_smj and "BroadcastHashJoin" not in p_smj
     assert rows_bc == rows_smj and rows_bc
+
+
+def test_range_clustered_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
+    """Sort-on-write clustering must produce parquet row groups whose
+    min/max footer stats let a range filter skip most groups, where the
+    same data written hash-shuffled cannot skip any — the row-group
+    layer of the data-skipping stack (partition pruning and bucketing
+    are covered elsewhere). Spark's reader skips off exactly these
+    stats when the filter is pushed (asserted on the plan)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from catlas_spark.partitioning import write_range_clustered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    lo, hi = [
+        r[0]
+        for r in li.selectExpr("min(l_shipdate)").collect()
+        + li.selectExpr("max(l_shipdate)").collect()
+    ]
+    span = (hi - lo).days
+    f_lo, f_hi = lo, lo + __import__("datetime").timedelta(days=max(1, span // 20))
+
+    clustered = str(tmp_path / "clustered")
+    shuffled = str(tmp_path / "shuffled")
+    write_range_clustered(li, clustered, "l_shipdate", n_ranges=2, row_group_bytes=8 * 1024)
+    (
+        li.repartition(2, "l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(8 * 1024))
+        .parquet(shuffled)
+    )
+
+    def matching_groups(path):
+        total = hit = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            meta = _pq.ParquetFile(f).metadata
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[
+                "l_shipdate"
+            ]
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= f_hi and st.max >= f_lo:
+                    hit += 1
+        return total, hit
+
+    c_total, c_hit = matching_groups(clustered)
+    s_total, s_hit = matching_groups(shuffled)
+    assert c_total >= 8 and s_total >= 8  # enough groups for the claim
+    assert s_hit == s_total  # hash layout: every group overlaps the range
+    assert c_hit <= max(1, c_total // 4)  # clustered: the vast majority skip
+
+    # the filter actually reaches the scan (reader applies group skipping)
+    scan = spark.read.parquet(clustered).filter(
+        (F.col("l_shipdate") >= F.lit(f_lo)) & (F.col("l_shipdate") <= F.lit(f_hi))
+    )
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    buf = _io.StringIO()
+    with _rs(buf):
+        scan.explain("formatted")
+    assert "PushedFilters: [" in buf.getvalue()
+    assert "GreaterThanOrEqual(l_shipdate" in buf.getvalue()
+    # and both layouts agree on the answer
+    assert (
+        scan.count()
+        == spark.read.parquet(shuffled)
+        .filter((F.col("l_shipdate") >= F.lit(f_lo)) & (F.col("l_shipdate") <= F.lit(f_hi)))
+        .count()
+    )
