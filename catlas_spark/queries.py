@@ -5683,3 +5683,46 @@ def q_rle_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rle_src s, LATERAL rle_tokens(s.text) t
         """
     )
+
+
+_PHRASE_W = ("slow", "hash", "batch")
+
+_PHRASE_ORACLE = f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len([i for i in generate_series(1, len(toks) - 2)
+                      if toks[CAST(i AS INTEGER)] = '{_PHRASE_W[0]}'
+                         AND toks[CAST(i + 1 AS INTEGER)] = '{_PHRASE_W[1]}'
+                         AND toks[CAST(i + 2 AS INTEGER)] = '{_PHRASE_W[2]}']) AS n
+          FROM d)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_matches FROM m WHERE n >= 1
+    """
+
+
+@register("phrase_search_postings", _PHRASE_ORACLE)
+def q_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("slow hash batch") through a positional
+    inverted index: token postings (doc_id, position) are filtered to
+    the phrase's words BEFORE any join — at realistic vocabularies that
+    filter is the whole game, discarding all but a sliver of the corpus
+    — then the phrase is a chain of equi-joins on (doc_id, pos),
+    (doc_id, pos-1), (doc_id, pos-2): all hash joins over
+    postings-sized inputs, the standard search-index query plan (at
+    100 TB the postings table is precomputed once and this plan never
+    rescans raw text). The oracle is the naive full-scan counting
+    phrase starts per document."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w0, w1, w2 = _PHRASE_W
+    pos = d.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("p", "tok")
+    ).filter(F.col("tok").isin(*_PHRASE_W))
+    t0 = pos.filter(F.col("tok") == w0).select("doc_id", "p")
+    t1 = pos.filter(F.col("tok") == w1).select("doc_id", (F.col("p") - 1).alias("p"))
+    t2 = pos.filter(F.col("tok") == w2).select("doc_id", (F.col("p") - 2).alias("p"))
+    return (
+        t0.join(t1, ["doc_id", "p"])
+        .join(t2, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
