@@ -5726,3 +5726,94 @@ def q_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+_LEAK_ORACLE = f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    cl AS (SELECT doc_id,
+                  [array_to_string(t[(i*10+1):(i*10+10)], ' ')
+                   for i in generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)] AS cs
+           FROM toks),
+    ch AS (SELECT DISTINCT doc_id, chunk
+           FROM (SELECT doc_id, unnest(cs) AS chunk FROM cl)),
+    full_ch AS (SELECT doc_id, chunk FROM ch
+                WHERE len(string_split(chunk, ' ')) = 10),
+    dfq AS (SELECT chunk, count(*) AS nd FROM full_ch GROUP BY 1),
+    link AS (SELECT chunk FROM dfq WHERE nd BETWEEN 2 AND 10),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM full_ch a
+              JOIN link USING (chunk)
+              JOIN full_ch b USING (chunk)
+              WHERE a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+    asg AS (SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN labels l ON l.node = d.doc_id)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN (cluster_id * 2654435761) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM asg
+    """
+
+
+@register("leakage_safe_split", _LEAK_ORACLE)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate documents must land
+    in the SAME split, or held-out evaluation scores memorization. Docs
+    sharing any full 10-token chunk are linked (linkage restricted to
+    chunks seen in 2-10 docs: rarer is no evidence, more common is
+    boilerplate — the same df-cap discipline as `dedup_containment`),
+    link chains are closed with distributed connected components
+    (sharing is not transitive), and the 80/20 hash split keys on the
+    CLUSTER id, so a component can never straddle splits — the
+    invariant the naive doc-keyed `train_test_split` cannot give (the
+    contrast test shows the naive split leaking). Chunk build and
+    pairing are the inverted-index shape of `chunk_dedup_stats`
+    (bounded group fan-out, never corpus-pairwise); the oracle replays
+    linkage, a recursive min-reachability closure, and the split."""
+    from .operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    ch = (
+        d.select("doc_id", F.explode(chunks).alias("chunk"))
+        .distinct()
+        .filter(F.size(F.split(F.col("chunk"), " ")) == 10)
+    )
+    link = (
+        ch.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 10))
+        .select("chunk")
+    )
+    pairs = (
+        ch.alias("a")
+        .join(link, "chunk")
+        .join(ch.alias("b"), "chunk")
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    asg = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    return asg.withColumn(
+        "split",
+        F.when((F.col("cluster_id") * 2654435761) % 100 < 80, "train").otherwise(
+            "test"
+        ),
+    )

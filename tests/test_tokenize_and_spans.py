@@ -87,3 +87,34 @@ def test_fuzzy_join_edit_classes(spark, tmp_path):
         ("abc", "axc"): 1,  # substitution (shared delete-at-2 variant "ac")
         ("ab", "abc"): 1,  # deletion: "ab" IS abc's delete-c variant
     }
+
+
+def test_leakage_safe_split_holds_clusters_together(spark, sf_dir):
+    """The invariant the operator exists for: no near-dup cluster spans
+    splits. Contrast: the naive doc-keyed 80/20 hash DOES leak on the
+    same clusters (some component gets docs on both sides), which is
+    exactly why the split must key on the cluster id."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.queries import q_leakage_safe_split
+
+    out = q_leakage_safe_split(spark, sf_dir)
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    # there are real multi-doc clusters (otherwise the test is vacuous)
+    multi = per_cluster.filter(F.col("n_docs") >= 2)
+    assert multi.count() > 0
+
+    naive = out.withColumn(
+        "naive_split",
+        F.when((F.col("doc_id") * 2654435761) % 100 < 80, "train").otherwise("test"),
+    )
+    leaked = (
+        naive.groupBy("cluster_id")
+        .agg(F.count_distinct("naive_split").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert leaked.count() > 0  # the naive split leaks on this corpus
