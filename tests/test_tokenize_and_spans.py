@@ -76,7 +76,11 @@ def test_fuzzy_join_edit_classes(spark, tmp_path):
     from catlas_spark.queries import q_fuzzy_name_join
 
     names = ["abc", "axc", "ab", "ba", "xyz"]
-    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "c_custkey LONG, c_name STRING")
+    # custkeys are multiples of 10: the registry form subsamples keys
+    # via c_custkey % 10 = 0 (oracle-cost honesty; see the docstring)
+    df = spark.createDataFrame(
+        [(i * 10, n) for i, n in enumerate(names)], "c_custkey LONG, c_name STRING"
+    )
     d = str(tmp_path / "star")
     df.write.parquet(f"{d}/customer.parquet")
     got = {
