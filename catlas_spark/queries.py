@@ -5817,3 +5817,51 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "test"
         ),
     )
+
+
+_TRI_ORACLE = """
+    WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+    e AS (SELECT a.s AS x, b.s AS y
+          FROM p a JOIN p b ON a.o = b.o AND a.s < b.s
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    tri AS (SELECT e1.x AS u, e1.y AS v, e2.y AS w
+            FROM e e1
+            JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+            JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+    nodes AS (SELECT u AS n FROM tri
+              UNION ALL SELECT v FROM tri
+              UNION ALL SELECT w FROM tri)
+    SELECT n AS part, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY n
+    """
+
+
+@register("triangle_count_parts", _TRI_ORACLE)
+def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the part co-bought graph
+    (parts linked when co-ordered in >= 2 distinct orders — the df
+    floor that separates signal ties from one-off baskets). Triangles
+    are counted by degree-ordered orientation
+    (operators/graph.triangle_participation): the 100 TB-safe plan
+    whose wedge volume stays near the arboricity bound instead of
+    exploding on hub nodes, all hash joins. The oracle counts the same
+    triangles with the naive id-ordered 3-way self-join — valid because
+    triangle counts are orientation-invariant, which is exactly what
+    lets the engine pick the skew-safe orientation."""
+    from .operators.graph import triangle_participation
+
+    li = _t(spark, sf_dir, "lineitem")
+    sets_ = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        sets_.select(F.explode("ps").alias("x"), "ps")
+        .select("x", F.explode("ps").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("x", "y")
+    )
+    out = triangle_participation(pairs)
+    return out.select(F.col("node").alias("part"), F.col("n_triangles").cast("long"))

@@ -154,3 +154,20 @@ def test_pagerank_adjacency_matches_edge_form(spark, sf_dir):
     b = {r.v: r.pr for r in pagerank_adjacency(nodes, adj, iterations=3).collect()}
     assert set(a) == set(b)
     assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+
+def test_triangle_participation_k4_plus_pendant(spark):
+    """K4 has 4 triangles with every node in exactly 3; a pendant node
+    hanging off the hub joins none. Degree-ordered orientation must
+    count each triangle exactly once regardless of which endpoint is
+    the hub."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.operators.graph import triangle_participation
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 99)]
+    e = spark.createDataFrame(k4, "x LONG, y LONG")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_participation(e).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
