@@ -70,3 +70,36 @@ def load_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
     payloads; decode runs as mapInPandas downstream
     (catlas_spark.operators.multimodal.decode_features)."""
     return spark.read.format("binaryFile").load(path_glob)
+
+
+def read_json_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-enforced JSON-lines ingestion with explicit bad-record
+    policy — at 100 TB some fraction of a raw crawl is ALWAYS malformed,
+    and the failure policy must be a declared choice, not an accident:
+
+    - PERMISSIVE (default): parse what parses; a malformed line lands
+      whole in ``corrupt_col`` with every data field null, so bad input
+      is quarantined by a `WHERE corrupt_col IS NOT NULL` filter and the
+      pipeline keeps its throughput (the reference's bulk JSON ingest,
+      catlas/load_bulk_structures.py:14-38, has no bad-record story —
+      one broken line fails the partition).
+    - DROPMALFORMED: silently discard bad lines (count them from the
+      PERMISSIVE read if you drop them, or the loss is invisible).
+    - FAILFAST: abort the job on first malformed line — for curated
+      inputs where corruption means upstream breakage.
+
+    An EXPLICIT schema is required: schema inference would scan the
+    data twice and silently widen types to cover corrupt rows.
+    """
+    reader = (
+        spark.read.schema(f"{schema}, {corrupt_col} STRING")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    return reader.json(path)

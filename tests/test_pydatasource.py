@@ -88,3 +88,34 @@ def test_nested_field_filters_are_not_claimed():
     # the scan); claiming it would compare the whole struct and drop rows
     assert leftover == [nested]
     assert r.filters == [flat]
+
+
+def test_read_json_robust_bad_record_policies(spark, tmp_path):
+    """The three declared bad-record policies: PERMISSIVE quarantines
+    malformed lines into _corrupt_record with data fields null,
+    DROPMALFORMED silently discards them, FAILFAST aborts the read."""
+    import pytest as _pytest
+
+    from catlas_spark.sources.star import read_json_robust
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "{broken json here}\n"
+        '{"doc_id": 3, "text": "ok three"}\n'
+    )
+    schema = "doc_id BIGINT, text STRING"
+
+    perm = read_json_robust(spark, str(p), schema).collect()
+    assert len(perm) == 3
+    bad = [r for r in perm if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+    assert bad[0]["_corrupt_record"] == "{broken json here}"
+    good_ids = sorted(r["doc_id"] for r in perm if r["_corrupt_record"] is None)
+    assert good_ids == [1, 3]
+
+    dropped = read_json_robust(spark, str(p), schema, mode="DROPMALFORMED").collect()
+    assert sorted(r["doc_id"] for r in dropped) == [1, 3]
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_json_robust(spark, str(p), schema, mode="FAILFAST").collect()
