@@ -45,3 +45,38 @@ def snapshot_config(config: dict, out_dir: str) -> None:
 def console_preview(df: DataFrame, columns: list[str], n: int = 20) -> None:
     """K7: verbose console sink (catlas/prediction_steps.py:423-435)."""
     df.select(*columns).show(n, truncate=False)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files (floor ``min_files``).
+
+    The 100 TB operational problem this solves: a streaming sink or a
+    many-task write leaves thousands of KB-sized files per partition;
+    every later scan then pays one task + one open per file and the
+    NameNode/listing layer pays the metadata. Compaction is a pure
+    rewrite — read, coalesce to the target count, write to a temp dir,
+    atomically swap — so downstream plans see the same rows in fat,
+    row-group-aligned files. coalesce() (not repartition) keeps it
+    shuffle-free: each output task concatenates input splits.
+
+    Returns the number of files written. Content equality and file
+    count are asserted in tests/test_screen_pipeline.py.
+    """
+    import glob as _glob
+    import math
+    import shutil
+
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(min_files, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(_glob.glob(os.path.join(path, "*.parquet")))

@@ -289,3 +289,111 @@ def test_reference_ci_shaped_configs(spark, tmp_path, monkeypatch, cfg_path):
         spark, cfg, fixtures.make_bulks(spark, n=30), fixtures.make_adsorbates(spark)
     )
     assert out.count() > 0
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """32 tiny files compact into a handful, shuffle-free, with content
+    unchanged (the streaming-sink small-file cleanup)."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.sinks import compact_parquet
+
+    out = str(tmp_path / "frag")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(32).write.parquet(out)
+    import glob
+
+    assert len(glob.glob(f"{out}/*.parquet")) == 32
+    # double sums are order-sensitive; compare exact invariants instead
+    probe = lambda df: tuple(
+        df.agg(
+            F.count(F.lit(1)),
+            F.sum("l_quantity"),  # integer-valued, exact in double
+            F.min("l_extendedprice"),
+            F.max("l_extendedprice"),
+            F.count_distinct("l_orderkey", "l_linenumber"),
+        ).collect()[0]
+    )
+    before = probe(li)
+
+    n = compact_parquet(spark, out, target_file_bytes=4 * 1024 * 1024)
+    assert n == len(glob.glob(f"{out}/*.parquet"))
+    assert n <= 4  # tiny table -> a handful of fat files
+    assert probe(spark.read.parquet(out)) == before
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Batches written before and after a column was added must read as
+    ONE table with mergeSchema: old rows surface NULL for the new
+    column, new rows carry it — the append-only ingest evolution story
+    (explicit option, because schema merging costs a footer scan per
+    file and is off by default)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.select("doc_id", "text").filter(F.col("doc_id") % 2 == 0).write.parquet(
+        f"{out}/batch=1"
+    )
+    d.select(
+        "doc_id", "text", F.length("text").alias("quality_score")
+    ).filter(F.col("doc_id") % 2 == 1).write.parquet(f"{out}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "quality_score" in merged.columns
+    old = merged.filter(F.col("batch") == 1)
+    new = merged.filter(F.col("batch") == 2)
+    assert old.filter(F.col("quality_score").isNotNull()).count() == 0
+    assert new.filter(F.col("quality_score").isNull()).count() == 0
+    assert merged.count() == d.count()
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """With skew thresholds lowered to test scale, AQE must mark the
+    sort-merge join as skew-handled (isSkew=true in the final adaptive
+    plan) on a 50%-hot-key join — the runtime complement to the
+    explicit salting operators (B2): at real scale the default 256 MB
+    thresholds catch the same shape without query changes."""
+    from pyspark.sql import functions as F
+
+    # repartition first: AQE splits a skewed reducer partition at MAP
+    # BLOCK granularity, so a single-mapper input (one small file = one
+    # scan task) is unsplittable no matter how skewed — at scale the map
+    # side is always wide; here we widen it explicitly
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+        8, "l_orderkey"
+    )
+    # hot key: half the rows land on suppkey 7
+    skewed = li.withColumn(
+        "k",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(7)).otherwise(F.col("l_suppkey")),
+    )
+    dim = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("k"), "s_name"
+    )
+    old = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        j = skewed.join(dim, "k")
+        j.collect()  # execute THIS DataFrame's QueryExecution so the
+        # adaptive plan below is the final one (a writer would execute a
+        # copy and leave this plan isFinalPlan=false)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan  # SortMergeJoin(skew=true)
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for c, v in old.items():
+            spark.conf.set(c, v)
