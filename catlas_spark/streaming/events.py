@@ -295,3 +295,39 @@ class TypeCensusProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+def click_purchase_left_outer(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase appears —
+    joined to same-user clicks in the preceding ``horizon``, or with
+    NULL click columns once the watermark proves no matching click can
+    still arrive. The outer semantics are state-driven: an unmatched
+    purchase's NULL row is emitted only in a batch AFTER the watermark
+    passes its whole match window (purchase_ts), because until then a
+    matching click could legally arrive; purchases whose window never
+    expires before the stream ends are never emitted as NULL (tested —
+    the availableNow smoke path needs a trailing batch to flush them).
+    Batch mode on the same frame gives the plain left join, which
+    equals the streamed result exactly when every unmatched purchase's
+    window expired — the test's equality oracle."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "2 hours")
+        purchases = purchases.withWatermark("purchase_ts", "2 hours")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return purchases.join(clicks, cond, "left_outer").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "click_id"
+    )

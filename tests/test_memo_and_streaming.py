@@ -623,3 +623,93 @@ def test_type_census_processor_logic_with_fake_state():
     p2._counts = FakeMap()
     out5 = list(p2.handleInputRows((8,), iter([b4]), None))[0]
     assert out5.iloc[0].tolist() == [8, 2, 1, "__null__"]
+
+
+def test_stream_stream_left_outer_emits_expired_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: the matched purchase
+    emits its inner row immediately; the unmatched purchase emits its
+    NULL row only after a LATER batch runs with the watermark past its
+    match window (outer emission is state-expiry-driven, not
+    row-driven). With every window expired by stream end, the streamed
+    result equals the batch left join — asserted both ways."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        click_purchase_left_outer,
+    )
+
+    src = str(tmp_path / "louter_src")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+        _time.sleep(1.1)
+
+    # batch 0: click 01:00; purchase 01:30 (matches); purchase 03:00
+    # (no click in [02:00, 03:00] — must surface as NULL eventually)
+    write_file(
+        "f1",
+        [
+            (1, "2024-01-01 01:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 01:30:00", 1, "purchase", 9.0, "{}"),
+            (3, "2024-01-01 03:00:00", 1, "purchase", 9.0, "{}"),
+        ],
+    )
+    # batch 1: pushes BOTH branch watermarks to 07:00 after it
+    # completes (the two withWatermark branches track their own max
+    # event time and the join uses the MIN — a click alone would leave
+    # the purchase branch's watermark at 01:00 forever)
+    write_file(
+        "f2",
+        [
+            (4, "2024-01-01 09:00:00", 2, "purchase", 9.0, "{}"),
+            (5, "2024-01-01 09:00:00", 3, "click", 1.0, "{}"),
+        ],
+    )
+    # batch 2: runs WITH watermark 07:00 -> flushes purchase 3's NULL row
+    write_file("f3", [(6, "2024-01-01 09:30:00", 3, "click", 1.0, "{}")])
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        click_purchase_left_outer(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("louter_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM louter_test").collect()
+    }
+    # purchase 4 (09:00) is unmatched too but its window never expires
+    # before the stream ends, so its NULL row is legitimately withheld
+    assert got == {(2, 1), (3, None)}
+
+    # the batch left join is the streamed result PLUS the unexpired
+    # unmatched purchase — the precise semantic gap between the two
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got_batch = {
+        (r.purchase_id, r.click_id)
+        for r in click_purchase_left_outer(batch).collect()
+    }
+    assert got_batch == got | {(4, None)}
