@@ -5913,3 +5913,62 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 4).alias("robust_z"),
         )
     )
+
+
+_CHI2_ORACLE = """
+    WITH cell AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+                  FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, sum(o) AS r FROM cell GROUP BY 1),
+    ct AS (SELECT source, sum(o) AS c FROM cell GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM cell),
+    scored AS (
+      SELECT cell.lang, cell.source, CAST(cell.o AS BIGINT) AS observed,
+             round(rt.r * ct.c / n.n, 4) AS expected,
+             round((cell.o - rt.r * ct.c / n.n)
+                   / sqrt(rt.r * ct.c / n.n), 4) AS std_residual,
+             abs((cell.o - rt.r * ct.c / n.n) / sqrt(rt.r * ct.c / n.n)) AS a
+      FROM cell JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    )
+    SELECT lang, source, observed, expected, std_residual
+    FROM scored
+    ORDER BY a DESC, lang, source
+    LIMIT 20
+    """
+
+
+@register("chi2_residuals", _CHI2_ORACLE)
+def q_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association screen between two categoricals (lang x
+    source): per-cell standardized residuals (O - E)/sqrt(E) against
+    the independence expectation E = row_total * col_total / N, top-20
+    cells by |residual| — the data-audit that catches a source
+    over-representing a language before training. One cell-count
+    groupBy on the corpus; row/col margins are cell-table aggregations
+    broadcast back; top-20 via TakeOrderedAndProject. The unrounded
+    |residual| sort key with (lang, source) tiebreak keeps the cut
+    deterministic cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rt = cell.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("source").agg(F.sum("o").alias("c"))
+    n = cell.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    resid = (F.col("o") - e) / F.sqrt(e)
+    return (
+        cell.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            F.round(resid, 4).alias("std_residual"),
+            F.abs(resid).alias("a"),
+        )
+        .orderBy(F.col("a").desc(), "lang", "source")
+        .limit(20)
+        .drop("a")
+    )
