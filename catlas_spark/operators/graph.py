@@ -141,7 +141,13 @@ def triangle_participation(edges: DataFrame, src: str = "x", dst: str = "y") -> 
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # orient u -> v iff (deg(u), u) < (deg(v), v): a total order, so
-    # each undirected edge appears exactly once in `o`
+    # each undirected edge appears exactly once in `o`. Referenced three
+    # times below (both wedge sides + the closing probe) and left LAZY
+    # on purpose: AQE's runtime stage cache dedups the repeated shuffle
+    # subtrees within the single action, while persist(MEMORY_ONLY) +
+    # materialize was measured 2-5x SLOWER here (13.5/4.8/16.7 s vs
+    # 3.4/2.1/3.4 s back-to-back at sf0.1) — the build+count actions
+    # cost more than the plan-tree repetition ever does
     o = (
         und.join(deg, "u")
         .withColumnRenamed("d", "du")

@@ -87,7 +87,11 @@ def bpe_train(
         word_counts.select(
             F.col(word_col).alias("word"),
             F.col(count_col).cast("long").alias("cnt"),
-            F.posexplode(F.regexp_extract_all(F.col(word_col), F.lit("."), 0)),
+            # split on the empty pattern, NOT regexp_extract_all(".") —
+            # Java "." excludes line terminators (U+2028/U+2029/U+0085),
+            # which would silently drop characters the oracle's
+            # substr(word, i, 1) keeps
+            F.posexplode(F.split(F.col(word_col), "")),
         )
         .select("word", "cnt", (F.col("pos") + 1).alias("pos"), F.col("col").alias("sym"))
         .localCheckpoint(eager=True)

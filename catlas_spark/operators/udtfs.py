@@ -26,11 +26,19 @@ class RunLengthTokens:
     compression-shaped repetition signal; single-token runs are
     suppressed at the source to keep the Python→JVM transfer
     output-sized, but `run_idx` still counts ALL runs so positions are
-    stable). Tokenization matches the corpus-wide convention:
-    lowercase, trim, whitespace-split."""
+    stable). Tokenization matches the corpus-wide convention —
+    lowercase, trim, whitespace-split — with Python's Unicode notions
+    pinned back to the engines': ASCII-only \\s (Java/RE2 \\s does not
+    include NBSP/U+2028/ideographic space) and an ASCII strip (Python
+    str.strip() eats Unicode whitespace, Java trim() stops at
+    U+0020)."""
+
+    _WS = " \t\n\r\f\v"
 
     def eval(self, text: str):
-        toks = re.sub(r"\s+", " ", (text or "").strip().lower()).split(" ")
+        toks = re.sub(
+            r"\s+", " ", (text or "").strip(self._WS).lower(), flags=re.ASCII
+        ).split(" ")
         run_idx = 0
         i = 0
         n = len(toks)

@@ -347,7 +347,7 @@ def write_range_clustered(
     path: str,
     sort_col: str,
     n_ranges: int = 4,
-    row_group_bytes: int = 64 * 1024,
+    row_group_bytes: int | None = None,
 ) -> None:
     """Sort-on-write clustering for parquet row-group skipping (the
     layer BELOW hive partition pruning and ABOVE bucketing in the
@@ -360,14 +360,15 @@ def write_range_clustered(
     write-side shuffle is paid once, every selective range scan
     benefits (the same pay-at-write economics as ``write_bucketed``).
 
-    ``row_group_bytes`` maps to parquet.block.size; production keeps
-    the default 128 MB — the tiny value here is for tests to get many
-    groups out of small data.
+    ``row_group_bytes`` maps to parquet.block.size; the default (None)
+    keeps parquet's production 128 MB groups — tests pass a tiny value
+    explicitly to get many groups out of small data.
     """
-    (
+    writer = (
         df.repartitionByRange(n_ranges, F.col(sort_col))
         .sortWithinPartitions(sort_col)
         .write.mode("overwrite")
-        .option("parquet.block.size", str(row_group_bytes))
-        .parquet(path)
     )
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)

@@ -67,16 +67,37 @@ def compact_parquet(
 
     Returns the number of files written. Content equality and file
     count are asserted in tests/test_screen_pipeline.py.
+
+    Flat directories only: a hive-partitioned layout (path/k=v/...)
+    must be compacted per leaf directory, or the rewrite would both
+    flatten the partition structure and funnel the whole dataset
+    through ceil(total/target) tasks — the function refuses rather
+    than guessing. The swap is rename-aside (old → __old, new → path,
+    delete __old): a crash leaves either the original or the compacted
+    directory at a recoverable name, never a window with no data under
+    ``path``.
     """
     import glob as _glob
     import math
     import shutil
 
     files = _glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        sub = [d for d in _glob.glob(os.path.join(path, "*")) if os.path.isdir(d)]
+        raise ValueError(
+            f"compact_parquet: no top-level parquet files in {path}"
+            + (
+                f"; found partition dirs {sub[:3]} — compact each leaf directory"
+                if sub
+                else ""
+            )
+        )
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(min_files, math.ceil(total / target_file_bytes))
     tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(_glob.glob(os.path.join(path, "*.parquet")))
