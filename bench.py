@@ -82,19 +82,48 @@ def main() -> None:
         timings[name] = round(statistics.median(vals), 3) if vals else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
+    warm_totals = [
+        round(sum(t for t in run.values() if t >= 0), 3) for run in warm_runs
+    ]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total_seconds": cold_total,
+        "warm_pass_totals": warm_totals,
+        "sf": sf_val,
+    }
+    print(json.dumps(full))
+    # the full line above exceeds tail-capture windows (~2 KB) at 140+
+    # queries, truncating from the FRONT and losing the headline value —
+    # so also persist the detail next to the script and END stdout with a
+    # short self-contained summary line that any last-line/tail parser
+    # gets whole (slowest-5 inline for a quick read)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "sf": sf_val,
+                "n_queries": len(timings),
                 "cold_total_seconds": cold_total,
-                "warm_pass_totals": [
-                    round(sum(t for t in run.values() if t >= 0), 3)
-                    for run in warm_runs
-                ],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "warm_pass_totals": warm_totals,
+                "slowest": slowest,
+                "queries_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -5792,18 +5792,25 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.size(F.split(F.col("chunk"), " ")) == 10)
     )
-    link = (
+    # STAR edges, not cliques: (min doc of the chunk group) -> (each
+    # other member) has the identical transitive closure as all g^2/2
+    # pairs but only g-1 edges per chunk and ONE shuffle (the group
+    # aggregation) instead of a self-join plus a distinct over the
+    # pair blowup — the oracle's clique-pair reach CTE closes to the
+    # same min-label components
+    grp = (
         ch.groupBy("chunk")
-        .agg(F.count(F.lit(1)).alias("nd"))
+        .agg(
+            F.min("doc_id").alias("m"),
+            F.collect_set("doc_id").alias("ds"),
+            F.count(F.lit(1)).alias("nd"),
+        )
         .filter((F.col("nd") >= 2) & (F.col("nd") <= 10))
-        .select("chunk")
     )
     pairs = (
-        ch.alias("a")
-        .join(link, "chunk")
-        .join(ch.alias("b"), "chunk")
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        grp.select("m", F.explode("ds").alias("doc"))
+        .filter(F.col("doc") != F.col("m"))
+        .select(F.col("m").alias("id_a"), F.col("doc").alias("id_b"))
         .distinct()
     )
     cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
