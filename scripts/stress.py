@@ -56,6 +56,15 @@ HEADLINE = [
     "pagerank_suppliers",
     "ann_quantized",
     "chunk_documents_overlap",
+    "bpe_merge_train",
+    "dup_span_coverage",
+    "fuzzy_name_join",
+    "phrase_search_postings",
+    "rle_tokens_udtf",
+    "leakage_safe_split",
+    "triangle_count_parts",
+    "mad_outliers",
+    "chi2_residuals",
 ]
 
 
