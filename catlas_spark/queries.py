@@ -5616,15 +5616,25 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_name").alias("name"))
         .distinct()
     )
-    var = keys.select(
-        "name", F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i")
-    ).select(
-        "name",
-        F.when(F.col("i") == 0, F.col("name"))
-        .otherwise(
-            F.expr("concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))")
+    var = (
+        keys.select(
+            "name", F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i")
         )
-        .alias("v"),
+        .select(
+            "name",
+            F.when(F.col("i") == 0, F.col("name"))
+            .otherwise(
+                F.expr(
+                    "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))"
+                )
+            )
+            .alias("v"),
+        )
+        # deduplicate (name, variant): deleting any of a run of equal
+        # chars (e.g. the zero-padding) yields the SAME variant string,
+        # and duplicate rows square the join fan-out — measured 5.6 ->
+        # 4.4 s at the 15k-key full keyspace, identical output
+        .distinct()
     )
     cand = (
         var.alias("a")
