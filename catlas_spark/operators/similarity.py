@@ -349,3 +349,85 @@ def semantic_dedup(
         )
     )
     return materialize_and_release(out, ranked)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> None:
+    """Persist an IVF index: the corpus written hive-partitioned by
+    nearest-centroid id (`ivf_cluster=<cid>/`), centroids alongside.
+
+    This is the build-once-query-many production shape of `ann_ivf`:
+    the assignment cross join runs ONCE at build time, and every later
+    search prunes to `nprobe` partition DIRECTORIES at planning time —
+    at 100 TB a probe touches k_probe/k of the corpus bytes, with
+    partition pruning visible in the scan's PartitionFilters (asserted
+    in tests/test_ml.py). Centroid convention matches `ann_ivf` /
+    `semantic_dedup` (k smallest ids; training certified by
+    `kmeans_ivf_train` — swap in its output for learned centroids).
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    centroids = vecs.filter(F.col("vid") < k).select(
+        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
+    d2 = (
+        F.floor(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x) * 10000 + F.lit(0.5))
+        / 10000
+    )
+    w = Window.partitionBy("vid").orderBy("d2", "cid")
+    assigned = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vid", "v", F.col("cid").alias("ivf_cluster"))
+    )
+    assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(
+        f"{path}/corpus"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search_pruned(
+    spark,
+    path: str,
+    query: list[float],
+    topk: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index: rank centroids against the query
+    DRIVER-side (the centroid table is k rows by construction — the
+    same tiny-model-state pattern as kmeans centroid broadcast), then
+    scan ONLY the nprobe nearest partitions (an isin() on the hive
+    partition column prunes directories at planning time) and
+    exact-rerank by cosine inside them. Returns (vec_id, sim) top-k."""
+    from ..functions.vector import dot, norm
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    ranked = sorted(
+        cents,
+        key=lambda r: (sum((a - b) ** 2 for a, b in zip(r["c"], query)), r["cid"]),
+    )
+    probe = [int(r["cid"]) for r in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("ivf_cluster").isin(probe)
+    )
+    qn = sum(x * x for x in query) ** 0.5
+    return (
+        corpus.select(
+            F.col("vid").alias("vec_id"),
+            F.round(dot(F.col("v"), q) / (norm(F.col("v")) * F.lit(qn)), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(topk)
+    )

