@@ -383,6 +383,7 @@ def set_containment_join_auto(
     right_id: str,
     el: str = "_el",
     bitmap_capacity_cap: int = 1 << 20,
+    right_id_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Stats-driven strategy pick for postings inputs — the optimizer
     face of the containment-join family. ONE dimension-sized aggregation
@@ -401,6 +402,15 @@ def set_containment_join_auto(
     is array-native, so it does not fit a postings-only dispatcher.
     Duplicates are allowed on both inputs for either branch.
 
+    ``right_id_bounds`` short-circuits the probe with externally known
+    (min, max) id bounds — catalog/footer statistics. When the right ids
+    come off a dimension table scan, parquet footer min/max answer this
+    at PLANNING time (see ``sources.stats.parquet_column_bounds``) and
+    the runtime probe aggregation disappears entirely. The bounds must
+    COVER the actual ids (a dimension's bounds cover its fact-side
+    foreign keys by integrity); the bitmap operator still raises on any
+    id outside them rather than aliasing.
+
     Output: (left_id, right_id, n_left) — identical across strategies
     up to the id column's type (the bitmap decode yields longs).
     """
@@ -408,16 +418,16 @@ def set_containment_join_auto(
 
     id_type = right_post.schema[right_id].dataType
     if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        r = right_post.agg(
-            F.min(right_id).alias("mn"), F.max(right_id).alias("mx")
-        ).first()
-        if (
-            r["mn"] is not None
-            and int(r["mn"]) >= 0
-            and int(r["mx"]) < bitmap_capacity_cap
-        ):
+        if right_id_bounds is not None:
+            mn, mx = right_id_bounds
+        else:
+            r = right_post.agg(
+                F.min(right_id).alias("mn"), F.max(right_id).alias("mx")
+            ).first()
+            mn, mx = r["mn"], r["mx"]
+        if mn is not None and int(mn) >= 0 and int(mx) < bitmap_capacity_cap:
             return set_containment_join_bitmap(
-                left_post, left_id, right_post, right_id, int(r["mx"]) + 1, el
+                left_post, left_id, right_post, right_id, int(mx) + 1, el
             )
     return set_containment_join_postings(
         left_post.select(left_id, el).distinct(),

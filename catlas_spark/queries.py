@@ -3668,20 +3668,24 @@ def q_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set arrays (the array API re-explodes them — measured 17x
     slower), and no per-candidate-pair aggregation (the postings
     count-equality plan builds 17M groups here — measured 5x slower).
-    The strategy pick is automatic: `set_containment_join_auto` reads
-    the right-id stats (a dimension-sized aggregation) and dispatches —
-    bitmap for this packed 1k-supplier space, the general postings plan
-    for unbounded id spaces. `set_containment_prefix` is the
+    The strategy pick is automatic: `set_containment_join_auto`
+    dispatches on right-id bounds — bitmap for this packed 1k-supplier
+    space, the general postings plan for unbounded id spaces — and the
+    bounds come from the parquet FOOTER stats of the scanned l_suppkey
+    column (planning-time, no runtime probe job; the warehouse-optimizer
+    catalog-stats shortcut). `set_containment_prefix` is the
     sparse-vocabulary scale path (same oracle shape)."""
     from .operators.relational import set_containment_join_auto
+    from .sources.stats import parquet_column_bounds
 
     li = _t(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("orderkey"), F.col("l_partkey").alias("_el"))
     sp = li.select(F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("_el"))
+    bounds = parquet_column_bounds(f"{sf_dir}/lineitem.parquet", "l_suppkey")
     return (
-        # auto-dispatch reads the supplier-id stats (dimension-sized agg)
-        # and picks the bitmap strategy here — 1k densely packed ids
-        set_containment_join_auto(op, "orderkey", sp, "suppkey")
+        # footer bounds → bitmap strategy picked with zero runtime probe;
+        # a stats-free file falls back to the runtime min/max aggregation
+        set_containment_join_auto(op, "orderkey", sp, "suppkey", right_id_bounds=bounds)
         .filter(F.col("n_left") >= 2)
         # int cast: |set| is int32 in the array API (F.size) and the oracle
         .select("orderkey", "suppkey", F.col("n_left").cast("int").alias("n_parts"))

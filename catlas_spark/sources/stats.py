@@ -1,0 +1,69 @@
+"""Planning-time parquet footer statistics.
+
+The engine's stats-driven strategy picks (`set_containment_join_auto`,
+quantile regime dispatch, IVF probe pruning) need cheap bounds on a
+column. When the column comes straight off a parquet scan, the footer
+min/max answer at PLANNING time — no Spark job, no data IO — the same
+catalog-statistics shortcut a warehouse optimizer takes. Unlike the
+single-footer flavor probe in ``events_io`` (a writer-level property),
+VALUE bounds are data properties, so every part-file's footer is read
+and the bounds are unioned; ~KBs of footer per file, still trivial next
+to one runtime aggregation over the data.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+import pyarrow.parquet as pq
+
+
+def _parquet_files(path_or_glob: str) -> list[str]:
+    out: list[str] = []
+    for cand in sorted(_glob.glob(path_or_glob)) or [path_or_glob]:
+        if os.path.isdir(cand):
+            out.extend(
+                sorted(_glob.glob(os.path.join(cand, "**", "*.parquet"), recursive=True))
+            )
+        elif os.path.isfile(cand):
+            out.append(cand)
+    return out
+
+
+def parquet_column_bounds(path_or_glob: str, col: str):
+    """(min, max) of ``col`` across every row group of every part-file,
+    from footer statistics only. Returns None when the dataset has no
+    files yet or ANY row group lacks min/max stats for the column —
+    partial stats cannot bound the data, and callers treat None as
+    "probe at runtime instead". NULL-only row groups (no min/max) also
+    yield None rather than a fabricated bound.
+    """
+    files = _parquet_files(path_or_glob)
+    if not files:
+        return None
+    mn = mx = None
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            found = False
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema != col:
+                    continue
+                found = True
+                if c.statistics is None or not c.statistics.has_min_max:
+                    if c.statistics is not None and c.num_values == 0:
+                        # all-NULL group: contributes no values, skip
+                        break
+                    return None
+                s = c.statistics
+                mn = s.min if mn is None else min(mn, s.min)
+                mx = s.max if mx is None else max(mx, s.max)
+                break
+            if not found:
+                return None
+    if mn is None:
+        return None
+    return (mn, mx)

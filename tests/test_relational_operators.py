@@ -467,6 +467,46 @@ def test_set_containment_auto_dispatches_by_right_id_stats(spark):
     assert "posexplode" not in out3._jdf.queryExecution().executedPlan().toString()
 
 
+def test_set_containment_auto_accepts_footer_bounds(spark, tmp_path):
+    """`right_id_bounds` short-circuits the runtime min/max probe with
+    planning-time stats: parquet footer bounds on the scanned id column
+    must (a) round-trip through `parquet_column_bounds` and (b) steer
+    the dispatcher to the same bitmap plan + identical results as the
+    probing path."""
+    import pyspark.sql.functions as F
+
+    from catlas_spark.operators.relational import set_containment_join_auto
+    from catlas_spark.sources.stats import parquet_column_bounds
+
+    left = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "z"]), (3, ["c"])],
+        "lid long, els array<string>",
+    )
+    l_post = left.select("lid", F.explode("els").alias("_el"))
+    right = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (10, "c"), (20, "a"), (20, "z")],
+        "rid long, _el string",
+    )
+    path = str(tmp_path / "right_post")
+    right.write.parquet(path)
+
+    bounds = parquet_column_bounds(path, "rid")
+    assert bounds == (10, 20)
+    assert parquet_column_bounds(path, "no_such_col") is None
+    assert parquet_column_bounds(str(tmp_path / "empty_dir"), "rid") is None
+
+    r_post = spark.read.parquet(path)
+    probed = set_containment_join_auto(l_post, "lid", r_post, "rid")
+    hinted = set_containment_join_auto(
+        l_post, "lid", r_post, "rid", right_id_bounds=bounds
+    )
+    res_p = {(r.lid, r.rid, r.n_left) for r in probed.collect()}
+    res_h = {(r.lid, r.rid, r.n_left) for r in hinted.collect()}
+    assert res_h == res_p == {(1, 10, 2), (2, 20, 2), (3, 10, 1)}
+    # both are the bitmap plan; the hinted one just skipped the probe job
+    assert "posexplode" in hinted._jdf.queryExecution().executedPlan().toString()
+
+
 def test_set_containment_bitmap_rejects_out_of_range_ids(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F  # noqa: F401
