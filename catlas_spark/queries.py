@@ -3345,6 +3345,54 @@ def q_funnel_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+@register(
+    "cohort_retention",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS ad
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT user_id, ad, min(ad) OVER (PARTITION BY user_id) AS cd FROM a
+    ),
+    cells AS (
+      SELECT cd, date_diff('day', cd, ad) AS day_offset, count(*) AS n_active
+      FROM m GROUP BY 1, 2
+    )
+    SELECT strftime(cd, '%Y-%m-%d') AS cohort_day, day_offset, n_active,
+           round(n_active / (max(CASE WHEN day_offset = 0 THEN n_active END)
+                             OVER (PARTITION BY cd)), 4) AS retention
+    FROM cells
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-purchase day,
+    each cell = how many of that cohort purchased again ``day_offset``
+    days later, as a fraction of the cohort. Join-free plan: one
+    distinct over (user, day) — the only corpus-sized shuffle — then a
+    per-user window min for the cohort day and a cells-sized groupBy.
+    The cohort SIZE is not a separate aggregation: every user is active
+    on their own first day by construction, so the offset-0 cell IS the
+    cohort size, read back with a window over the tiny matrix instead of
+    a join against a second scan. At 100 TB the matrix is
+    days x days-sized regardless of corpus size."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("ad")).distinct()
+    m = act.withColumn("cd", F.min("ad").over(Window.partitionBy("user_id")))
+    cells = m.groupBy(
+        "cd", F.datediff("ad", "cd").cast("long").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    cohort_n = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cd"))
+    return cells.select(
+        F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        F.round(F.col("n_active") / cohort_n, 4).alias("retention"),
+    )
+
+
 _HASH_U = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)"
     " / 4503599627370496.0"
