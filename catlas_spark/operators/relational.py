@@ -438,6 +438,88 @@ def set_containment_join_auto(
     )
 
 
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_x: bool = False,
+    max_y: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): the (x, y) pairs not strictly
+    dominated by any other row — q dominates p when q is at-least-as-good
+    on both coordinates and strictly better on one. ``max_x``/``max_y``
+    flip a coordinate's direction (defaults minimize); rows with a NULL
+    coordinate are excluded (NULL has no place in a dominance order).
+
+    Spark has no skyline operator, and the textbook NOT EXISTS self-join
+    is quadratic. The sort-order identity makes it linear: over DISTINCT
+    pairs in (x, y) lexicographic order, every pair sorted earlier has
+    smaller x, or equal x and smaller y — so p is dominated iff the
+    running prefix min of y over its strict predecessors is <= p.y.
+    One ordered pass, no joins.
+
+    The global order does NOT use an unpartitioned window (the
+    single-reducer scale-killer): like `partitioning.ranked_by_range`,
+    pairs are repartitionByRange'd on (x, y) — size-balanced, globally
+    ordered ACROSS partitions — each partition computes its local
+    prefix min in parallel, and the cross-partition carry-in is a
+    partition-count-sized collect broadcast back as a pid→min literal
+    map. The ranged layout is materialized once (localCheckpoint)
+    because the range partitioner's boundary sampling is re-seeded per
+    execution — the carry-ins must describe the same placement the
+    final pass reads.
+
+    Returns the skyline as distinct (x_col, y_col) pairs in the
+    original orientation; duplicates of a frontier point are mutually
+    non-dominating, so callers wanting rows semi-join the (tiny) result
+    back — broadcast, no extra shuffle.
+    """
+    spark = df.sparkSession
+    sx = (-F.col(x_col)) if max_x else F.col(x_col)
+    sy = (-F.col(y_col)) if max_y else F.col(y_col)
+    pairs = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(sx.alias("__sx"), sy.alias("__sy"))
+        .distinct()
+    )
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        pairs.repartitionByRange(n, F.col("__sx"), F.col("__sy"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = sorted(
+        parts.groupBy("__pid").agg(F.min("__sy").alias("__m")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    carry: dict[int, float] = {}
+    acc = None
+    for r in stats:
+        if acc is not None:
+            carry[r["__pid"]] = acc
+        acc = r["__m"] if acc is None else min(acc, r["__m"])
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__sx", "__sy")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_col = (
+        F.create_map(*[F.lit(v) for kv in carry.items() for v in kv])[F.col("__pid")]
+        if carry
+        else F.lit(None).cast(parts.schema["__sy"].dataType)
+    )
+    prev_min = F.least(F.min("__sy").over(w), carry_col)
+    return (
+        parts.withColumn("__prev", prev_min)
+        .filter(F.col("__prev").isNull() | (F.col("__sy") < F.col("__prev")))
+        .select(
+            ((-F.col("__sx")) if max_x else F.col("__sx")).alias(x_col),
+            ((-F.col("__sy")) if max_y else F.col("__sy")).alias(y_col),
+        )
+    )
+
+
 def set_containment_join_prefix(
     left: DataFrame,
     left_id: str,

@@ -3393,6 +3393,47 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skyline_pareto",
+    """
+    WITH s AS (
+      SELECT l_suppkey AS suppkey,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_discount
+      FROM lineitem GROUP BY 1
+    )
+    SELECT suppkey, avg_price, avg_discount
+    FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE b.avg_price <= a.avg_price AND b.avg_discount >= a.avg_discount
+        AND (b.avg_price < a.avg_price OR b.avg_discount > a.avg_discount)
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier Pareto frontier: cheapest-vs-most-discounting tradeoff —
+    suppliers not strictly dominated on (min avg price, max avg
+    discount). The oracle states the textbook NOT EXISTS self-join
+    (quadratic); the engine's `skyline_2d` is the linear sort-order
+    plan — distinct pairs range-partitioned in lex order, per-partition
+    prefix mins with a broadcast cross-partition carry-in, never a
+    single-reducer global window and never a self-join. The frontier is
+    tiny by nature, so re-attaching supplier rows is a broadcast semi
+    join."""
+    from .operators.relational import skyline_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+    )
+    sky = skyline_2d(s, "avg_price", "avg_discount", max_y=True)
+    return s.join(F.broadcast(sky), ["avg_price", "avg_discount"], "semi").select(
+        "suppkey", "avg_price", "avg_discount"
+    )
+
+
 _HASH_U = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)"
     " / 4503599627370496.0"

@@ -507,6 +507,43 @@ def test_set_containment_auto_accepts_footer_bounds(spark, tmp_path):
     assert "posexplode" in hinted._jdf.queryExecution().executedPlan().toString()
 
 
+def test_skyline_2d_matches_brute_force_across_partitions(spark):
+    """skyline_2d vs the quadratic dominance definition, on data with
+    ties, duplicate points, and a forced multi-partition range layout
+    (the cross-partition carry-in path must fire)."""
+    from catlas_spark.operators.relational import skyline_2d
+
+    pts = [
+        (1.0, 9.0), (1.0, 9.0), (2.0, 7.0), (2.0, 8.0), (3.0, 7.0),
+        (4.0, 6.0), (4.0, 6.5), (5.0, 1.0), (6.0, 1.0), (6.0, 0.5),
+        (7.0, 3.0), (8.0, 0.5), (9.0, 0.4), (1.5, 9.5), (0.5, 12.0),
+    ] + [(10.0 + i, 10.0 - i * 0.01) for i in range(40)]
+    df = spark.createDataFrame([(x, y, 1) for x, y in pts], "x double, y double, z int")
+    df = df.union(spark.createDataFrame([(None, 1.0, 1), (1.0, None, 1)], df.schema))
+
+    def brute(points, max_x=False, max_y=False):
+        def better(a, b):  # a dominates b
+            ax, ay = (-a[0], a[1]) if max_x else (a[0], a[1])
+            bx, by = (-b[0], b[1]) if max_x else (b[0], b[1])
+            if max_y:
+                ay, by = -ay, -by
+            return ax <= bx and ay <= by and (ax < bx or ay < by)
+
+        uniq = set(points)
+        return {p for p in uniq if not any(better(q, p) for q in uniq if q != p)}
+
+    for kw in ({}, {"max_y": True}, {"max_x": True, "max_y": True}):
+        got = {
+            (r.x, r.y)
+            for r in skyline_2d(df, "x", "y", num_partitions=5, **kw).collect()
+        }
+        assert got == brute(pts, **kw), kw
+
+    # single-partition degenerate layout (no carry-in map at all)
+    got1 = {(r.x, r.y) for r in skyline_2d(df, "x", "y", num_partitions=1).collect()}
+    assert got1 == brute(pts)
+
+
 def test_set_containment_bitmap_rejects_out_of_range_ids(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F  # noqa: F401
