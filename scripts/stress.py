@@ -65,6 +65,8 @@ HEADLINE = [
     "triangle_count_parts",
     "mad_outliers",
     "chi2_residuals",
+    "cohort_retention",
+    "skyline_pareto",
 ]
 
 
