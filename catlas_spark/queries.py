@@ -3394,6 +3394,51 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    """
+    WITH nxt AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst_type
+      FROM events
+    ),
+    cells AS (
+      SELECT src_type, dst_type, count(*) AS n
+      FROM nxt WHERE dst_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, n,
+           round(n / (sum(n) OVER (PARTITION BY src_type)), 4) AS p
+    FROM cells
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current type), the behavioral-analytics
+    companion to the funnel/cohort/session family. One shuffle on
+    user_id for the lead window (tiebreak on event_id makes the order
+    total), then a matrix-sized groupBy; row-normalization is a window
+    over the |types|^2 matrix, not the corpus. Last event per user has
+    no successor and is excluded."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+        )
+        .filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("src_type"))
+    return cells.select(
+        "src_type", "dst_type", "n", F.round(F.col("n") / row_total, 4).alias("p")
+    )
+
+
+@register(
     "skyline_pareto",
     """
     WITH s AS (
