@@ -372,3 +372,75 @@ def write_range_clustered(
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     writer.parquet(path)
+
+
+def zorder_value(
+    x: Column, y: Column, x_bounds: tuple, y_bounds: tuple, bits: int = 16
+) -> Column:
+    """Morton (Z-order) key for two numeric columns: each coordinate is
+    quantized to ``bits`` levels over its [min, max] bounds and the bit
+    strings are interleaved — pure codegen bit arithmetic (2*bits
+    shift/mask terms), no UDF. Out-of-bounds values clamp to the edge
+    cells rather than corrupting neighbors' keys."""
+    top = (1 << bits) - 1
+
+    def quant(c: Column, lo, hi) -> Column:
+        if hi <= lo:
+            return F.lit(0).cast("long")
+        scaled = F.floor((c.cast("double") - F.lit(float(lo))) * (top / (hi - lo)))
+        return F.least(F.lit(top), F.greatest(F.lit(0), scaled)).cast("long")
+
+    qx, qy = quant(x, *x_bounds), quant(y, *y_bounds)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bounds: tuple | None = None,
+    bits: int = 16,
+    n_ranges: int = 4,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Space-filling-curve clustering on TWO columns — the 2-D member of
+    the data-skipping stack (`write_range_clustered` is the 1-D one; the
+    same layout discipline behind OPTIMIZE ZORDER in lakehouse table
+    formats). A 1-D sort gives narrow row-group footer stats on its sort
+    column only: filters on the second column overlap every group. The
+    Morton curve maps 2-D proximity to key proximity, so sorting by the
+    interleaved key gives every row group a small (x, y) RECTANGLE —
+    selective filters on x, on y, or on a box of both skip most groups
+    from footer stats alone, before any data IO. The curve key is
+    write-side only and never stored.
+
+    ``bounds`` = ((x_min, x_max), (y_min, y_max)) for the quantizer;
+    pass footer statistics (``sources.stats.parquet_column_bounds``)
+    when the frame comes off a parquet scan — planning-time, no job.
+    Omitted bounds cost ONE min/max aggregation over the input (at
+    100 TB prefer the footer path). Quantization only steers layout;
+    values are written untouched, so stale/loose bounds degrade
+    skipping, never correctness.
+    """
+    if bounds is None:
+        r = df.agg(
+            F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+        ).first()
+        bounds = ((r[0], r[1]), (r[2], r[3]))
+    z = zorder_value(F.col(x_col), F.col(y_col), bounds[0], bounds[1], bits)
+    writer = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_ranges, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+    )
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
