@@ -67,6 +67,7 @@ HEADLINE = [
     "chi2_residuals",
     "cohort_retention",
     "skyline_pareto",
+    "event_transition_matrix",
 ]
 
 
