@@ -17,7 +17,7 @@ verify it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, sign_bucket
@@ -430,4 +430,147 @@ def ivf_search_pruned(
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(topk)
+    )
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, subdim: int, id_col: str, vec_col: str, id_alias: str
+) -> DataFrame:
+    """Explode a ``m * subdim``-dim vector into ``m`` double subvectors:
+    one row per (id, subspace s, subvector sv)."""
+    subs = F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), 1 + s * subdim, subdim),
+                lambda x: x.cast("double"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias), F.posexplode(subs).alias("s", "sv")
+    )
+
+
+def _pq_d4(a: str, b: str) -> Column:
+    """Integer-scaled squared L2 distance between two double arrays:
+    floor(d2 * 1e4 + 0.5) as BIGINT. The floor(x*1e4+0.5) form (not
+    round()) keeps the value engine-portable — Spark's round() rounds the
+    shortest decimal repr of a double while DuckDB rounds the binary value
+    — and integer distances make the downstream ADC **sum** exact, immune
+    to float addition order across shuffle partitions."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(d2 * 10000 + F.lit(0.5)).cast("long")
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 4,
+    subdim: int = 16,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    verify_recall: bool = True,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) lookup.
+
+    The third memory tier beyond scalar quantization (``quantized_topk``):
+    split each vector into ``m`` subspaces, encode every corpus vector as
+    ``m`` small centroid codes (here 4 x 4 bits = 2 bytes per 64-dim
+    vector, a 128x compression), and score queries WITHOUT touching the
+    original vectors — per-query distance tables to the ``m * n_centroids``
+    centroids are precomputed and the corpus-side scan is an integer
+    code equi-join + sum. This is the FAISS IVFPQ scoring model expressed
+    as DataFrame ops.
+
+    The codebook is a deterministic seeded sample: the subvectors of the
+    ``n_centroids`` lowest-id corpus rows (ids must cover
+    ``[0, n_centroids)``), so an oracle can replay training, encoding and
+    search exactly; production would swap in ``kmeans_lloyd`` per subspace
+    without touching the search plan.
+
+    At 100 TB the plan shape is the point: the corpus is scanned once to
+    encode (or the codes are a precomputed column), the per-query lookup
+    tables are a few KB broadcast to every executor, and the scoring join
+    shuffles only ``(id, s, code)`` ints — never the embedding column.
+
+    Output: ``(q_id, n_id, adc, rank, in_exact)`` with ``adc`` the
+    ADC-approximated squared L2 distance (ascending = nearer) and
+    ``in_exact`` the recall annotation vs the exact float ranking.
+    """
+    sub_c = _pq_subvectors(emb, m, subdim, id_col, vec_col, "n_id")
+    cent = (
+        _pq_subvectors(
+            emb.filter(F.col(id_col) < n_centroids), m, subdim, id_col, vec_col, "cid"
+        )
+        .select("cid", "s", F.col("sv").alias("cv"))
+    )
+    # encode: per (corpus row, subspace) argmin centroid — min over a
+    # (d4, cid) struct gives the argmin with deterministic tiebreak and
+    # keeps the aggregation map-side-combinable (no window shuffle-sort)
+    codes = (
+        sub_c.join(F.broadcast(cent), "s")
+        .select("n_id", "s", F.struct(_pq_d4("sv", "cv").alias("d4"), "cid").alias("dc"))
+        .groupBy("n_id", "s")
+        .agg(F.min("dc").getField("cid").alias("code"))
+    )
+    # per-query ADC lookup tables: distance from each query subvector to
+    # every centroid of that subspace (m * n_centroids ints per query)
+    lut = (
+        _pq_subvectors(queries, m, subdim, id_col, vec_col, "q_id")
+        .join(F.broadcast(cent), "s")
+        .select("q_id", "s", F.col("cid").alias("code"), _pq_d4("sv", "cv").alias("qd4"))
+    )
+    adc4 = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("qd4").alias("adc4"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc4", "n_id")
+    approx = (
+        adc4.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("adc4") / 10000.0, 4).alias("adc"),
+            "rank",
+        )
+    )
+    if not verify_recall:
+        return approx.select(
+            "q_id", "n_id", "adc", "rank", F.lit(None).cast("boolean").alias("in_exact")
+        )
+    # exact float squared-L2 top-k on the query sample (same metric as ADC
+    # approximates, so the recall annotation is apples-to-apples)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("n_vec"),
+    )
+    we = Window.partitionBy("q_id").orderBy("d4", "n_id")
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", _pq_d4("q_vec", "n_vec").alias("d4"))
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", F.lit(True).alias("in_exact"))
+    )
+    return approx.join(exact, ["q_id", "n_id"], "left").select(
+        "q_id",
+        "n_id",
+        "adc",
+        "rank",
+        F.coalesce(F.col("in_exact"), F.lit(False)).alias("in_exact"),
     )

@@ -6127,3 +6127,76 @@ def q_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("a")
     )
+
+
+_PQ_ORACLE = """
+    WITH sub AS (
+      SELECT vec_id, t.s,
+             list_transform(generate_series(1, 16),
+                            i -> CAST(embedding[t.s * 16 + i] AS DOUBLE)) AS sv
+      FROM embeddings, range(0, 4) t(s)
+    ),
+    cent AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 16),
+    enc AS (
+      SELECT sub.vec_id AS n_id, sub.s, cent.cid,
+             CAST(floor(list_sum(list_transform(generate_series(1, 16),
+                  i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 10000 + 0.5) AS BIGINT) AS d4
+      FROM sub JOIN cent ON sub.s = cent.s
+    ),
+    codes AS (
+      SELECT n_id, s, cid AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY n_id, s ORDER BY d4, cid) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, q.s, cent.cid AS code,
+             CAST(floor(list_sum(list_transform(generate_series(1, 16),
+                  i -> (q.sv[i] - cv[i]) * (q.sv[i] - cv[i]))) * 10000 + 0.5) AS BIGINT) AS qd4
+      FROM sub q JOIN cent ON q.s = cent.s
+      WHERE q.vec_id < 5
+    ),
+    adc AS (
+      SELECT l.q_id, c.n_id, sum(l.qd4) AS adc4
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      WHERE c.n_id != l.q_id
+      GROUP BY l.q_id, c.n_id
+    ),
+    approx AS (
+      SELECT q_id, n_id, round(adc4 / 10000.0, 4) AS adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc4, n_id) AS rank
+      FROM adc
+    ),
+    fq AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT fq.q_id, e.vec_id AS n_id,
+               row_number() OVER (PARTITION BY fq.q_id ORDER BY
+                 CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                   i -> (CAST(fq.q_vec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                      * (CAST(fq.q_vec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))))
+                   * 10000 + 0.5) AS BIGINT),
+                 e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN fq WHERE e.vec_id != fq.q_id
+      ) WHERE rk <= 5
+    )
+    SELECT a.q_id, a.n_id, a.adc, a.rank, (x.n_id IS NOT NULL) AS in_exact
+    FROM approx a LEFT JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+    WHERE a.rank <= 5
+"""
+
+
+@register("ann_pq", _PQ_ORACLE)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (4 subspaces x 16 centroids; ~2 bytes per
+    64-dim vector) scored via asymmetric-distance lookup tables: the
+    corpus-side scan touches only integer codes, the per-query distance
+    tables broadcast at a few KB, and recall is annotated per row against
+    the exact float ranking. The codebook is a deterministic seeded
+    sample (lowest-id rows) so the oracle replays training, encoding and
+    ADC search end-to-end; production swaps in per-subspace kmeans_lloyd
+    without changing the search plan."""
+    from .operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
