@@ -6200,3 +6200,147 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+_BM25_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT sum(dl)::DOUBLE / count(*) AS avgdl, count(*)::DOUBLE AS n FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('scan', 'customer', 'window')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + ((stats.n - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))
+               * 10000 + 0.5) AS BIGINT) AS w4
+      FROM tf
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, sum(w4) AS s4, count(*) AS matched_terms FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, round(s4 / 10000.0, 4) AS bm25, matched_terms
+    FROM scored ORDER BY s4 DESC, doc_id LIMIT 10
+"""
+
+
+@register("bm25_search", _BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-10 retrieval for a fixed term query —
+    the lexical-search counterpart of tfidf_top_terms and the ranking
+    half of a RAG corpus pipeline. Plan shape for 100 TB: one tokenize
+    pass, the query-term tf table is filtered BEFORE its groupBy (the
+    corpus-size aggregate is the only full pass), term df and the two
+    corpus scalars broadcast, and the final cut is TakeOrderedAndProject
+    on an integer sort key — no global sort, no unpartitioned window.
+    Per-term weights are floor(w*1e4+0.5) integers so the per-doc SUM is
+    exact under any addition order (float BM25 sums would be
+    shuffle-order-dependent at the 4th decimal)."""
+    terms = ["scan", "customer", "window"]
+    k1, b = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(F.sum("dl").alias("t"), F.count(F.lit(1)).alias("n")).first()
+    # exact int/int division: bit-identical to the oracle's sum::DOUBLE/count
+    avgdl, n_docs = tot.t / tot.n, float(tot.n)
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.lit(n_docs) - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_t = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1 - b) + (F.lit(b) * F.col("dl")) / F.lit(avgdl))
+        )
+    )
+    w4 = F.floor(w_t * 10000 + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", w4.alias("w4"))
+        .groupBy("doc_id")
+        .agg(F.sum("w4").alias("s4"), F.count(F.lit(1)).alias("matched_terms"))
+    )
+    return (
+        scored.orderBy(F.col("s4").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.round(F.col("s4") / 10000.0, 4).alias("bm25"),
+            "matched_terms",
+        )
+    )
+
+
+@register(
+    "scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id % 10 = 0
+    ),
+    ch AS (
+      SELECT user_id, event_id, event_type, ts FROM o
+      WHERE prev IS NULL OR prev != event_type
+    ),
+    iv AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM ch
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(vt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+             AS valid_to,
+           (vt IS NULL) AS is_current
+    FROM iv
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: compress
+    each user's event stream into [valid_from, valid_to) intervals of the
+    prevailing event_type, open-ended sentinel + is_current on the live
+    row — the upsert-log -> dimension-history job every warehouse runs.
+    One shuffle by user_id serves both windows (lag to detect changes,
+    lead for the closing edge: same partitioning AND sort key, so
+    Catalyst reuses the sorted exchange instead of re-sorting).
+    Deterministic under equal timestamps via the event_id tiebreak."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    out = changed.withColumn("vt", F.lead("ts").over(w))
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("vt", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.col("vt").isNull().alias("is_current"),
+    )
