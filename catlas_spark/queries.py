@@ -6344,3 +6344,194 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.col("vt").isNull().alias("is_current"),
     )
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM daily),
+    contrib AS (
+      SELECT d + CAST(i AS INTEGER) AS wend, user_id FROM daily, range(0, 7) t(i)
+    ),
+    res AS (
+      SELECT wend, count(DISTINCT user_id) AS active_7d FROM contrib
+      WHERE wend IN (SELECT d FROM days)
+      GROUP BY wend
+    )
+    SELECT strftime(wend, '%Y-%m-%d') AS day, active_7d FROM res
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. Sliding-window COUNT
+    DISTINCT is NOT expressible as a window function (distinct-over-frame
+    is unsupported) and the naive form is a range self-join that explodes
+    quadratically with activity. The distributed shape: dedup to (day,
+    user) first (the only full-corpus shuffle), then each pair
+    contributes to exactly the 7 window-end days it can influence via a
+    bounded sequence-explode — expansion factor = window length, fixed —
+    and a second distinct-aggregate by window end. Trailing windows with
+    no events of their own are dropped by a broadcast semi-join against
+    the observed-day dimension."""
+    ev = _events(spark, sf_dir)
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = daily.select("d").distinct().withColumnRenamed("d", "wend")
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+    ).select(F.date_add("d", F.col("i")).alias("wend"), "user_id")
+    res = (
+        contrib.join(F.broadcast(days), "wend")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+    return res.select(
+        F.date_format("wend", "yyyy-MM-dd").alias("day"), "active_7d"
+    )
+
+
+_SNAPDIFF_ORACLE = """
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 != 0 AND o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 != 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS change_type,
+           round(a.o_totalprice, 4) AS old_totalprice,
+           round(b.o_totalprice, 4) AS new_totalprice
+    FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_custkey IS DISTINCT FROM b.o_custkey
+       OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+       OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
+       OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+"""
+
+
+@register("snapshot_diff_changelog", _SNAPDIFF_ORACLE)
+def q_snapshot_diff_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: derive the insert/update/delete changelog between
+    two versions of a keyed table — the reconciliation job behind CDC
+    backfills and storage-format migrations. Snapshot B is derived from A
+    by deterministic rules (keys %97 deleted, %13 repriced, %101 cloned
+    as inserts) so the oracle replays both sides. The diff itself is ONE
+    co-partitioned full-outer join on the key; unchanged rows are
+    filtered by null-safe column comparison before anything is emitted,
+    so output is proportional to the churn, not the table. At 100 TB both
+    snapshots shuffle once on the join key (bucketed layouts would make
+    it shuffle-free); no sort, no window."""
+    cols = [
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    a = _t(spark, sf_dir, "orders")
+    keep = a.filter(F.col("o_orderkey") % 97 != 0)
+    b = (
+        keep.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .unionByName(keep.filter(F.col("o_orderkey") % 13 != 0))
+        .unionByName(
+            a.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10000000)
+            )
+        )
+    )
+    al = a.select([F.col(c).alias(f"a_{c}") for c in ["o_orderkey"] + cols])
+    bl = b.select([F.col(c).alias(f"b_{c}") for c in ["o_orderkey"] + cols])
+    j = al.join(bl, al.a_o_orderkey == bl.b_o_orderkey, "full_outer")
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+    return (
+        j.filter(
+            F.col("a_o_orderkey").isNull()
+            | F.col("b_o_orderkey").isNull()
+            | changed
+        )
+        .select(
+            F.coalesce("a_o_orderkey", "b_o_orderkey").alias("o_orderkey"),
+            F.when(F.col("b_o_orderkey").isNull(), "deleted")
+            .when(F.col("a_o_orderkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("change_type"),
+            F.round("a_o_totalprice", 4).alias("old_totalprice"),
+            F.round("b_o_totalprice", 4).alias("new_totalprice"),
+        )
+    )
+
+
+@register(
+    "ewma_smoothing",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+      FROM events WHERE user_id % 25 = 0
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(value, 4) AS value,
+           round(CAST(floor(
+             list_sum(list_transform(generate_series(1, len(xs)),
+                      i -> pow(0.75, len(xs) - i) * xs[i]))
+             / list_sum(list_transform(generate_series(1, len(xs)),
+                        i -> pow(0.75, len(xs) - i)))
+             * 10000 + 0.5) AS BIGINT) / 10000.0, 4) AS ewma
+    FROM w
+    """,
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.25) per user over a
+    bounded 8-row trailing frame — the smoothing/alerting primitive for
+    metric streams. True EWMA is a recursion no engine's window grammar
+    expresses; the bounded-frame form (weights (1-alpha)^age normalized
+    over the frame, >97% of the infinite mass at age 8) is the
+    distributed-safe equivalent: one shuffle by user, a ROWS frame
+    collect, and an in-row weighted fold. 0.75^k is exactly representable
+    (3^k/4^k), so the fold is engine-portable; the final value goes
+    through floor(x*1e4+0.5) like every cross-engine float here."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 25 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    xs = F.collect_list("value").over(w)
+    n = F.size(F.col("xs"))
+    num = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc + F.pow(F.lit(0.75), (n - i).cast("double"))
+        * F.element_at(F.col("xs"), i),
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc + F.pow(F.lit(0.75), (n - i).cast("double")),
+    )
+    ewma4 = F.floor(num / den * 10000 + F.lit(0.5)).cast("long")
+    return (
+        ev.withColumn("xs", xs)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("value", 4).alias("value"),
+            F.round(ewma4 / 10000.0, 4).alias("ewma"),
+        )
+    )
