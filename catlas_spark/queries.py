@@ -6202,7 +6202,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
-_BM25_ORACLE = f"""
+_BM25_CTES = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
     ),
@@ -6230,24 +6230,18 @@ _BM25_ORACLE = f"""
     ),
     scored AS (
       SELECT doc_id, sum(w4) AS s4, count(*) AS matched_terms FROM w GROUP BY doc_id
-    )
+    )"""
+
+_BM25_ORACLE = f"""
+    {_BM25_CTES}
     SELECT doc_id, round(s4 / 10000.0, 4) AS bm25, matched_terms
     FROM scored ORDER BY s4 DESC, doc_id LIMIT 10
 """
 
 
-@register("bm25_search", _BM25_ORACLE)
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1=1.2, b=0.75) top-10 retrieval for a fixed term query —
-    the lexical-search counterpart of tfidf_top_terms and the ranking
-    half of a RAG corpus pipeline. Plan shape for 100 TB: one tokenize
-    pass, the query-term tf table is filtered BEFORE its groupBy (the
-    corpus-size aggregate is the only full pass), term df and the two
-    corpus scalars broadcast, and the final cut is TakeOrderedAndProject
-    on an integer sort key — no global sort, no unpartitioned window.
-    Per-term weights are floor(w*1e4+0.5) integers so the per-doc SUM is
-    exact under any addition order (float BM25 sums would be
-    shuffle-order-dependent at the 4th decimal)."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scorer: (doc_id, s4, matched_terms) where s4 is the
+    exact integer-scaled score (see q_bm25_search for the plan notes)."""
     terms = ["scan", "customer", "window"]
     k1, b = 1.2, 0.75
     d = _t(spark, sf_dir, "documents")
@@ -6283,6 +6277,22 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("w4").alias("s4"), F.count(F.lit(1)).alias("matched_terms"))
     )
+    return scored
+
+
+@register("bm25_search", _BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-10 retrieval for a fixed term query —
+    the lexical-search counterpart of tfidf_top_terms and the ranking
+    half of a RAG corpus pipeline. Plan shape for 100 TB: one tokenize
+    pass, the query-term tf table is filtered BEFORE its groupBy (the
+    corpus-size aggregate is the only full pass), term df and the two
+    corpus scalars broadcast, and the final cut is TakeOrderedAndProject
+    on an integer sort key — no global sort, no unpartitioned window.
+    Per-term weights are floor(w*1e4+0.5) integers so the per-doc SUM is
+    exact under any addition order (float BM25 sums would be
+    shuffle-order-dependent at the 4th decimal)."""
+    scored = _bm25_scored(spark, sf_dir)
     return (
         scored.orderBy(F.col("s4").desc(), "doc_id")
         .limit(10)
@@ -6533,5 +6543,88 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
             F.round("value", 4).alias("value"),
             F.round(ewma4 / 10000.0, 4).alias("ewma"),
+        )
+    )
+
+
+_HYBRID_ORACLE = f"""
+    {_BM25_CTES},
+    lex AS (
+      SELECT doc_id, r_lex FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s4 DESC, doc_id) AS r_lex
+        FROM scored
+      ) WHERE r_lex <= 50
+    ),
+    qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT doc_id, r_sem FROM (
+        SELECT n_id AS doc_id,
+               row_number() OVER (ORDER BY sim DESC, n_id) AS r_sem
+        FROM (
+          SELECT e.vec_id AS n_id, {_COSINE} AS sim
+          FROM (SELECT vec_id, embedding AS n_vec FROM embeddings
+                WHERE vec_id < 500 AND vec_id != 0) e
+          CROSS JOIN qv
+        )
+      ) WHERE r_sem <= 50
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+             CAST(floor((coalesce(1.0 / (60 + l.r_lex), 0.0)
+                       + coalesce(1.0 / (60 + s.r_sem), 0.0))
+                  * 1000000 + 0.5) AS BIGINT) AS rrf6
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, round(rrf6 / 1000000.0, 6) AS rrf, r_lex, r_sem
+    FROM fused ORDER BY rrf6 DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_search_rrf", _HYBRID_ORACLE)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the top-50 lexical
+    (BM25) and top-50 semantic (cosine ANN) rankings for one query are
+    fused by RRF(60) — the standard two-tower RAG retrieval pattern,
+    composed entirely from this engine's own operators. Both candidate
+    lists are k-bounded before fusion, so the full-outer fuse join and
+    the final TakeOrderedAndProject touch at most 100 rows no matter the
+    corpus size; each leg keeps its own scale shape (BM25: filtered tf +
+    integer sort key; ANN: broadcast query, no corpus shuffle). RRF
+    contributions are summed as floor(x*1e6+0.5) integers — rank-derived
+    rationals like 1/63 are inexact doubles, so the fusion sum goes
+    through the same exact-integer discipline as every cross-engine
+    float here."""
+    from .operators.similarity import cosine_topk
+
+    scored = _bm25_scored(spark, sf_dir)
+    wl = Window.orderBy(F.col("s4").desc(), "doc_id")
+    lex = (
+        scored.orderBy(F.col("s4").desc(), "doc_id")
+        .limit(50)
+        .withColumn("r_lex", F.row_number().over(wl).cast("long"))
+        .select("doc_id", "r_lex")
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    sem = cosine_topk(
+        e.filter(F.col("vec_id") < 500), e.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("r_sem"))
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf6 = F.floor(
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        fused.withColumn("rrf6", rrf6)
+        .orderBy(F.col("rrf6").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.round(F.col("rrf6") / 1000000.0, 6).alias("rrf"),
+            "r_lex",
+            "r_sem",
         )
     )
