@@ -6628,3 +6628,155 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_sem",
         )
     )
+
+
+@register(
+    "data_quality_audit",
+    """
+    WITH t AS (
+      SELECT 'orders_null_custkey' AS check_name,
+             (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+             (SELECT count(*) FROM orders) AS total
+      UNION ALL
+      SELECT 'orders_nonpositive_price',
+             (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_bad_status',
+             (SELECT count(*) FROM orders
+              WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_duplicate_key',
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_orphan_custkey',
+             (SELECT count(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'lineitem_orphan_orderkey',
+             (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+             (SELECT count(*) FROM lineitem)
+      UNION ALL
+      SELECT 'documents_nchars_mismatch',
+             (SELECT count(*) FROM documents WHERE n_chars != length(text)),
+             (SELECT count(*) FROM documents)
+      UNION ALL
+      SELECT 'documents_too_short',
+             (SELECT count(*) FROM documents WHERE length(text) < 100),
+             (SELECT count(*) FROM documents)
+    )
+    SELECT check_name, violations, total, violations = 0 AS passed
+    FROM t ORDER BY check_name
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit (the Great-Expectations/dbt-test job run
+    before a corpus is trusted): null/range/domain/uniqueness checks as
+    conditional aggregates in ONE pass per table, referential integrity
+    as anti-joins whose output is a violation COUNT (never the violating
+    rows), cross-field consistency (n_chars vs length(text)), and a
+    minimum-length expectation that genuinely fails on this corpus — an
+    audit that can't flag anything proves nothing. Output is
+    check-count-sized regardless of data scale; every check is
+    map-side-combinable or a single equi-join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
+
+    o_tall = o.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("v_null"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v_price"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
+            "v_status"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_dup"),
+    ).select(
+        F.expr(
+            "stack(4, 'orders_null_custkey', v_null,"
+            " 'orders_nonpositive_price', v_price,"
+            " 'orders_bad_status', v_status,"
+            " 'orders_duplicate_key', v_dup) AS (check_name, violations)"
+        ),
+        "total",
+    )
+    o_total = o.agg(F.count(F.lit(1)).alias("total"))
+    orphan_o = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_orphan_custkey").alias("check_name"), "violations")
+        .crossJoin(o_total)
+    )
+    li_total = li.agg(F.count(F.lit(1)).alias("total"))
+    orphan_li = (
+        li.join(
+            o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("check_name"), "violations")
+        .crossJoin(li_total)
+    )
+    d_tall = d.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("long")).alias("v_nc"),
+        F.sum((F.length("text") < 100).cast("long")).alias("v_short"),
+    ).select(
+        F.expr(
+            "stack(2, 'documents_nchars_mismatch', v_nc,"
+            " 'documents_too_short', v_short) AS (check_name, violations)"
+        ),
+        "total",
+    )
+    tall = (
+        o_tall.select("check_name", "violations", "total")
+        .unionByName(orphan_o.select("check_name", "violations", "total"))
+        .unionByName(orphan_li.select("check_name", "violations", "total"))
+        .unionByName(d_tall.select("check_name", "violations", "total"))
+    )
+    return tall.withColumn("passed", F.col("violations") == 0).orderBy("check_name")
+
+
+@register(
+    "join_size_estimate",
+    """
+    WITH cnt AS (
+      SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n_rows * n_rows) AS t FROM cnt)
+    SELECT user_id, n_rows, n_rows * n_rows AS est_pairs,
+           round(CAST(n_rows * n_rows AS DOUBLE) / t, 6) AS share
+    FROM cnt CROSS JOIN tot
+    ORDER BY est_pairs DESC, user_id LIMIT 10
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimate: for a prospective self-join on
+    user_id, the exact output size is sum over keys of n_k^2 — computed
+    from ONE group-count pass, never by running the join. The top
+    contributing keys and their share of the total are exactly the skew
+    report that decides between a plain shuffle join, salting, or AQE
+    skew splitting at 100 TB (estimate cost: one map-side-combinable
+    aggregation over the fact table; the join it sizes could be 1000x
+    larger than the table itself). Generalizes to A-join-B by joining
+    the two per-key count tables."""
+    ev = _events(spark, sf_dir)
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = cnt.agg(F.sum(F.col("n_rows") * F.col("n_rows")).alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            (F.col("n_rows") * F.col("n_rows")).alias("est_pairs"),
+            F.round(
+                (F.col("n_rows") * F.col("n_rows")).cast("double") / F.col("t"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("est_pairs").desc(), "user_id")
+        .limit(10)
+    )
