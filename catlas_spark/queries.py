@@ -6597,10 +6597,18 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
 
     scored = _bm25_scored(spark, sf_dir)
-    wl = Window.orderBy(F.col("s4").desc(), "doc_id")
+    # the rank window runs AFTER limit(50), so its input is k-bounded at
+    # any corpus scale. The partition key is constant-0 but written as a
+    # column expression: a bare lit(0) gets constant-folded out of the
+    # window spec and Spark then warns about (and plans) a global
+    # single-partition window even though the data here is 50 rows by
+    # construction.
+    g = (F.col("doc_id") * 0).cast("int")
+    wl = Window.partitionBy("g").orderBy(F.col("s4").desc(), "doc_id")
     lex = (
         scored.orderBy(F.col("s4").desc(), "doc_id")
         .limit(50)
+        .withColumn("g", g)
         .withColumn("r_lex", F.row_number().over(wl).cast("long"))
         .select("doc_id", "r_lex")
     )
