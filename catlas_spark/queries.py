@@ -6788,3 +6788,140 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_pairs").desc(), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "incremental_agg_view",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 != 0 AND o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 97 != 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_custkey,
+           round(CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4)))
+                 AS DOUBLE), 4) AS revenue,
+           count(*) AS n_orders
+    FROM b GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer revenue
+    aggregate is maintained under the same churn rules as
+    snapshot_diff_changelog by merging DELTAS (deletes contribute
+    negative rows, updates contribute the difference, inserts positive)
+    into the existing aggregate — the base table is never rescanned. The
+    ORACLE recomputes the aggregate from the full new snapshot, so a
+    green row certifies maintained == recomputed exactly; that equality
+    only holds because contributions are summed as DECIMAL (float sums
+    would differ between the delta order and the rescan order). At
+    100 TB this is the view-refresh economics: delta cost ~ churn size,
+    recompute cost ~ table size. Groups whose count reaches zero are
+    retired from the view."""
+    a = _t(spark, sf_dir, "orders")
+    dec = lambda c: F.round(c, 4).cast("decimal(20,4)")  # noqa: E731
+    base = a.groupBy("o_custkey").agg(
+        F.sum(dec(F.col("o_totalprice"))).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    deletes = a.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_custkey",
+        (-dec(F.col("o_totalprice"))).alias("d_rev"),
+        F.lit(-1).cast("long").alias("d_n"),
+    )
+    updates = a.filter(
+        (F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 13 == 0)
+    ).select(
+        "o_custkey",
+        (dec(F.col("o_totalprice") + F.lit(100.0)) - dec(F.col("o_totalprice"))).alias(
+            "d_rev"
+        ),
+        F.lit(0).cast("long").alias("d_n"),
+    )
+    inserts = a.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_custkey",
+        dec(F.col("o_totalprice")).alias("d_rev"),
+        F.lit(1).cast("long").alias("d_n"),
+    )
+    delta = (
+        deletes.unionByName(updates)
+        .unionByName(inserts)
+        .groupBy("o_custkey")
+        .agg(F.sum("d_rev").alias("d_rev"), F.sum("d_n").alias("d_n"))
+    )
+    zero = F.lit(0).cast("decimal(30,4)")
+    merged = (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce("rev", zero) + F.coalesce("d_rev", zero)).alias("rev"),
+            (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n_orders"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "o_custkey",
+        F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+        "n_orders",
+    )
+
+
+_QN_GRID = ", ".join(str(i / 20.0) for i in range(21))
+
+_QN_ORACLE = f"""
+    WITH pr AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    ),
+    grid AS (SELECT quantile_cont(n_chars, [{_QN_GRID}]) AS g FROM documents),
+    binned AS (
+      SELECT *, least(CAST(floor(pr * 20) AS INTEGER), 19) AS idx
+      FROM pr CROSS JOIN grid
+    )
+    SELECT doc_id, source, n_chars, round(pr, 6) AS src_pr,
+           round(CAST(floor(
+             (g[idx + 1] + (g[idx + 2] - g[idx + 1]) * (pr * 20 - idx))
+             * 10000 + 0.5) AS BIGINT) / 10000.0, 4) AS normalized
+    FROM binned
+"""
+
+
+@register("quantile_normalize_scores", _QN_ORACLE)
+def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: each document's n_chars is
+    mapped to the POOLED distribution's value at the document's
+    within-source percent rank — the alignment step that stops one
+    source's systematically-longer documents from dominating
+    length-based curation thresholds. Scale shape: the rank window is
+    partitioned by source (never global), the pooled quantile function
+    is compressed to a 21-point grid computed in ONE aggregate and
+    broadcast, and the per-row mapping is linear interpolation into that
+    grid — so the normalization is two shuffles total regardless of
+    corpus size. Deterministic ties via doc_id; the interpolated value
+    goes through floor(x*1e4+0.5)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    grid = d.agg(F.expr(f"percentile(n_chars, array({_QN_GRID}))").alias("g"))
+    pr = d.withColumn("pr", F.percent_rank().over(w)).crossJoin(F.broadcast(grid))
+    idx = F.least(F.floor(F.col("pr") * 20).cast("int"), F.lit(19))
+    binned = pr.withColumn("idx", idx)
+    lo = F.element_at("g", F.col("idx") + 1)
+    hi = F.element_at("g", F.col("idx") + 2)
+    interp = lo + (hi - lo) * (F.col("pr") * 20 - F.col("idx"))
+    n4 = F.floor(interp * 10000 + F.lit(0.5)).cast("long")
+    return binned.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("pr", 6).alias("src_pr"),
+        F.round(n4 / 10000.0, 4).alias("normalized"),
+    )
