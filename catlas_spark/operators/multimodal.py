@@ -155,3 +155,43 @@ def resize_nearest(
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def audio_window_energy(
+    df: DataFrame, n_bytes: int = 64, win: int = 16
+) -> DataFrame:
+    """Audio leg of the multimodal family: treat the binary payload as a
+    PCM-u8 waveform (sample = byte - 128) and emit per-window RMS energy
+    — the loudness/silence feature a speech-data pipeline computes before
+    segmenting. The decode is the deterministic stand-in this container
+    requires (a real implementation would pull samples out of a codec
+    here); the Spark-side plumbing is the real thing: Arrow-batched
+    mapInPandas over the binary column, one output row per (doc, window),
+    only FULL windows emitted. RMS goes through floor(x*1e4+0.5) —
+    sum-of-squares and /win are exact (win is a power of two), so the
+    value is engine-portable for the oracle replay."""
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = np.frombuffer(payload[:n_bytes], dtype=np.uint8).astype(
+                    np.int64
+                ) - 128
+                for w in range(len(h) // win):
+                    seg = h[w * win : (w + 1) * win]
+                    sumsq = int((seg * seg).sum())
+                    ids.append(doc_id)
+                    wins.append(w)
+                    rms.append(
+                        math.floor(math.sqrt(sumsq / float(win)) * 10000 + 0.5)
+                        / 10000.0
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": wins, "rms": rms}
+            ).astype({"doc_id": "int64", "window_idx": "int64", "rms": "float64"})
+
+    return df.mapInPandas(run, "doc_id long, window_idx long, rms double")

@@ -6925,3 +6925,83 @@ def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pr", 6).alias("src_pr"),
         F.round(n4 / 10000.0, 4).alias("normalized"),
     )
+
+
+@register(
+    "multimodal_audio_energy",
+    """
+    WITH s AS (
+      SELECT doc_id, i, ascii(substr(text, i, 1)) - 128 AS v,
+             CAST(floor((i - 1) / 16) AS BIGINT) AS window_idx
+      FROM documents, generate_series(1, 64) t(i)
+      WHERE i <= len(text)
+    ),
+    agg AS (
+      SELECT doc_id, window_idx, sum(v * v) AS sumsq
+      FROM s GROUP BY doc_id, window_idx HAVING count(*) = 16
+    )
+    SELECT doc_id, window_idx,
+           round(CAST(floor(sqrt(sumsq / 16.0) * 10000 + 0.5) AS BIGINT)
+                 / 10000.0, 4) AS rms
+    FROM agg
+    """,
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: binary payload -> PCM-u8 samples ->
+    per-16-sample-window RMS energy via Arrow-batched mapInPandas (the
+    third intentional Python-stage family member beside image decode and
+    frame sampling; real codec stubbed per the container's no-media-libs
+    constraint, batch shape and schema real). The oracle replays the
+    deterministic sample derivation and the exact integer sum-of-squares
+    in SQL."""
+    from .operators.multimodal import attach_binary_payload, audio_window_energy
+
+    d = _t(spark, sf_dir, "documents")
+    return audio_window_energy(attach_binary_payload(d))
+
+
+@register(
+    "session_event_paths",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, d,
+             max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             max(CASE WHEN rn = 3 THEN event_type END) AS e3
+      FROM r WHERE rn <= 3 GROUP BY user_id, d
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n_sessions
+    FROM p WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the top-10 session-opening 3-event paths (user-day
+    sessions) — the funnel-discovery counterpart of the fixed-order
+    funnel and the Markov transition matrix. Scale shape: the per-session
+    rank window keys on (user, day) — high cardinality, never global —
+    the rn<=3 filter cuts the stream BEFORE the pivot groupBy (a
+    WindowGroupLimit pushes it into the sort), paths pivot via
+    conditional max (no collect_list ordering dependence), and the final
+    cut is TakeOrderedAndProject with a path tiebreak."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    p = r.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+        F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+        F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+    )
+    return (
+        p.filter(F.col("e3").isNotNull())
+        .groupBy(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

@@ -61,6 +61,7 @@ MAPINPANDAS_QUERIES = (
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "multimodal_audio_energy",
     "misra_gries_contract",
 )
 UDTF_QUERIES = ("rle_tokens_udtf",)
