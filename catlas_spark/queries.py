@@ -7005,3 +7005,270 @@ def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "time_weighted_average",
+    """
+    WITH o AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS tn
+      FROM events WHERE user_id % 10 = 0
+    ),
+    terms AS (
+      SELECT user_id,
+             CAST(floor(value * (tn - t) * 10000 + 0.5) AS BIGINT) AS w4,
+             tn - t AS dt
+      FROM o WHERE tn IS NOT NULL
+    )
+    SELECT user_id, round((sum(w4) / 10000.0) / sum(dt), 6) AS twap,
+           count(*) AS n_intervals
+    FROM terms GROUP BY user_id
+    """,
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an irregular event series (the TWAP /
+    sensor-integration semantics a plain avg() gets wrong when samples
+    arrive unevenly): each value is held until the next observation and
+    weighted by its holding duration. One shuffle by user serves the
+    lead window and the aggregation. Durations are exact integer
+    microseconds (unix_micros, not float epoch seconds) and each
+    value*duration term is snapped to a floor(x*1e4+0.5) integer before
+    the SUM, so the aggregate is exact under any addition order."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("tn"),
+    ).filter(F.col("tn").isNotNull())
+    terms = o.select(
+        "user_id",
+        F.floor(F.col("value") * (F.col("tn") - F.col("t")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("w4"),
+        (F.col("tn") - F.col("t")).alias("dt"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.round((F.sum("w4") / 10000.0) / F.sum("dt"), 6).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@register(
+    "association_rules",
+    """
+    WITH io AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    supp AS (SELECT l_suppkey, count(*) AS s FROM io GROUP BY l_suppkey),
+    pairs AS (
+      SELECT a.l_suppkey AS ante, b.l_suppkey AS cons, count(*) AS s_ab
+      FROM io a JOIN io b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT ante, cons, s_ab AS support,
+           round(s_ab / sa.s, 6) AS confidence,
+           round((n.n_orders * s_ab) / (sa.s * sb.s), 6) AS lift
+    FROM pairs
+    JOIN supp sa ON pairs.ante = sa.l_suppkey
+    JOIN supp sb ON pairs.cons = sb.l_suppkey
+    CROSS JOIN n
+    ORDER BY round((n.n_orders * s_ab) / (sa.s * sb.s), 6) DESC, ante, cons
+    LIMIT 10
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over supplier co-occurrence in
+    orders: support / confidence / lift for directed pairs, top-10 by
+    lift — the affinity-analysis classic. Scale shape: per-order item
+    sets come from ONE collect_set shuffle of the fact table and explode
+    into pairs map-side (measured 2x faster than the two-sided self-join
+    the oracle uses — see NOTES co-occurrence lesson); a min-support
+    HAVING prunes the rule space before the tiny per-item stats
+    broadcast in. All ratios are single divisions of exact integer
+    products, so both engines produce bit-identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    io = li.select("l_orderkey", "l_suppkey").distinct()
+    sets = io.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("items"))
+    n_orders = sets.count()  # scalar -> literal
+    pairs = (
+        sets.select(F.explode("items").alias("ante"), "items")
+        .select("ante", F.explode("items").alias("cons"))
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 5)
+    )
+    supp = io.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("s"))
+    sa = supp.select(F.col("l_suppkey").alias("ante"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("l_suppkey").alias("cons"), F.col("s").alias("s_b"))
+    lift = F.round(
+        (F.lit(n_orders) * F.col("s_ab")) / (F.col("s_a") * F.col("s_b")), 6
+    )
+    return (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .select(
+            "ante",
+            "cons",
+            F.col("s_ab").alias("support"),
+            F.round(F.col("s_ab") / F.col("s_a"), 6).alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(10)
+    )
+
+
+_GOLDEN_ORACLE = """
+    WITH RECURSIVE base AS (
+      SELECT c_custkey AS ck, c_name AS name, c_acctbal AS bal
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    dirty AS (
+      SELECT ck, name, bal FROM base
+      UNION ALL
+      SELECT ck + 1000000,
+             concat(substring(name, 1, (ck % length(name))),
+                    substring(name, (ck % length(name)) + 2,
+                              length(name))) AS name,
+             bal - 50.0 AS bal
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.ck AS id_a, b.ck AS id_b
+      FROM dirty a JOIN dirty b ON a.ck < b.ck
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+    asg AS (
+      SELECT k.ck, k.name, k.bal, coalesce(l.cid, k.ck) AS cluster_id
+      FROM dirty k LEFT JOIN labels l ON l.node = k.ck
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY bal DESC, ck) AS rn
+      FROM asg
+    ),
+    agg AS (
+      SELECT cluster_id, min(ck) AS golden_custkey,
+             round(max(bal), 4) AS best_acctbal,
+             count(*) AS n_members
+      FROM asg GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.golden_custkey, r.name AS canonical_name,
+           a.best_acctbal, a.n_members
+    FROM agg a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+    WHERE a.n_members >= 2
+"""
+
+
+@register("entity_golden_record", _GOLDEN_ORACLE)
+def q_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: SymSpell deletion-variant blocking +
+    levenshtein verify (the fuzzy_name_join machinery) builds match
+    edges, distributed connected components closes the non-transitive
+    match relation, and a survivorship pass elects one golden record per
+    multi-member cluster (canonical name = richest member's, id = min
+    key, best balance = max) — the MDM merge-purge pipeline as one
+    composed plan. Every stage keeps its scale shape: alphabet-bounded
+    variant blocking (no n^2), O(diameter) CC rounds, cluster-keyed
+    survivorship window. The dirty input is derived in-query: sparse
+    originals (%97 keys — zero-padded synthetic names chain into one
+    mega-cluster under denser sampling, since any two keys one digit
+    apart are edit-distance 1) plus one planted variant per original
+    (one char deleted at a key-derived position, lower balance, shifted
+    key), so clusters are genuine merge groups and survivorship
+    provably elects the richer original's name. Subsampling also keeps
+    the deliberately-naive quadratic oracle cheap (the fuzzy_name_join
+    discipline)."""
+    from .operators.dedup import connected_components
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    variant = base.select(
+        (F.col("ck") + 1000000).alias("ck"),
+        F.concat(
+            F.expr("substring(name, 1, ck % length(name))"),
+            F.expr("substring(name, ck % length(name) + 2, length(name))"),
+        ).alias("name"),
+        (F.col("bal") - F.lit(50.0)).alias("bal"),
+    )
+    c0 = base.unionByName(variant)
+    var = (
+        c0.select(
+            "ck", "name", F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i")
+        )
+        .select(
+            "ck",
+            "name",
+            F.when(F.col("i") == 0, F.col("name"))
+            .otherwise(
+                F.expr(
+                    "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))"
+                )
+            )
+            .alias("v"),
+        )
+        .distinct()
+    )
+    pairs = (
+        var.alias("a")
+        .join(var.alias("b"), F.col("a.v") == F.col("b.v"))
+        .select(
+            F.col("a.ck").alias("id_a"),
+            F.col("a.name").alias("na"),
+            F.col("b.ck").alias("id_b"),
+            F.col("b.name").alias("nb"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs).withColumnRenamed("node", "ck")
+    asg = c0.join(cc, "ck", "left").select(
+        "ck",
+        "name",
+        "bal",
+        F.coalesce(F.col("cluster_id"), F.col("ck")).cast("long").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("bal").desc(), "ck")
+    canon = (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("name").alias("canonical_name"))
+    )
+    agg = asg.groupBy("cluster_id").agg(
+        F.min("ck").alias("golden_custkey"),
+        F.round(F.max("bal"), 4).alias("best_acctbal"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        agg.join(canon, "cluster_id")
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "golden_custkey",
+            "canonical_name",
+            "best_acctbal",
+            "n_members",
+        )
+    )
