@@ -596,3 +596,127 @@ def test_quantile_preagg_regime_probe(spark):
     near_unique = spark.range(10_000).select((F.col("id") * 1.0).alias("v"))
     assert decide_quantile_preagg(dup_heavy, "v") is True
     assert decide_quantile_preagg(near_unique, "v") is False
+
+
+def test_twap_constant_series_is_identity(spark):
+    """A user whose value never changes must have twap == that value
+    exactly, independent of interval spacing (the weighting must
+    normalize); and n_intervals == n_events - 1."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m), 10, 7.25)
+        for i, m in enumerate([0, 1, 5, 60, 61])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = df.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("tn"),
+    ).filter(F.col("tn").isNotNull())
+    terms = o.select(
+        "user_id",
+        F.floor(F.col("value") * (F.col("tn") - F.col("t")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("w4"),
+        (F.col("tn") - F.col("t")).alias("dt"),
+    )
+    out = terms.groupBy("user_id").agg(
+        F.round((F.sum("w4") / 10000.0) / F.sum("dt"), 6).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).collect()
+    assert len(out) == 1
+    assert out[0].twap == 7.25
+    assert out[0].n_intervals == 4
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark, sf_dir):
+    """Per user: intervals must be contiguous (each valid_to equals the
+    next valid_from), non-overlapping, start at the user's first event,
+    and have exactly one open is_current row — the SCD2 contract."""
+    from catlas_spark import queries as Q
+
+    rows = Q._REGISTRY["scd2_intervals"][0](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in ivs) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to == "9999-12-31 00:00:00"
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            # change compression: adjacent intervals differ in type
+            assert a.event_type != b.event_type
+
+
+def test_rolling_active_users_matches_naive_range_join(spark, sf_dir):
+    """The bounded-explode sliding distinct must equal the naive
+    per-day range recount (the quadratic formulation it replaces)."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark import queries as Q
+    from catlas_spark.queries import _events
+
+    got = {
+        r.day: r.active_7d
+        for r in Q._REGISTRY["rolling_active_users"][0](spark, sf_dir).collect()
+    }
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = [r.d for r in ev.select("d").distinct().collect()]
+    for d in days:
+        naive = (
+            ev.filter(
+                (F.col("d") <= F.lit(d)) & (F.col("d") >= F.date_sub(F.lit(d), 6))
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert got[d.strftime("%Y-%m-%d")] == naive, d
+
+
+def test_association_rules_probability_bounds(spark, sf_dir):
+    """Every rule: 0 < confidence <= 1; support <= both item supports
+    implies lift*P(b) = confidence <= 1; and the pair is symmetric in
+    support (a->b and b->a agree on support when both survive min-sup)."""
+    from catlas_spark import queries as Q
+
+    rows = Q._REGISTRY["association_rules"][0](spark, sf_dir).collect()
+    assert rows
+    sup = {(r.ante, r.cons): r.support for r in rows}
+    for r in rows:
+        assert 0 < r.confidence <= 1.0
+        assert r.support >= 5
+        assert r.lift > 0
+        if (r.cons, r.ante) in sup:
+            assert sup[(r.cons, r.ante)] == r.support
+
+
+def test_entity_golden_record_survivorship(spark, sf_dir):
+    """Planted-variant ER: every cluster has >= 2 members, the golden id
+    is an original (not a shifted variant key) whenever an original is
+    in the cluster, and the canonical name is the richest member's (the
+    original, since variants carry bal - 50)."""
+    from catlas_spark import queries as Q
+
+    rows = Q._REGISTRY["entity_golden_record"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.golden_custkey < 1000000  # min key is the original
+        assert r.cluster_id == r.golden_custkey  # min-label CC + min key
+        # canonical name is an undamaged original name (no deleted char):
+        # synthetic names are 'Customer#<9 digits>' = 18 chars
+        assert len(r.canonical_name) == 18, r.canonical_name
