@@ -7272,3 +7272,101 @@ def q_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+           count(*) < 5 AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): any combination shared by fewer than k=5 records can
+    re-identify individuals when joined with outside data — the privacy
+    check run before releasing a derived dataset (the structural
+    counterpart of pii_redaction's content scrubbing). One map-side-
+    combinable groupBy; output is quasi-identifier-domain-sized."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < 5).alias("at_risk"),
+    )
+
+
+@register(
+    "theil_sen_slope",
+    """
+    WITH r AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id % 25 = 0
+    ),
+    slopes AS (
+      SELECT a.user_id,
+             (b.value - a.value) / ((b.t - a.t) / 1000000.0) AS slope,
+             a.rn AS rn_a, b.rn AS rn_b
+      FROM r a JOIN r b
+        ON a.user_id = b.user_id
+       AND b.rn - a.rn BETWEEN 1 AND 32
+      WHERE b.t != a.t
+    ),
+    ranked AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY slope, rn_a, rn_b) AS k,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM slopes
+    )
+    SELECT user_id, round(slope, 6) AS slope, n AS n_pairs
+    FROM ranked WHERE k = (n + 1) // 2
+    """,
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user trend estimation: Theil-Sen slope (median of
+    pairwise slopes — 29% breakdown point, vs OLS's zero) over each
+    user's value series. Full Theil-Sen is quadratic in series length,
+    which grows WITH data scale — the scale-honest form pairs each
+    point only with its 32 nearest successors (banded Theil-Sen, the
+    standard sampling compromise), so pair volume is linear in events.
+    One shuffle by user serves ranking, the banded self-join, and the
+    median windows; the median is the deterministic LOWER median picked
+    by rank (cross-engine float medians would interpolate two doubles
+    nondeterministically)."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 25 == 0)
+    # ordering by integer micros == ordering by ts (the oracle's key)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    r = (
+        ev.select("user_id", "value", F.unix_micros("ts").alias("t"), "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .drop("event_id")
+    )
+    a, b = r.alias("a"), r.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.rn") - F.col("a.rn")).between(1, 32),
+        )
+        .filter(F.col("b.t") != F.col("a.t"))
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            (
+                (F.col("b.value") - F.col("a.value"))
+                / ((F.col("b.t") - F.col("a.t")) / F.lit(1000000.0))
+            ).alias("slope"),
+            F.col("a.rn").alias("rn_a"),
+            F.col("b.rn").alias("rn_b"),
+        )
+    )
+    wm = Window.partitionBy("user_id").orderBy("slope", "rn_a", "rn_b")
+    wc = Window.partitionBy("user_id")
+    ranked = slopes.withColumn("k", F.row_number().over(wm)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter(
+        F.col("k") == F.floor((F.col("n") + 1) / 2)
+    ).select("user_id", F.round("slope", 6).alias("slope"), F.col("n").alias("n_pairs"))
