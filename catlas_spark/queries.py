@@ -7370,3 +7370,198 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("k") == F.floor((F.col("n") + 1) / 2)
     ).select("user_id", F.round("slope", 6).alias("slope"), F.col("n").alias("n_pairs"))
+
+
+@register(
+    "grouped_ols_trend",
+    """
+    WITH r AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS tsec,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      FROM events WHERE user_id % 25 = 0
+    ),
+    rel AS (
+      SELECT user_id, v4,
+             tsec - min(tsec) OVER (PARTITION BY user_id) AS t
+      FROM r
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n, sum(t) AS st, sum(v4) AS sv,
+             sum(t * t) AS stt, sum(t * v4) AS stv, sum(v4 * v4) AS svv
+      FROM rel GROUP BY user_id HAVING count(*) >= 3
+    )
+    SELECT user_id, n,
+           round(CAST(floor(
+             (CAST(n AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv)
+             / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+             / 10000.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0, 6) AS slope,
+           round(CAST(floor(
+             ((CAST(n AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv)
+              * (CAST(n AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv))
+             / ((CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                * (CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv))
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0, 6) AS r2
+    FROM s
+    WHERE (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) != 0
+      AND (CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv) != 0
+    """,
+)
+def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (slope + r^2) from closed-form
+    sufficient statistics — the scalable form of grouped regression: ONE
+    aggregation computes five EXACT integer sums (timestamps reduced to
+    integer seconds via integer division, values snapped to the 1e-4
+    grid), so the statistics are immune to float addition order; the
+    closed-form combination then runs in double on identical inputs in
+    both engines. Complements theil_sen_slope (robust) with the
+    classical estimator; r^2 is scale-free so the 1e4 value scaling
+    cancels. Per-user time is re-based (t - min t) to keep t^2 sums in
+    long range at any corpus age."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 25 == 0)
+    r = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("tsec"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v4"),
+    )
+    rel = r.withColumn(
+        "t", F.col("tsec") - F.min("tsec").over(Window.partitionBy("user_id"))
+    )
+    s = (
+        rel.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("v4").alias("sv"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
+            F.sum(F.col("t") * F.col("v4")).alias("stv"),
+            F.sum(F.col("v4") * F.col("v4")).alias("svv"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("stv") - F.col("st").cast("double") * F.col("sv")
+    dent = nd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    denv = nd * F.col("svv") - F.col("sv").cast("double") * F.col("sv")
+    slope6 = F.floor(num / dent / 10000.0 * 1000000 + F.lit(0.5)).cast("long")
+    r26 = F.floor((num * num) / (dent * denv) * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        s.filter((dent != 0) & (denv != 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(slope6 / 1000000.0, 6).alias("slope"),
+            F.round(r26 / 1000000.0, 6).alias("r2"),
+        )
+    )
+
+
+@register(
+    "winsorize_values",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+           round(least(greatest(e.value, q.lo), q.hi), 4) AS clipped,
+           (e.value < q.lo OR e.value > q.hi) AS was_clipped
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.user_id % 50 = 0
+    """,
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip at the per-type p05/p95): the outlier
+    treatment that preserves row count, applied before training on
+    heavy-tailed metrics. The percentile table is event-type-sized
+    (exact grouped percentiles — the mad_outliers discipline; Spark
+    percentile and DuckDB quantile_cont share the h=p*(n-1)
+    interpolation) and broadcasts back onto the stream; the output
+    sample subsets rows AFTER the full-corpus quantile computation, so
+    the thresholds are the production ones."""
+    ev = _events(spark, sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return (
+        ev.filter(F.col("user_id") % 50 == 0)
+        .join(F.broadcast(q), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4
+            ).alias("clipped"),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+                "was_clipped"
+            ),
+        )
+    )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id) AS BIGINT) AS tot4,
+             CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run4
+      FROM events WHERE user_id % 25 = 0
+    ),
+    d AS (
+      SELECT user_id, k, n, ts, n * run4 - k * tot4 AS dk
+      FROM r
+    ),
+    best AS (
+      SELECT user_id, k AS k_star,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_star, dk AS d_star,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(dk) DESC, k) AS rn
+      FROM d
+    )
+    SELECT user_id, k_star, ts_star, d_star FROM best WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user: the prefix deviation from
+    the series mean, D_k = n*prefix_sum - k*total, peaks where the level
+    shifts — the offline scan form of the reference's trajectory
+    anomaly detection (catlas/bocpp_utils-style change detection),
+    relational and exact. Everything is INTEGER arithmetic on the 1e-4
+    value grid (n*run - k*tot avoids ever forming the fractional mean),
+    so the argmax is deterministic under any execution order; one
+    shuffle by user serves the rank, total, prefix and argmax windows."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 25 == 0)
+    v4 = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (
+        ev.withColumn("v4", v4)
+        .withColumn("k", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("tot4", F.sum("v4").over(wp))
+        .withColumn("run4", F.sum("v4").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    d = r.withColumn("dk", F.col("n") * F.col("run4") - F.col("k") * F.col("tot4"))
+    wbest = Window.partitionBy("user_id").orderBy(F.abs(F.col("dk")).desc(), "k")
+    return (
+        d.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("k").cast("long").alias("k_star"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_star"),
+            F.col("dk").alias("d_star"),
+        )
+    )
