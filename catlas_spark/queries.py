@@ -7565,3 +7565,142 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dk").alias("d_star"),
         )
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, CAST(t_view AS DATE) AS cohort_day,
+             epoch_us(t_buy) - epoch_us(t_view) AS us_to_convert
+      FROM firsts
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS day,
+           count(*) AS n_converted,
+           round(quantile_cont(us_to_convert / 1000000.0, 0.5), 4) AS p50_sec,
+           round(quantile_cont(us_to_convert / 1000000.0, 0.9), 4) AS p90_sec
+    FROM conv GROUP BY cohort_day
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per first-view cohort day, the
+    p50/p90 of time from a user's FIRST view to FIRST purchase — the
+    latency half of funnel analysis (funnel_conversion_daily counts who
+    converts; this measures how fast). One conditional-min aggregation
+    per user (never a self-join of the event stream), then a cohort-day
+    grouped exact percentile over integer-microsecond durations; both
+    engines share the h=p*(n-1) interpolation."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    conv = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        F.to_date("t_view").alias("cohort_day"),
+        ((F.unix_micros("t_buy") - F.unix_micros("t_view")) / F.lit(1000000.0)).alias(
+            "sec"
+        ),
+    )
+    return conv.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(sec, 0.5)"), 4).alias("p50_sec"),
+        F.round(F.expr("percentile(sec, 0.9)"), 4).alias("p90_sec"),
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("day"),
+        "n_converted",
+        "p50_sec",
+        "p90_sec",
+    )
+
+
+@register(
+    "histogram_2d",
+    """
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_bin,
+             CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month
+      FROM orders
+    )
+    SELECT month, price_bin, count(*) AS n
+    FROM b GROUP BY month, price_bin
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D equi-width histogram (order month x 50k price bin) — the
+    heatmap-export aggregation a dashboard pipeline materializes. Pure
+    map-side binning + one combinable groupBy; output is bin-grid-sized
+    at any data scale (the 1-D counterpart is value_histogram)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long").alias(
+                "price_bin"
+            ),
+        )
+        .groupBy("month", "price_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    binned AS (
+      SELECT CAST(floor(ln(d) / ln(2)) AS BIGINT) AS log2_bin, d FROM deg
+    )
+    SELECT log2_bin, count(*) AS n_nodes, min(d) AS min_degree,
+           max(d) AS max_degree
+    FROM binned GROUP BY log2_bin
+    """,
+)
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree distribution of the part co-purchase graph (the
+    graph triangle_count_parts runs on; the supplier graph is
+    near-complete and collapses to one bin) — the first diagnostic run
+    before any graph algorithm, predicting whether pagerank/triangle
+    costs will be hub-dominated. Edge build is the one co-occurrence
+    shuffle; the distribution itself is degree-domain-sized.
+    ln(d)/ln(2) instead of log2 so both engines evaluate the identical
+    expression tree."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.select(
+            F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0)))
+            .cast("long")
+            .alias("log2_bin"),
+            "d",
+        )
+        .groupBy("log2_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+    )
