@@ -7704,3 +7704,38 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_degree"),
         )
     )
+
+
+@register(
+    "streaming_hopping_counts",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR * CAST(i AS INTEGER) AS ws,
+             event_type, value
+      FROM events, range(0, 2) t(i)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (overlapping) windows through the REAL readStream path —
+    the fifth genuine streaming gate entry (tumbling, session, interval
+    join, static enrich are the others). A 2h window sliding 1h puts
+    every event in exactly two windows; the batch oracle replays the
+    window assignment with a bounded 2-row explode, so the hash match
+    proves Spark's sliding window-assignment semantics on a finite
+    source."""
+    from .streaming.events import hopping_counts, read_event_stream, run_batch_like_stream
+
+    stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+    out = run_batch_like_stream(
+        hopping_counts(stream), "gate_hopping", state_partitions=8
+    )
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        "total_value",
+    )

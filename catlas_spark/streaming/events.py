@@ -331,3 +331,27 @@ def click_purchase_left_outer(events: DataFrame, horizon: str = "1 hour") -> Dat
     return purchases.join(clicks, cond, "left_outer").select(
         "purchase_id", F.col("p_user").alias("user_id"), "click_id"
     )
+
+
+def hopping_counts(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Watermarked HOPPING (sliding) window counts per event type — each
+    event lands in window/slide overlapping windows (2 here), the shape
+    behind moving-average dashboards. Works on both streaming and batch
+    DataFrames (same plan; Spark expands the window assignment
+    map-side, so state grows with windows retained, not with overlap)."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
