@@ -7739,3 +7739,56 @@ def q_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "blocklist_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split({norm}, ' ')) AS term
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, source, count(*) AS n_hits
+      FROM toks WHERE term IN ('error', 'fatal', 'panic')
+      GROUP BY doc_id, source
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(h.doc_id) AS n_flagged,
+           round(CAST(count(h.doc_id) AS DOUBLE) / count(*), 4) AS flagged_frac,
+           coalesce(CAST(sum(h.n_hits) AS BIGINT), 0) AS total_hits
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    GROUP BY d.source
+    """.replace("{norm}", "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"),
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening (the C4 badwords-filter shape): per source,
+    the fraction of documents containing any blocklisted TOKEN and the
+    total hit count — token-boundary matching, not substring (substring
+    blocklists famously flag 'class' for 'ass'; the tokenize-then-IN
+    form is both correct and pushes the tiny list into a hash lookup).
+    The per-doc hit table is filtered before its groupBy; the report is
+    source-domain-sized. The list here is a stand-in — swap the IN set
+    for the real one."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    hits = (
+        toks.filter(F.col("term").isin("error", "fatal", "panic"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_hits").alias("n_flagged"),
+            F.round(
+                F.count("n_hits").cast("double") / F.count(F.lit(1)), 4
+            ).alias("flagged_frac"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).alias("total_hits"),
+        )
+    )
