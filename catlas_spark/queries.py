@@ -7089,11 +7089,19 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle uses — see NOTES co-occurrence lesson); a min-support
     HAVING prunes the rule space before the tiny per-item stats
     broadcast in. All ratios are single divisions of exact integer
-    products, so both engines produce bit-identical doubles."""
+    products, so both engines produce bit-identical doubles.
+
+    Plan shape (r5): every branch — pairs, per-item support, and the
+    n_orders scalar — derives from the SAME collect_set subtree, so
+    Spark's ReuseExchange serves all three from one shuffle (the old
+    io.distinct pre-pass is redundant: collect_set dedups per order);
+    n_orders rides in as a broadcast 1-row cross join instead of a
+    separate driver action. Measured 1.8 -> 1.4 s warm at sf0.1.
+    (Tried and rejected: in-row i<j pair structs via transform/slice —
+    higher-order lambdas are NOT codegen'd and measured slower than
+    the double explode.)"""
     li = _t(spark, sf_dir, "lineitem")
-    io = li.select("l_orderkey", "l_suppkey").distinct()
-    sets = io.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("items"))
-    n_orders = sets.count()  # scalar -> literal
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("items"))
     pairs = (
         sets.select(F.explode("items").alias("ante"), "items")
         .select("ante", F.explode("items").alias("cons"))
@@ -7102,15 +7110,21 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("s_ab"))
         .filter(F.col("s_ab") >= 5)
     )
-    supp = io.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("s"))
+    supp = (
+        sets.select(F.explode("items").alias("l_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    n = sets.agg(F.count(F.lit(1)).alias("n_orders"))
     sa = supp.select(F.col("l_suppkey").alias("ante"), F.col("s").alias("s_a"))
     sb = supp.select(F.col("l_suppkey").alias("cons"), F.col("s").alias("s_b"))
     lift = F.round(
-        (F.lit(n_orders) * F.col("s_ab")) / (F.col("s_a") * F.col("s_b")), 6
+        (F.col("n_orders") * F.col("s_ab")) / (F.col("s_a") * F.col("s_b")), 6
     )
     return (
         pairs.join(F.broadcast(sa), "ante")
         .join(F.broadcast(sb), "cons")
+        .crossJoin(F.broadcast(n))
         .select(
             "ante",
             "cons",
@@ -7679,17 +7693,23 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs will be hub-dominated. Edge build is the one co-occurrence
     shuffle; the distribution itself is degree-domain-sized.
     ln(d)/ln(2) instead of log2 so both engines evaluate the identical
-    expression tree."""
+    expression tree.
+
+    Plan shape (r5): the self-join + distinct + count chain paid three
+    exchanges over the full pair table. Instead collect the per-order
+    part set (one shuffle, bounded by order size — ~7 lines/order in
+    this schema), explode pairs IN-ROW, and fuse dedup into the degree
+    aggregate via count_distinct (map-side partial dedup). Measured
+    3.1 s -> 1.5 s warm at sf0.1; scales as long as per-group item
+    sets stay bounded (same contract as association_rules)."""
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k")
+    items = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("it"))
+    pairs = (
+        items.select(F.explode("it").alias("src"), "it")
+        .select("src", F.explode("it").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = pairs.groupBy("src").agg(F.count_distinct("dst").alias("d"))
     return (
         deg.select(
             F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0)))
