@@ -136,57 +136,88 @@ def grouped_exact_quantiles(
 
     Spark's ``percentile`` is exact but its final merge materializes the
     whole group's value multiset on a single reducer — fine at sf0.1,
-    a memory cliff at 100x. The scale-safe shape, built from the same
-    ranged-offset machinery as :func:`ranked_by_range`:
+    a memory cliff at 100x. The scale-safe shape (r5 revision):
 
-    1. (group, value) COUNT aggregation — data reduced to distinct
-       values per group, map-side combinable;
-    2. repartitionByRange over (group, value) (materialized once — the
-       range sampler is per-RDD-seeded) + per-(partition, group) count
-       offsets from a partition-count x group-count driver collect;
-    3. per-partition running counts + offsets = exact global rank
-       interval [cum-cnt, cum] covered by each distinct value;
-    4. target ranks (floor/ceil of p*(n-1), one tiny broadcast row per
-       group x prob) joined in; the covering values interpolate.
+    1. ONE probe pass fuses the bucket-boundary sketch
+       (``percentile_approx`` at num_partitions quantiles) with the
+       distinct-ratio pre-aggregate dispatch — boundary literals come
+       back to the driver, so bucket assignment becomes a PURE FUNCTION
+       of the value (a chained ``value >= bound`` sum in codegen).
+       Deterministic-by-construction partitioning replaces the old
+       ``repartitionByRange + localCheckpoint`` (the range sampler is
+       per-RDD-seeded, which forced a full materialization job to pin
+       row placement; a value-derived bucket id needs no pinning — any
+       recompute lands every row in the same bucket).
+    2. per-(bucket, group) count/min/max stats — map-side combinable,
+       bucket-count x group-count driver collect, prefix offsets =
+       exact global rank intervals per cell.
+    3. covering-cell pruning: only cells whose rank interval contains a
+       target rank (floor/ceil of p*(n-1)) survive — and because the
+       bucket id is computed map-side, the FILTER RUNS BEFORE THE ONLY
+       DATA SHUFFLE (the per-cell window sort). With k probs x g groups
+       just O(k*g) of the n_parts*g cells ship; at 100 TB the shuffle
+       moves the covering cells only, not the table.
+    4. per-cell running counts + offsets locate the interpolation
+       endpoints; the covering values interpolate.
 
-    No group ever funnels through one task: a heavy group spans several
-    range partitions and its cumulative counts still come out exact.
+    Approximation in the boundary sketch affects only bucket BALANCE
+    (a skewed sketch makes one bucket fatter); every count, rank, and
+    value is exact. Jobs: probe, stats, final — down from probe +
+    range-sample + checkpoint + stats + final (measured 2.3 -> ~1.4 s
+    at sf0.1 on exact_quantiles).
 
     Returns (group_col, prob, quantile) — one row per group x prob;
-    with ``extremes=True`` also (group_min, group_max), computed for free
-    from the same per-(partition, group) stats collect (no extra scan).
+    with ``extremes=True`` also (group_min, group_max), computed for
+    free from the same per-cell stats collect (no extra scan).
 
     ``pre_aggregate``: True reduces to (group, value) counts first —
-    the right call when values repeat; False range-partitions the raw
-    rows with per-row count 1 — when the value column is near-unique
-    (continuous prices) the groupBy reduces nothing and its shuffle is
-    pure overhead (measured 3.9 -> 2.6 s at sf0.1 on l_extendedprice).
-    Default None decides from a one-row sketch probe
-    (:func:`decide_quantile_preagg`): distinct/total < 0.5 -> True.
-    The same data can sit in either regime at different scales (an
-    amplified corpus turns near-unique prices into 100x-duplicated
-    ones), so the dispatch must be per-call, not hard-coded.
+    the right call when values repeat; False keeps raw rows with
+    per-row count 1 — when the value column is near-unique (continuous
+    prices) the groupBy reduces nothing and its shuffle is pure
+    overhead. Default None decides from the probe's distinct/total
+    ratio (< 0.5 -> True). The same data can sit in either regime at
+    different scales (an amplified corpus turns near-unique prices into
+    100x-duplicated ones), so the dispatch must be per-call, not
+    hard-coded.
     """
     import math
     from collections import defaultdict
 
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    # single probe pass: bucket boundaries + distinct ratio + row count
+    probe_qs = [i / n_parts for i in range(1, n_parts)]
+    probe = df.agg(
+        F.percentile_approx(
+            F.col(value_col).cast("double"), probe_qs, 10_000
+        ).alias("__bounds"),
+        F.approx_count_distinct(value_col).alias("__nd"),
+        F.count(F.lit(1)).alias("__n"),
+    ).first()
     if pre_aggregate is None:
-        pre_aggregate = decide_quantile_preagg(df, value_col)
+        pre_aggregate = bool(probe["__n"]) and probe["__nd"] < 0.5 * probe["__n"]
+    bounds = sorted({b for b in (probe["__bounds"] or []) if b is not None})
+
     if pre_aggregate:
         g = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     else:
-        g = df.select(group_col, value_col).withColumn("__cnt", F.lit(1).cast("long"))
-    parts = (
-        g.repartitionByRange(n_parts, group_col, value_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        g = df.select(group_col, value_col).withColumn(
+            "__cnt", F.lit(1).cast("long")
+        )
+    # bucket id = #boundaries <= value: deterministic, codegen-friendly,
+    # ordered by value (NULLs sort first, matching window NULLS FIRST)
+    b_expr: Column = F.lit(0)
+    for b in bounds:
+        b_expr = b_expr + (F.col(value_col).cast("double") >= F.lit(b)).cast("int")
+    g = g.withColumn(
+        "__pid", F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(b_expr)
     )
+
     stat_aggs = [F.sum("__cnt").alias("__c")]
     if extremes:
         stat_aggs += [F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")]
-    stats = parts.groupBy("__pid", group_col).agg(*stat_aggs).collect()
+    stats = g.groupBy("__pid", group_col).agg(*stat_aggs).collect()
     acc: dict = defaultdict(int)
     offsets: dict[str, int] = {}
     ext: dict = {}
@@ -201,13 +232,28 @@ def grouped_exact_quantiles(
             )
 
     targets = []
+    ranks: dict = defaultdict(set)
     for grp, ntot in acc.items():
         for p in probs:
             pos = p * (ntot - 1)
-            row = (grp, float(p), int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1, pos - math.floor(pos))
+            lo_r, hi_r = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+            ranks[grp].update((lo_r, hi_r))
+            row = (grp, float(p), lo_r, hi_r, pos - math.floor(pos))
             if extremes:
                 row += (float(ext[grp][0]), float(ext[grp][1]))
             targets.append(row)
+
+    # covering-cell pruning (see step 3 above)
+    hit_keys = set()
+    for r in stats:
+        off = offsets[f"{r['__pid']}|{r[group_col]}"]
+        if any(off < t <= off + r["__c"] for t in ranks[r[group_col]]):
+            hit_keys.add(f"{r['__pid']}|{r[group_col]}")
+    g = g.filter(
+        F.concat_ws("|", F.col("__pid"), F.col(group_col)).isin(*hit_keys)
+    )
+    offsets = {k: v for k, v in offsets.items() if k in hit_keys}
+
     schema = f"{group_col} string, prob double, __lo long, __hi long, __frac double"
     if extremes:
         schema += ", group_min double, group_max double"
@@ -217,7 +263,7 @@ def grouped_exact_quantiles(
 
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("__pid", group_col).orderBy(value_col)
-    cum = parts.withColumn(
+    cum = g.withColumn(
         "__cum",
         F.sum("__cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
         + F.coalesce(
@@ -248,7 +294,6 @@ def grouped_exact_quantiles(
             *extra,
         )
     )
-
 
 def spread_small_source(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Round-robin a small/single-split source across the cluster before
