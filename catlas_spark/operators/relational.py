@@ -134,11 +134,28 @@ def grouped_min_argmin(
     (reference A3 grouped min + argmin on energy arrays,
     `catlas/adslab_predictions.py:324-337`).
 
-    Implemented as a window rank (not ``min_by``) so ties resolve
-    deterministically via ``tiebreaks``.
+    Implemented as ``min_by(row, struct(value, tiebreaks...))`` —
+    struct ordering is lexicographic (NULLS FIRST per field, matching
+    an ascending sort), so ties resolve deterministically via
+    ``tiebreaks`` exactly as the window-rank form did, but the plan is
+    a HASH AGGREGATE: map-side combinable (each partition keeps one
+    candidate per group before the shuffle) instead of a full
+    shuffle-and-sort of every row through a window. At 100 TB the
+    shuffle volume drops from table-sized to group-count-sized. The
+    payload row rides in min_by's value slot, so non-comparable column
+    types (maps) are fine anywhere outside the ordering key.
     """
-    w = Window.partitionBy(*group_cols).orderBy(value, *tiebreaks)
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    row_cols = df.columns
+    key = F.struct(
+        value.alias("__v"),
+        *[t.alias(f"__t{i}") for i, t in enumerate(tiebreaks)],
+    )
+    row = F.struct(*[F.col(c) for c in row_cols])
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.min_by(row, key).alias("__m"))
+        .select(*[F.col(f"__m.{c}").alias(c) for c in row_cols])
+    )
 
 
 def point_in_interval_join(

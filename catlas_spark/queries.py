@@ -100,20 +100,46 @@ def oracle_sql() -> dict[str, str]:
     return {k: v[1] for k, v in _ordered().items() if v[1] is not None}
 
 
+# Base-table DataFrame memo — the engine's (minimal) catalog. A bare
+# ``spark.read.parquet`` costs ~80-90 ms of driver work EVERY call (file
+# listing + footer schema read); a 171-query suite touching ~1.7 tables
+# per query pays ~25 s per pass re-deriving metadata that never changes.
+# Real engines put this in a metastore; here a dict keyed by
+# (applicationId, sf_dir, table) holds the immutable lazy scan plan.
+# Caches METADATA ONLY (lazy plan + file index) — never rows, never
+# results — so bench passes still execute the full compute. Keyed by
+# appId so a new session never sees another session's plans; static
+# testdata assumption documented (a changed directory needs a new key
+# or process, same as any metastore cache).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Session hardening for driver-owned sessions (both runtime-settable):
+    # Session hardening for driver-owned sessions (all runtime-settable
+    # and cheap — ~0.5 ms total, so applied unconditionally):
     # - split small single-file tables across cores
     # - pin UTC so timestamp formatting matches the (naive) DuckDB oracle
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("SPARK_GRAFT_SPLIT_BYTES", str(2 * 1024 * 1024)),
+    )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # right-size shuffles for the local harness (driver default is 200)
     cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cores)),
+    )
     # restore the default broadcast threshold: queries that demonstrate
     # shuffle-join-only optimizations (runtime bloom filter) lower it for
     # their own plan; resetting here scopes that override to one query
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,10 +154,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # harmless for micros files; lets a NANOS file read as bigint instead of failing
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # unit decided ONCE PER FILE from the parquet logical type (footer
-    # probe) — never per-row by magnitude, which misreads pre-1973 nanos
-    return normalize_ts(ev, probe_ts_flavor(f"{sf_dir}/events.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, "events__normalized")
+    ev = _TABLE_CACHE.get(key)
+    if ev is None:
+        # unit decided ONCE PER FILE from the parquet logical type (footer
+        # probe) — never per-row by magnitude, which misreads pre-1973 nanos
+        ev = normalize_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            probe_ts_flavor(f"{sf_dir}/events.parquet"),
+        )
+        _TABLE_CACHE[key] = ev
+    return ev
 
 
 # ---------------------------------------------------------------------------
@@ -3465,18 +3498,30 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix mins with a broadcast cross-partition carry-in, never a
     single-reducer global window and never a self-join. The frontier is
     tiny by nature, so re-attaching supplier rows is a broadcast semi
-    join."""
+    join.
+
+    The per-supplier aggregate is MATERIALIZED once (supplier-sized)
+    and both the skyline pass and the rejoin read the cached table:
+    computing `s` twice would re-run a shuffle-order-dependent float
+    avg whose round(.,4) could land differently at a 1e-4 boundary and
+    silently drop a frontier supplier at the semi-join — one
+    materialization makes the join keys bit-identical by construction
+    (and saves the second aggregation of the fact table)."""
+    from pyspark import StorageLevel
+
+    from .caching import materialize_and_release
     from .operators.relational import skyline_2d
 
     li = _t(spark, sf_dir, "lineitem")
     s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_discount"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sky = skyline_2d(s, "avg_price", "avg_discount", max_y=True)
-    return s.join(F.broadcast(sky), ["avg_price", "avg_discount"], "semi").select(
+    out = s.join(F.broadcast(sky), ["avg_price", "avg_discount"], "semi").select(
         "suppkey", "avg_price", "avg_discount"
     )
+    return materialize_and_release(out, s)
 
 
 _HASH_U = (
@@ -3864,6 +3909,8 @@ def q_set_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to ~4 per excerpt. Shingle width is the knob that buys the
     sparse regime. The dense-dimension case, where the postings baseline
     wins instead, is `set_containment_join`."""
+    from pyspark import StorageLevel
+
     from .functions.text import token_shingles
     from .operators.relational import set_containment_join_prefix
 
@@ -3874,13 +3921,19 @@ def q_set_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     excerpts = d.filter(F.size(norm_toks) >= 13).select(
         F.col("doc_id").alias("ex_id"),
         token_shingles(F.array_join(F.slice(norm_toks, 1, 12), " "), 3).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     docs = d.select(
         F.col("doc_id").alias("doc"), token_shingles(F.col("text"), 3).alias("sh")
-    )
-    return set_containment_join_prefix(excerpts, "ex_id", "sh", docs, "doc", "sh").select(
-        "ex_id", "doc", F.col("n_left").alias("n_shingles")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # each side feeds the operator twice (postings + verify rejoin):
+    # persist so the normalize+shingle+distinct chain runs once per side
+    # instead of twice (keep_best playbook; caches released on return)
+    out = set_containment_join_prefix(
+        excerpts, "ex_id", "sh", docs, "doc", "sh"
+    ).select("ex_id", "doc", F.col("n_left").alias("n_shingles"))
+    from .caching import materialize_and_release
+
+    return materialize_and_release(out, excerpts, docs)
 
 
 @register(
@@ -5670,7 +5723,12 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages rather than whole docs. Plan: one positional explode
     (lookahead regex keeps it codegen), one distinct + groupBy for gram
     doc-frequency, one hash join back, then per-doc windows — every
-    shuffle is token- or doc-keyed, nothing pairwise, linear at 100 TB."""
+    shuffle is token- or doc-keyed, nothing pairwise, linear at 100 TB.
+
+    (Tried and rejected: persisting the positional explode for its two
+    consumers — the cache build of the token-position table costs more
+    than the second regex pass it saves, 1.5 -> 1.9 s measured; the
+    recompute stays.)"""
     d = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     pat = r"(?=(\S+" + r" \S+" * 4 + r"))\S+"
@@ -7435,7 +7493,14 @@ def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).filter(F.col("user_id") % 25 == 0)
     r = ev.select(
         "user_id",
-        F.expr("unix_micros(ts) div 1000000").alias("tsec"),
+        # exact integer FLOOR division, not `div`: Spark's div truncates
+        # toward zero while the oracle's // floors — they disagree on
+        # pre-1970 timestamps (negative epoch micros). Subtracting the
+        # nonnegative pmod first makes the operand an exact multiple, so
+        # div equals floor with no double-rounding at any epoch
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"
+        ).alias("tsec"),
         F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v4"),
     )
     rel = r.withColumn(

@@ -75,11 +75,25 @@ def compact_parquet(
     than guessing. The swap is rename-aside (old → __old, new → path,
     delete __old): a crash leaves either the original or the compacted
     directory at a recoverable name, never a window with no data under
-    ``path``.
+    ``path`` — and a rerun SELF-RECOVERS: leftover ``__old`` with no
+    ``path`` (crash between the two renames) is renamed back before
+    compacting; stale ``__old``/``__compacting`` alongside an intact
+    ``path`` are removed (they are, respectively, an already-swapped
+    original and a partial rewrite).
     """
     import glob as _glob
     import math
     import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    # crash recovery from a prior interrupted run (see docstring)
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
 
     files = _glob.glob(os.path.join(path, "*.parquet"))
     if not files:
@@ -94,8 +108,6 @@ def compact_parquet(
         )
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(min_files, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "__compacting"
-    old = path.rstrip("/") + "__old"
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -38,10 +38,27 @@ def parquet_column_bounds(path_or_glob: str, col: str):
     partial stats cannot bound the data, and callers treat None as
     "probe at runtime instead". NULL-only row groups (no min/max) also
     yield None rather than a fabricated bound.
+
+    NUMERIC (and date/timestamp) columns only: parquet writers may
+    TRUNCATE min/max for long BYTE_ARRAY values (string/binary), so
+    those footer bounds are conservative pruning bounds, not exact data
+    values — a caller using them as exact values would be silently
+    wrong. String/binary columns return None.
     """
     files = _parquet_files(path_or_glob)
     if not files:
         return None
+    # refuse string/binary up front (stats may be truncated, see above)
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    idx = schema.get_field_index(col)
+    if idx >= 0:
+        t = schema.field(idx).type
+        import pyarrow as pa
+
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
+            t
+        ) or pa.types.is_large_binary(t):
+            return None
     mn = mx = None
     for f in files:
         meta = pq.ParquetFile(f).metadata

@@ -86,6 +86,12 @@ def main() -> None:
             )
 
     duck_total = round(sum(duck.values()), 3)
+    # persist per-query medians so ratio analysis across rounds reads
+    # one artifact pair (BENCH_DETAIL.json + DUCK_DETAIL.json)
+    with open(
+        os.path.join(os.path.dirname(detail_path), "DUCK_DETAIL.json"), "w"
+    ) as f:
+        json.dump({"sf_dir": sf_dir, "queries": duck}, f, sort_keys=True)
     spark_common = {n: s for n, s in spark.items() if n in duck and s >= 0}
     spark_total = round(sum(spark_common.values()), 3)
     ratio = round(spark_total / duck_total, 2) if duck_total and spark_common else None
