@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # static conf, must be set at session create: the generated-class
+        # cache defaults to 100 entries, and a many-query session (171
+        # registry queries x several WholeStageCodegen units each)
+        # THRASHES it — every pass re-compiles nearly every plan.
+        # Measured on a 55-query warm subset: 40 s -> 22 s. On a real
+        # cluster the same setting keeps long-lived drivers from
+        # recompiling hot plan shapes.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
         # small benchmark files arrive as ONE 128MB-default split each —
         # cap split size so scans parallelize; real deployments with many
         # files should override back up via SPARK_GRAFT_SPLIT_BYTES
