@@ -2249,7 +2249,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
     out = run_batch_like_stream(
-        tumbling_counts(stream), "gate_tumbling", state_partitions=8
+        tumbling_counts(stream), "gate_tumbling", state_partitions=4
     )
     return out.select(
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
@@ -4083,7 +4083,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         click_purchase_join(stream),
         "gate_interval_join",
         output_mode="append",
-        state_partitions=8,
+        state_partitions=4,
     )
     return out.select("purchase_id", "click_id", "user_id")
 
@@ -4303,7 +4303,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
     out = run_batch_like_stream(
-        sessionized_stream(stream), "gate_session_windows", state_partitions=8
+        sessionized_stream(stream), "gate_session_windows", state_partitions=4
     )
     return out.select(
         "user_id",
@@ -4505,7 +4505,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("n_name", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
     )
-    return run_batch_like_stream(agg, "gate_static_enrich", state_partitions=8).select(
+    return run_batch_like_stream(agg, "gate_static_enrich", state_partitions=4).select(
         "n_name", "event_type", "n", "total_value"
     )
 
@@ -7816,7 +7816,7 @@ def q_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
     out = run_batch_like_stream(
-        hopping_counts(stream), "gate_hopping", state_partitions=8
+        hopping_counts(stream), "gate_hopping", state_partitions=4
     )
     return out.select(
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),

@@ -102,8 +102,9 @@ def run_batch_like_stream(
     THIS query (the stream pins it at start; restored after): the state
     store pays per-partition commit overhead every micro-batch, so a
     small finite source wants few state partitions (32 → 8 measured
-    5.0 → 1.8 s on the interval join) while an unbounded production
-    stream sizes it to expected state, not to this default."""
+    5.0 → 1.8 s on the interval join; 8 → 4 a further 2.3 → 1.8 s,
+    flat below 4) while an unbounded production stream sizes it to
+    expected state, not to this default."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:

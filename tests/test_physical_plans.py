@@ -162,12 +162,15 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert df.count() == expected
 
 
-def test_salted_join_is_sort_merge_on_salted_key(spark, sf_dir):
-    """salted_skew_join must actually shuffle on (key, salt): a
-    sort-merge join whose keys include the salt column, no broadcast of
-    the replicated dim (replication is pointless under broadcast)."""
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """salted_skew_join must actually shuffle on (key, salt): a shuffled
+    hash join (dim side is replicate-cheap by contract, so it always
+    fits a per-partition hash map and the fact-side sort is skipped)
+    whose keys include the salt column, no broadcast of the replicated
+    dim (replication is pointless under broadcast)."""
     p = plan_of(spark, sf_dir, "salted_skew_join")
-    assert "SortMergeJoin" in p
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
     assert "__salt" in p
     keys_line = next(l for l in p.splitlines() if l.startswith("Left keys"))
     assert "l_suppkey" in keys_line and "__salt" in keys_line
