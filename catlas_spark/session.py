@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # the default 240MB JIT code cache churns under a many-query
+        # session's generated-class volume (10k codegen cache entries
+        # above) — flushed JIT code re-compiles mid-pass and shows up as
+        # pass-to-pass spikes; 512MB holds the whole suite hot
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # static conf, must be set at session create: the generated-class
