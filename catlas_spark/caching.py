@@ -91,3 +91,28 @@ def materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
     for c in caches:
         c.unpersist(blocking=False)
     return out
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a layout whose row placement must not change between
+    the passes that read it (ranked offsets, CC rounds, BPE states).
+
+    Default: ``localCheckpoint`` — blocks live on executors; fast, but a
+    lost executor makes downstream actions FAIL (loudly — never the
+    silent rank corruption a recompute could cause, see
+    ``ranked_by_range``). On a real cluster set
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` (once per session; any
+    HDFS/S3/shared path): layouts are then RELIABLY checkpointed there
+    and survive executor loss. The env var is read per call so long
+    sessions can opt in late; ``setCheckpointDir`` is applied lazily
+    and only once.
+    """
+    import os
+
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

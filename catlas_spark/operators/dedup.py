@@ -363,8 +363,10 @@ def connected_components(
                 F.col("s").alias("node"),
                 F.least(F.col("s"), F.col("__md")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        from ..caching import pin
+
+        labels = pin(labels)
         for _ in range(max_iter):
             prop = edges.join(
                 labels, edges["s"] == labels["node"]
@@ -377,8 +379,8 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .join(labels.select("node", F.col("label").alias("__old")), "node")
-                .localCheckpoint(eager=True)
             )
+            merged = pin(merged)
             changed = merged.filter(F.col("label") != F.col("__old")).limit(1).count()
             labels = merged.select("node", "label")
             if changed == 0:

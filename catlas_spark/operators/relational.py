@@ -501,10 +501,12 @@ def skyline_2d(
         .distinct()
     )
     n = num_partitions or spark.sparkContext.defaultParallelism
-    parts = (
-        pairs.repartitionByRange(n, F.col("__sx"), F.col("__sy"))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    from ..caching import pin
+
+    parts = pin(
+        pairs.repartitionByRange(n, F.col("__sx"), F.col("__sy")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     stats = sorted(
         parts.groupBy("__pid").agg(F.min("__sy").alias("__m")).collect(),

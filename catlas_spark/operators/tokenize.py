@@ -94,8 +94,10 @@ def bpe_train(
             F.posexplode(F.split(F.col(word_col), "")),
         )
         .select("word", "cnt", (F.col("pos") + 1).alias("pos"), F.col("col").alias("sym"))
-        .localCheckpoint(eager=True)
     )
+    from ..caching import pin
+
+    seg = pin(seg)
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         w = Window.partitionBy("word").orderBy("pos")
@@ -111,7 +113,7 @@ def bpe_train(
         a, b, pc = best[0]["sym"], best[0]["nxt"], int(best[0]["pair_count"])
         merges.append((step, a, b, a + b, pc))
         if step < n_merges:
-            seg = _apply_merge(seg, a, b).localCheckpoint(eager=True)
+            seg = pin(_apply_merge(seg, a, b))
     return spark.createDataFrame(
         merges,
         "step INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",

@@ -50,14 +50,16 @@ def ranked_by_range(
        sorts in parallel) plus the broadcast offset of all earlier
        partitions = exact global rank / running sum.
 
-    The ranged layout is materialized ONCE (localCheckpoint) and both
-    the offset pass and the final pass read it — the range partitioner's
-    boundary sampling is seeded per-RDD, so re-executing the exchange
-    can shift rows across partitions and corrupt the offsets (observed:
-    ranks off by single digits). Ranking inherently materializes a
-    sorted shuffle anyway, so this costs nothing extra at scale; the
-    checkpoint blocks are freed by the ContextCleaner when the result
-    DataFrame is dropped.
+    The ranged layout is materialized ONCE (``caching.pin`` —
+    localCheckpoint, or a reliable checkpoint when
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` is set) and both the offset pass and
+    the final pass read it — the range partitioner's boundary sampling
+    is seeded per-RDD, so re-executing the exchange can shift rows
+    across partitions and corrupt the offsets (observed: ranks off by
+    single digits). Ranking inherently materializes a sorted shuffle
+    anyway, so this costs nothing extra at scale; the checkpoint blocks
+    are freed by the ContextCleaner when the result DataFrame is
+    dropped.
 
     Returns ``(ranked_df, totals)`` where ``ranked_df`` carries
     ``rank_name`` (long, 1-based) and ``cum_<c>`` for each requested
@@ -67,10 +69,10 @@ def ranked_by_range(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
-    parts = (
-        df.repartitionByRange(n, *cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    from .caching import pin
+
+    parts = pin(
+        df.repartitionByRange(n, *cols).withColumn("__pid", F.spark_partition_id())
     )
     aggs = [F.count(F.lit(1)).alias("__cnt")] + [
         F.sum(c).alias(f"__sum_{c}") for c in cum_cols

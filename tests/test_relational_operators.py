@@ -720,3 +720,24 @@ def test_entity_golden_record_survivorship(spark, sf_dir):
         # canonical name is an undamaged original name (no deleted char):
         # synthetic names are 'Customer#<9 digits>' = 18 chars
         assert len(r.canonical_name) == 18, r.canonical_name
+
+
+def test_pin_reliable_checkpoint_env(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_CHECKPOINT_DIR set, pin() uses a RELIABLE
+    checkpoint in that directory (survives executor loss on a real
+    cluster) instead of localCheckpoint; results are identical and the
+    directory is actually populated."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.caching import pin
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    local = sorted(pin(df).collect())
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt)
+    reliable = sorted(pin(df).collect())
+    assert reliable == local
+    assert any(os.scandir(ckpt))  # blocks were written to the dir
