@@ -75,6 +75,25 @@ def lazy_plans():
         _MATERIALIZE = prev
 
 
+def maybe_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """``persist()`` gated on the materialize flag — the ONLY way an
+    operator whose release path is :func:`materialize_and_release`
+    should register a cache.
+
+    Under :func:`lazy_plans` the frame is returned unpersisted: an
+    unconditional ``persist()`` there is worse than a leak, because
+    ``materialize_and_release`` is a no-op in that mode and never
+    unpersists, leaving a canonicalized-plan CacheManager entry that a
+    LATER query deriving the same subtree silently builds and reads
+    (the exact stale-cache hazard described above).
+    """
+    if not _MATERIALIZE:
+        return df
+    return df.persist(level)
+
+
 def materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
     """Materialize ``out`` (persist + count) and unpersist ``caches``.
 

@@ -38,7 +38,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import materialize_and_release
+from ..caching import materialize_and_release, maybe_persist
 from ..functions.text import char_shingles, fingerprint, token_shingles
 
 
@@ -188,7 +188,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, text_col, id_col, n_perm, shingle_n, with_hash_set=True,
         shingle_mode=shingle_mode,
-    ).persist(StorageLevel.MEMORY_ONLY)
+    ).transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     bands = F.array(
         *[
             F.struct(
@@ -250,7 +250,7 @@ def jaccard_pairs(
         hashed.groupBy("doc")
         .agg(F.collect_set("h1").alias("sh"))
         .join(keys, "doc")
-        .persist(StorageLevel.MEMORY_ONLY)
+        .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.doc") < F.col("b.doc")
@@ -344,10 +344,20 @@ def connected_components(
     # the session setting, so billion-edge graphs keep their
     # parallelism. The count also materializes the edge cache the first
     # round would have built anyway.
+    # NOTE the override is SESSION-GLOBAL for the duration of the loop
+    # (restored in the finally): this engine runs one query at a time
+    # per session (bench/driver contract); a session planning other
+    # queries concurrently would see the tiny partition count. The
+    # value may be non-numeric under exotic configs — fall back to the
+    # context default rather than crash.
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sess_parts = int(prev_parts)
+    except (TypeError, ValueError):
+        sess_parts = spark.sparkContext.defaultParallelism
     n_edges = edges.count()
-    right_size = max(1, min(int(prev_parts), n_edges // 100_000 + 1))
+    right_size = max(1, min(sess_parts, n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(right_size))
     try:
         # init FUSED with propagation round 1: the first hash-to-min
@@ -468,7 +478,7 @@ def banded_embedding_pairs(
             band_sign_bucket(F.col(vec_col), j, band_bits).alias(f"b{j}")
             for j in range(n_bands)
         ],
-    ).persist(StorageLevel.MEMORY_ONLY)
+    ).transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     bands = base.select(
         *block,
         "id",
@@ -546,7 +556,7 @@ def containment_pairs(
     sets = (
         hashed.groupBy("doc")
         .agg(F.collect_set("h1").alias("hset"), F.count(F.lit(1)).alias("n_sh"))
-        .persist(StorageLevel.MEMORY_ONLY)
+        .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
     rare = hashed.join(
         hashed.groupBy("h1").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),

@@ -144,8 +144,22 @@ def grouped_min_argmin(
     shuffle volume drops from table-sized to group-count-sized. The
     payload row rides in min_by's value slot, so non-comparable column
     types (maps) are fine anywhere outside the ordering key.
+
+    Ordering contract: ``value``/``tiebreaks`` must be plain (ascending,
+    NULLS FIRST) expressions — a struct field cannot carry a sort
+    direction. A SortOrder tiebreak (``.desc()``, ``.asc_nulls_last()``)
+    is detected and routed to the equivalent window-rank form, which
+    honors it (at the table-sized-shuffle price the aggregate form
+    avoids).
     """
     row_cols = df.columns
+    if any(_is_sort_order(c) for c in (value, *tiebreaks)):
+        w = Window.partitionBy(*group_cols).orderBy(value, *tiebreaks)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     key = F.struct(
         value.alias("__v"),
         *[t.alias(f"__t{i}") for i, t in enumerate(tiebreaks)],
@@ -156,6 +170,18 @@ def grouped_min_argmin(
         .agg(F.min_by(row, key).alias("__m"))
         .select(*[F.col(f"__m.{c}").alias(c) for c in row_cols])
     )
+
+
+def _is_sort_order(c: Column) -> bool:
+    """True when ``c`` is a SortOrder expression (``.desc()`` etc.) —
+    placing one inside ``F.struct`` fails analysis or misorders, so
+    callers route such keys to the window form instead."""
+    # Spark 4's Column wraps a ColumnNode (no .expr() accessor), so the
+    # stable cross-mode signal is the repr: SortOrder always renders
+    # with an explicit null ordering (Column<'x DESC NULLS LAST'>),
+    # which no plain expression repr ends with.
+    s = str(c)
+    return s.endswith("NULLS LAST'>") or s.endswith("NULLS FIRST'>")
 
 
 def point_in_interval_join(

@@ -311,8 +311,10 @@ def semantic_dedup(
     # the pair join, the cluster sizes, and the final anti-join — persist
     # so it runs once (unpersisted it re-executed 3x: 4.5 s -> ~1.5 s warm
     # at sf0.1). Released below after the survivors materialize.
-    ranked = assigned.withColumn("rnk", F.row_number().over(w_rank)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from ..caching import maybe_persist
+
+    ranked = assigned.withColumn("rnk", F.row_number().over(w_rank)).transform(
+        maybe_persist
     )
 
     lo = ranked.select(

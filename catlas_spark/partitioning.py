@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SALT_COL = "__salt"
 
@@ -188,18 +189,28 @@ def grouped_exact_quantiles(
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
 
-    # single probe pass: bucket boundaries + distinct ratio + row count
+    # single probe pass: bucket boundaries + distinct ratio + row count.
+    # n_parts == 1 means no interior boundaries — percentile_approx with
+    # an empty percentage list builds an array<void> literal that fails
+    # analysis, so the probe skips the sketch and every group lands in
+    # one covering cell (the count/distinct probe still runs).
     probe_qs = [i / n_parts for i in range(1, n_parts)]
-    probe = df.agg(
-        F.percentile_approx(
-            F.col(value_col).cast("double"), probe_qs, 10_000
-        ).alias("__bounds"),
+    probe_aggs = [
         F.approx_count_distinct(value_col).alias("__nd"),
         F.count(F.lit(1)).alias("__n"),
-    ).first()
+    ]
+    if probe_qs:
+        probe_aggs.append(
+            F.percentile_approx(
+                F.col(value_col).cast("double"), probe_qs, 10_000
+            ).alias("__bounds")
+        )
+    probe = df.agg(*probe_aggs).first()
     if pre_aggregate is None:
         pre_aggregate = bool(probe["__n"]) and probe["__nd"] < 0.5 * probe["__n"]
-    bounds = sorted({b for b in (probe["__bounds"] or []) if b is not None})
+    bounds = sorted(
+        {b for b in ((probe["__bounds"] if probe_qs else None) or []) if b is not None}
+    )
 
     if pre_aggregate:
         g = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
@@ -221,10 +232,10 @@ def grouped_exact_quantiles(
         stat_aggs += [F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")]
     stats = g.groupBy("__pid", group_col).agg(*stat_aggs).collect()
     acc: dict = defaultdict(int)
-    offsets: dict[str, int] = {}
+    offsets: dict = {}  # (pid, group value) -> global rank offset; driver-only
     ext: dict = {}
     for r in sorted(stats, key=lambda r: (str(r[group_col]), r["__pid"])):
-        offsets[f"{r['__pid']}|{r[group_col]}"] = acc[r[group_col]]
+        offsets[(r["__pid"], r[group_col])] = acc[r[group_col]]
         acc[r[group_col]] += r["__c"]
         if extremes:
             mn, mx = ext.get(r[group_col], (None, None))
@@ -245,34 +256,62 @@ def grouped_exact_quantiles(
                 row += (float(ext[grp][0]), float(ext[grp][1]))
             targets.append(row)
 
-    # covering-cell pruning (see step 3 above)
-    hit_keys = set()
+    # covering-cell pruning (see step 3 above), shipped as a broadcast
+    # (pid, group, offset) table joined NULL-SAFELY. Never string keys:
+    # concat_ws silently drops NULL group values and renders booleans as
+    # 'true'/'false' vs Python's 'None'/'True', so a string-keyed filter
+    # deletes those groups' rows entirely. Carrying the offset on the
+    # same join also replaces the old string-keyed offset map.
+    gtype = df.schema[group_col].dataType
+    hit_rows = []
     for r in stats:
-        off = offsets[f"{r['__pid']}|{r[group_col]}"]
+        off = offsets[(r["__pid"], r[group_col])]
         if any(off < t <= off + r["__c"] for t in ranks[r[group_col]]):
-            hit_keys.add(f"{r['__pid']}|{r[group_col]}")
-    g = g.filter(
-        F.concat_ws("|", F.col("__pid"), F.col(group_col)).isin(*hit_keys)
+            hit_rows.append((int(r["__pid"]), r[group_col], int(off)))
+    hits = spark.createDataFrame(
+        hit_rows,
+        schema=T.StructType(
+            [
+                T.StructField("__hpid", T.IntegerType()),
+                T.StructField("__hgrp", gtype),
+                T.StructField("__off", T.LongType()),
+            ]
+        ),
     )
-    offsets = {k: v for k, v in offsets.items() if k in hit_keys}
+    g = g.join(
+        F.broadcast(hits),
+        (F.col("__pid") == F.col("__hpid"))
+        & F.col(group_col).eqNullSafe(F.col("__hgrp")),
+    ).drop("__hpid", "__hgrp")
 
-    schema = f"{group_col} string, prob double, __lo long, __hi long, __frac double"
-    if extremes:
-        schema += ", group_min double, group_max double"
-    tdf = spark.createDataFrame(targets, schema=schema).withColumn(
-        group_col, F.col(group_col).cast(dict(df.dtypes)[group_col])
+    tschema = T.StructType(
+        [
+            T.StructField("__tgrp", gtype),
+            T.StructField("prob", T.DoubleType()),
+            T.StructField("__lo", T.LongType()),
+            T.StructField("__hi", T.LongType()),
+            T.StructField("__frac", T.DoubleType()),
+        ]
+        + (
+            [
+                T.StructField("group_min", T.DoubleType()),
+                T.StructField("group_max", T.DoubleType()),
+            ]
+            if extremes
+            else []
+        )
     )
+    tdf = spark.createDataFrame(targets, schema=tschema)
 
-    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("__pid", group_col).orderBy(value_col)
     cum = g.withColumn(
         "__cum",
         F.sum("__cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        + F.coalesce(
-            off_map[F.concat_ws("|", F.col("__pid"), F.col(group_col))], F.lit(0)
-        ),
+        + F.col("__off"),
     )
-    j = cum.join(F.broadcast(tdf), group_col)
+    j = cum.join(
+        F.broadcast(tdf), F.col(group_col).eqNullSafe(F.col("__tgrp"))
+    ).drop("__tgrp")
     lo_hits = (F.col("__cum") - F.col("__cnt") < F.col("__lo")) & (
         F.col("__lo") <= F.col("__cum")
     )

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .caching import maybe_persist
 from .operators.dedup import MINHASH_P, minhash_coeffs
 from .operators.relational import (
     best_within_relative_threshold,
@@ -1793,7 +1794,7 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("i")).alias("w1"),
             F.element_at("t", F.col("i") + 1).alias("w2"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(maybe_persist)
     )
     bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
     uc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("un"))
@@ -3235,7 +3236,7 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         _mutated_corpus(spark, sf_dir)
         .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2)
-        .persist(StorageLevel.MEMORY_ONLY)
+        .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
     pairs = minhash_lsh_pairs(corpus, "text", "doc", n_perm=12, band_size=4, threshold=0.5)
     cc = connected_components(pairs)
@@ -3516,7 +3517,7 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_discount"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(maybe_persist)
     sky = skyline_2d(s, "avg_price", "avg_discount", max_y=True)
     out = s.join(F.broadcast(sky), ["avg_price", "avg_discount"], "semi").select(
         "suppkey", "avg_price", "avg_discount"
@@ -3921,10 +3922,10 @@ def q_set_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     excerpts = d.filter(F.size(norm_toks) >= 13).select(
         F.col("doc_id").alias("ex_id"),
         token_shingles(F.array_join(F.slice(norm_toks, 1, 12), " "), 3).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(maybe_persist)
     docs = d.select(
         F.col("doc_id").alias("doc"), token_shingles(F.col("text"), 3).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(maybe_persist)
     # each side feeds the operator twice (postings + verify rejoin):
     # persist so the normalize+shingle+distinct chain runs once per side
     # instead of twice (keep_best playbook; caches released on return)
@@ -5449,7 +5450,7 @@ def q_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("i")).alias("w1"),
             F.element_at("t", F.col("i") + 1).alias("w2"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(maybe_persist)
     )
     train = pairs.filter(F.col("is_train"))
     bc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
@@ -5569,7 +5570,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("i")).alias("w1"),
             F.element_at("t", F.col("i") + 1).alias("w2"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(maybe_persist)
     )
     total = pairs.count()  # scalar -> plan literal (also populates the cache)
     bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))

@@ -384,3 +384,21 @@ def test_zorder_write_skips_on_both_dimensions(spark, sf_dir, tmp_path):
         spark.read.parquet(zp).filter(box).count()
         == spark.read.parquet(xp).filter(box).count()
     )
+
+
+def test_lazy_plans_registers_no_cache_entries(spark, sf_dir):
+    """ADVICE r5: under lazy_plans() materialize_and_release never
+    unpersists, so an unconditional .persist() inside a query would
+    leave a canonicalized-plan CacheManager entry that a LATER query
+    deriving the same subtree silently hits. Every persist on that
+    release path must go through caching.maybe_persist, which is a
+    no-op in lazy mode — building these plans must register nothing."""
+    from catlas_spark.caching import lazy_plans
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    with lazy_plans():
+        for name in ("skyline_pareto", "set_containment_prefix", "lm_quality_score"):
+            df = Q.queries()[name](spark, sf_dir)
+            df.explain  # plan built above; no action
+    assert cm.isEmpty(), "lazy_plans left CacheManager entries behind"

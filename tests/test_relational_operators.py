@@ -741,3 +741,54 @@ def test_pin_reliable_checkpoint_env(spark, tmp_path, monkeypatch):
     reliable = sorted(pin(df).collect())
     assert reliable == local
     assert any(os.scandir(ckpt))  # blocks were written to the dir
+
+
+def test_grouped_exact_quantiles_edge_cases(spark):
+    """ADVICE r5 regressions: (a) num_partitions=1 means an empty
+    boundary-sketch percentage list — the probe must skip
+    percentile_approx instead of failing analysis; (b) NULL and boolean
+    group values must survive the covering-cell pruning (the old
+    string-keyed filter concat_ws-dropped NULL groups and rendered
+    booleans 'true'/'false' vs Python's 'True', silently deleting those
+    groups' rows)."""
+    from catlas_spark.partitioning import grouped_exact_quantiles
+
+    rows = [
+        (None, 1.0), (None, 2.0), (None, 3.0),
+        (True, 10.0), (True, 20.0),
+        (False, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "grp boolean, val double")
+    for n_parts in (1, 4):
+        got = {
+            (r.grp, r.prob): r.quantile
+            for r in grouped_exact_quantiles(
+                df, "grp", "val", [0.0, 0.5, 1.0], num_partitions=n_parts
+            ).collect()
+        }
+        assert got == {
+            (None, 0.0): 1.0, (None, 0.5): 2.0, (None, 1.0): 3.0,
+            (True, 0.0): 10.0, (True, 0.5): 15.0, (True, 1.0): 20.0,
+            (False, 0.0): 5.0, (False, 0.5): 5.0, (False, 1.0): 5.0,
+        }, f"num_partitions={n_parts}"
+
+
+def test_grouped_min_argmin_sortorder_tiebreak(spark):
+    """A SortOrder tiebreak (.desc()) cannot ride inside the min_by
+    struct key — it must route to the window form and be honored."""
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "b"), (2, 3, "c")], "g int, v int, p string"
+    )
+    got = {
+        r.g: r.p
+        for r in grouped_min_argmin(
+            df, ["g"], F.col("v"), [F.col("p").desc()]
+        ).collect()
+    }
+    assert got == {1: "b", 2: "c"}
+    # plain ascending tiebreak keeps the hash-aggregate form's answer
+    got_asc = {
+        r.g: r.p
+        for r in grouped_min_argmin(df, ["g"], F.col("v"), [F.col("p")]).collect()
+    }
+    assert got_asc == {1: "a", 2: "c"}
