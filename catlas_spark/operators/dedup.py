@@ -304,6 +304,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Distributed connected components over a near-dup pair list:
     (node, cluster_id) where cluster_id = min node id in the component.
@@ -328,6 +329,21 @@ def connected_components(
     The convergence test joins old vs new labels and looks for any
     change — a cheap sort-merge on the (already clustered) label table,
     short-circuited with limit(1).
+
+    Regime dispatch (same planning discipline as
+    ``set_containment_join_auto``): the edge count — already computed to
+    right-size the round shuffles — picks the execution regime. At or
+    below ``driver_max_edges`` the (bidirectional, distinct) edge list
+    is collected and closed with driver-side union-find: a graph that
+    small pays more in per-round job scheduling (pin + convergence
+    probe per round) than the whole closure costs locally, and this
+    holds on a 1000-executor cluster too — near-dup match graphs are
+    tiny fractions of the corpus, so the *corpus*-scale work stays
+    distributed while the graph closure runs where it fits. The collect
+    is bounded by the threshold by construction (~MBs), the same
+    audited class as the partition-stats and centroid collects. Above
+    the threshold (graphs that genuinely don't fit a driver) the
+    distributed min-label loop below runs unchanged.
     """
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -357,6 +373,44 @@ def connected_components(
     except (TypeError, ValueError):
         sess_parts = spark.sparkContext.defaultParallelism
     n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        rows = edges.collect()  # bounded by driver_max_edges by construction
+        edges.unpersist(blocking=False)
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            s_, d_ = r["s"], r["d"]
+            parent.setdefault(s_, s_)
+            parent.setdefault(d_, d_)
+            rs, rd = _find(s_), _find(d_)
+            if rs != rd:
+                parent[rd] = rs
+        comp_min: dict = {}
+        for n in parent:
+            root = _find(n)
+            m = comp_min.get(root)
+            if m is None or n < m:
+                comp_min[root] = n
+        ntype = edges.schema["s"].dataType
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [(n, comp_min[_find(n)]) for n in parent],
+            schema=T.StructType(
+                [
+                    T.StructField("node", ntype),
+                    T.StructField("cluster_id", ntype),
+                ]
+            ),
+        )
     right_size = max(1, min(sess_parts, n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(right_size))
     try:

@@ -35,18 +35,36 @@ def cosine_topk(
     ``queries`` must be small (it is broadcast). Ranking uses the
     similarity rounded to 4 decimals with the neighbor id as tiebreak so
     results are engine-portable.
+
+    Norms are precomputed per ROW before the pair join (the per-row-
+    invariant rule): expanding ``cosine()`` inline would re-fold both
+    operands' norms once per PAIR — 3 array folds per pair instead of
+    1 — and ``norm(a)*norm(b)`` multiplies the same doubles either way,
+    so the similarity stays bit-identical for the oracle.
     """
+    from ..functions.vector import dot, norm
+
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nm"),
     )
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_nm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nm") * F.col("n_nm")),
+                4,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
@@ -76,13 +94,22 @@ def bucketed_ann(
         F.col(vec_col).alias("n_vec"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    from ..functions.vector import dot, norm
+
+    # per-row norms, not per-pair (see cosine_topk) — values unchanged
+    q = q.withColumn("q_nm", norm(F.col("q_vec")))
+    c = c.withColumn("n_nm", norm(F.col("n_vec")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nm") * F.col("n_nm")),
+                4,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
@@ -147,11 +174,19 @@ def quantized_topk(
     """
     # quantize corpus and queries independently (quantization is a pure
     # per-vector expression) — queries need NOT be rows of the corpus
+    # norms precomputed per row, not per pair (see cosine_topk) —
+    # norm(q)*norm(n) multiplies the same doubles, values unchanged
+    from ..functions.vector import dot, norm
+
     q = quantize_vectors(queries, vec_col, bits).select(
-        F.col(id_col).alias("q_id"), F.col("__qvec").alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col("__qvec").alias("q_vec"),
+        norm(F.col("__qvec")).alias("q_nm"),
     )
     c = quantize_vectors(emb, vec_col, bits).select(
-        F.col(id_col).alias("n_id"), F.col("__qvec").alias("n_vec")
+        F.col(id_col).alias("n_id"),
+        F.col("__qvec").alias("n_vec"),
+        norm(F.col("__qvec")).alias("n_nm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -159,7 +194,11 @@ def quantized_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("sim_q"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nm") * F.col("n_nm")),
+                4,
+            ).alias("sim_q"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_q").desc(), F.col("n_id"))

@@ -3664,19 +3664,31 @@ def q_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5. At 100 TB the coarse pass is the only corpus-wide scan and
     its per-pair cost dominates total work, so truncating it is a
     near-4x saving for ~no recall loss on prefix-trained embeddings."""
-    from .functions.vector import cosine
+    from .functions.vector import cosine, dot, norm
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.slice(F.col("embedding"), 1, 16)).alias("q_nm16"),
     )
+    # coarse norms precomputed per ROW (per-row-invariant rule): the
+    # coarse pass is the corpus-wide scan, so folding both 16-dim norms
+    # per PAIR would triple its array-fold work; norm(q)*norm(n)
+    # multiplies the same doubles either way — values unchanged
     coarse = F.round(
-        cosine(F.slice(F.col("q_vec"), 1, 16), F.slice(F.col("n_vec"), 1, 16)), 4
+        dot(F.slice(F.col("q_vec"), 1, 16), F.slice(F.col("n_vec"), 1, 16))
+        / (F.col("q_nm16") * F.col("n_nm16")),
+        4,
     )
     w1 = Window.partitionBy("q_id").orderBy(coarse.desc(), "n_id")
     stage1 = (
         q.crossJoin(
-            e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+            e.select(
+                F.col("vec_id").alias("n_id"),
+                F.col("embedding").alias("n_vec"),
+                norm(F.slice(F.col("embedding"), 1, 16)).alias("n_nm16"),
+            )
         )
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= 20)

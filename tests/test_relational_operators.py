@@ -206,28 +206,57 @@ def test_connected_components_chain_and_islands(spark):
         [(2, 1), (2, 3), (4, 3), (10, 11), (12, 10), (11, 12), (21, 20)],
         "id_a long, id_b long",
     )
-    got = {
-        (r["node"], r["cluster_id"])
-        for r in connected_components(pairs).collect()
-    }
-    assert got == {
-        (1, 1), (2, 1), (3, 1), (4, 1),
-        (10, 10), (11, 10), (12, 10),
-        (20, 20), (21, 20),
-    }
+    # both regimes must agree: driver union-find (default for a graph
+    # this small) and the distributed min-label loop (forced with
+    # driver_max_edges=0)
+    for dme in (200_000, 0):
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(pairs, driver_max_edges=dme).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20),
+        }, f"driver_max_edges={dme}"
 
 
 def test_connected_components_converges_within_diameter_rounds(spark):
     from catlas_spark.operators.dedup import connected_components
 
     # path of 8 nodes: worst case for min-propagation; max_iter equal to
-    # the diameter must still produce correct labels
+    # the diameter must still produce correct labels. driver_max_edges=0
+    # forces the distributed loop — the regime under test here.
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
-    out = connected_components(pairs, max_iter=8).collect()
+    out = connected_components(pairs, max_iter=8, driver_max_edges=0).collect()
     assert all(r["cluster_id"] == 0 for r in out)
     assert len(out) == 9
+
+
+def test_connected_components_regime_equivalence_string_ids(spark):
+    """The driver union-find regime must match the distributed loop on
+    string node ids too (min is lexicographic on both paths), and both
+    must return an empty (node, cluster_id) frame for an empty pair
+    list."""
+    from catlas_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    uf = {(r.node, r.cluster_id) for r in connected_components(pairs).collect()}
+    dist = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert uf == dist == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+    empty = pairs.filter("1=0")
+    for dme in (200_000, 0):
+        out = connected_components(empty, driver_max_edges=dme)
+        assert out.columns == ["node", "cluster_id"]
+        assert out.count() == 0
 
 
 def test_point_in_interval_join_boundaries_and_overlap(spark):
