@@ -7869,6 +7869,54 @@ def q_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+    FROM (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication through the REAL readStream path — the
+    sixth stateful streaming gate shape (tumbling, session, hopping,
+    interval join, static enrich are the others). Events are deduped by
+    BUSINESS key (user, type, hour bucket) — the idempotency/throttling
+    form, "at most one event per user/type/hour" — with the bucket
+    column itself watermarked and in the dedup subset, so Spark evicts
+    dedup state as the watermark passes each hour (unbounded-state
+    dedup is the classic streaming leak; keying on the event-time
+    bucket is what makes it run indefinitely). dropDuplicates keeps an
+    arbitrary survivor, so the gated output is survivor-invariant: the
+    per-type count of distinct business keys, which the batch oracle
+    replays as COUNT over SELECT DISTINCT — the hash match proves the
+    streaming dedup kept exactly one row per key, no more, no fewer."""
+    from .streaming.events import (
+        dedup_stream,
+        read_event_stream,
+        run_batch_like_stream,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events*.parquet")
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    )
+    survivors = dedup_stream(
+        keyed, keys=["user_id", "event_type", "hr"], time_col="hr"
+    )
+    # append mode: dedup has no aggregation — survivors are emitted as
+    # they arrive, state only suppresses later duplicates
+    out = run_batch_like_stream(
+        survivors, "gate_dedup", output_mode="append", state_partitions=4
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@register(
     "blocklist_filter",
     """
     WITH toks AS (

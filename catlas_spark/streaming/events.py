@@ -124,11 +124,24 @@ def run_batch_like_stream(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
-def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    time_col: str = "ts",
+    delay: str = "2 hours",
+) -> DataFrame:
     """Streaming exact dedup: dropDuplicates within the watermark horizon
     (the streaming form of the batch exact_dedup operator — state is
-    bounded by the watermark, so it runs indefinitely at scale)."""
-    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    bounded by the watermark, so it runs indefinitely at scale).
+
+    For GUARANTEED state eviction include the event-time column in
+    ``keys`` (Spark only cleans dedup state when the watermark column is
+    part of the dedup subset) — dedup-by-business-key callers should key
+    on a time bucket derived from the event time and watermark THAT
+    column (``time_col``)."""
+    src = (
+        events.withWatermark(time_col, delay) if events.isStreaming else events
+    )
     return src.dropDuplicates(keys or ["event_id"])
 
 

@@ -713,3 +713,79 @@ def test_stream_stream_left_outer_emits_expired_nulls(spark, tmp_path):
         for r in click_purchase_left_outer(batch).collect()
     }
     assert got_batch == got | {(4, None)}
+
+
+def test_dedup_stream_business_key_across_batches(spark, tmp_path):
+    """streaming_dedup_counts contract on a real multi-batch source:
+    dedup by (user, type, hour-bucket) with the bucket watermarked and
+    in the key set emits EXACTLY one row per key across micro-batches —
+    an in-horizon duplicate is suppressed by state, and a duplicate
+    arriving after its bucket's state was evicted is dropped as late
+    (never re-emitted), so eviction cannot resurrect a key."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.streaming.events import EVENTS_SCHEMA, dedup_stream
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+        _time.sleep(1.1)
+
+    # batch 0: keys (1,click,01:00) and (1,click,05:00); max ts 06:10
+    write_file(
+        "f1",
+        [
+            (1, "2024-01-01 01:10:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 05:30:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 06:10:00", 2, "view", 1.0, "{}"),
+        ],
+    )
+    # batch 1: watermark now 04:10 -> 01:00 bucket state evicted
+    write_file("f2", [(4, "2024-01-01 06:20:00", 2, "view", 1.0, "{}")])
+    # batch 2: duplicate of the evicted 01:00 key (too late -> dropped,
+    # not re-emitted) and of the live 05:00 key (suppressed by state)
+    write_file(
+        "f3",
+        [
+            (5, "2024-01-01 01:20:00", 1, "click", 1.0, "{}"),
+            (6, "2024-01-01 05:45:00", 1, "click", 1.0, "{}"),
+        ],
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    keyed = stream.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    q = (
+        dedup_stream(keyed, keys=["user_id", "event_type", "hr"], time_col="hr")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_bk_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT user_id, event_type, date_format(hr, 'HH:mm') AS b FROM dedup_bk_test"
+    ).collect()
+    got = sorted((r.user_id, r.event_type, r.b) for r in rows)
+    assert got == [
+        (1, "click", "01:00"),
+        (1, "click", "05:00"),
+        (2, "view", "06:00"),
+    ]
