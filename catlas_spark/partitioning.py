@@ -218,6 +218,7 @@ def grouped_exact_quantiles(
         g = df.select(group_col, value_col).withColumn(
             "__cnt", F.lit(1).cast("long")
         )
+    pre_agg_cached = pre_aggregate
     # bucket id = #boundaries <= value: deterministic, codegen-friendly,
     # ordered by value (NULLs sort first, matching window NULLS FIRST)
     b_expr: Column = F.lit(0)
@@ -227,6 +228,19 @@ def grouped_exact_quantiles(
         "__pid", F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(b_expr)
     )
 
+    # g feeds TWO actions — the per-cell stats collect below and the
+    # final windowed pass — and unpersisted each re-executes the full
+    # table scan + pre-aggregation (at 60M rows that second scan was
+    # ~1/3 of the operator's wall time). In the pre-aggregated regime g
+    # is value-vocabulary-sized (bounded: the probe measured distinct <<
+    # rows), so cache it across the two passes; in the raw-row regime g
+    # is TABLE-sized and caching it at 100 TB would be the bug, so the
+    # two scans are the honest cost there. Released on return via the
+    # materialize-and-release discipline (the output is groups x probs).
+    if pre_agg_cached:
+        from .caching import maybe_persist
+
+        g = maybe_persist(g)
     stat_aggs = [F.sum("__cnt").alias("__c")]
     if extremes:
         stat_aggs += [F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")]
@@ -319,7 +333,7 @@ def grouped_exact_quantiles(
         F.col("__hi") <= F.col("__cum")
     )
     extra = ["group_min", "group_max"] if extremes else []
-    return (
+    out = (
         j.filter(lo_hits | hi_hits)
         .groupBy(group_col, "prob", "__frac", *extra)
         .agg(
@@ -335,6 +349,11 @@ def grouped_exact_quantiles(
             *extra,
         )
     )
+    if pre_agg_cached:
+        from .caching import materialize_and_release
+
+        out = materialize_and_release(out, g)
+    return out
 
 def spread_small_source(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Round-robin a small/single-split source across the cluster before
