@@ -73,3 +73,72 @@ def test_char_and_token_shingles_disjoint_semantics(spark):
     assert all(len(s) == 8 for s in chars)
     assert len(chars) == len("abcdefghij klm") - 7
     assert toks == ["abcdefghij klm"]
+
+
+# --- round-6 rewrites: exact quantiles and CC regime equivalence -------------
+
+_groups = st.sampled_from([None, "a", "b", "zz"])
+_vals = st.integers(min_value=-50, max_value=50)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(_groups, _vals), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=8),
+)
+def test_grouped_exact_quantiles_property(spark, rows, n_parts):
+    """For ANY (group, value) table — NULL groups included — and ANY
+    partition count (1 = the empty-boundary edge), both regimes of
+    grouped_exact_quantiles must equal Spark's single-buffer
+    percentile per group."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.partitioning import grouped_exact_quantiles
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    probs = [0.0, 0.3, 0.5, 1.0]
+    truth = {}
+    for r in df.groupBy("g").agg(
+        *[F.percentile("v", F.lit(p)).alias(f"p{i}") for i, p in enumerate(probs)]
+    ).collect():
+        for i, p in enumerate(probs):
+            truth[(r["g"], float(p))] = round(r[f"p{i}"], 6)
+    for pre in (None, True, False):
+        got = {
+            (r["g"], r.prob): round(r.quantile, 6)
+            for r in grouped_exact_quantiles(
+                df, "g", "v", probs, num_partitions=n_parts, pre_aggregate=pre
+            ).collect()
+        }
+        assert got == truth, f"pre_aggregate={pre} n_parts={n_parts}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_regimes_agree(spark, edges):
+    """Driver union-find and the distributed min-label loop must produce
+    identical (node, min-id-of-component) labelings for ANY edge list —
+    self-loops and duplicate/reversed edges included."""
+    from catlas_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    uf = {
+        (r.node, r.cluster_id)
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.node, r.cluster_id)
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert uf == dist
