@@ -345,9 +345,14 @@ def connected_components(
     the threshold (graphs that genuinely don't fit a driver) the
     distributed min-label loop below runs unchanged.
     """
+    # NULL endpoints carry no linkage information and would diverge the
+    # two regimes (F.min skips NULLs in the distributed loop; Python's
+    # `<` raises on None in union-find) — drop them up front so both
+    # regimes see the same graph
+    clean = pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        clean.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(clean.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
         .persist(StorageLevel.MEMORY_ONLY)
     )

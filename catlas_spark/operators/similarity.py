@@ -343,8 +343,6 @@ def semantic_dedup(
         .select("vid", "v", "cid", "d2", norm(F.col("v")).alias("nv"))
     )
 
-    from pyspark import StorageLevel
-
     w_rank = Window.partitionBy("cid").orderBy("d2", "vid")
     # the assignment subtree (broadcast cross join + argmin window) feeds
     # the pair join, the cluster sizes, and the final anti-join — persist

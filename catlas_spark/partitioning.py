@@ -237,10 +237,14 @@ def grouped_exact_quantiles(
     # is TABLE-sized and caching it at 100 TB would be the bug, so the
     # two scans are the honest cost there. Released on return via the
     # materialize-and-release discipline (the output is groups x probs).
+    g_cached = None
     if pre_agg_cached:
         from .caching import maybe_persist
 
         g = maybe_persist(g)
+        g_cached = g  # the frame actually persisted — `g` is rebound by
+        # the pruning join below, so releasing `g` there would unpersist
+        # the never-persisted joined frame and leak this cache entry
     stat_aggs = [F.sum("__cnt").alias("__c")]
     if extremes:
         stat_aggs += [F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")]
@@ -349,10 +353,10 @@ def grouped_exact_quantiles(
             *extra,
         )
     )
-    if pre_agg_cached:
+    if g_cached is not None:
         from .caching import materialize_and_release
 
-        out = materialize_and_release(out, g)
+        out = materialize_and_release(out, g_cached)
     return out
 
 def spread_small_source(df: DataFrame, multiplier: int = 1) -> DataFrame:

@@ -399,6 +399,5 @@ def test_lazy_plans_registers_no_cache_entries(spark, sf_dir):
     cm = spark._jsparkSession.sharedState().cacheManager()
     with lazy_plans():
         for name in ("skyline_pareto", "set_containment_prefix", "lm_quality_score"):
-            df = Q.queries()[name](spark, sf_dir)
-            df.explain  # plan built above; no action
+            Q.queries()[name](spark, sf_dir)  # build only; no action
     assert cm.isEmpty(), "lazy_plans left CacheManager entries behind"

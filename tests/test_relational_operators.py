@@ -821,3 +821,46 @@ def test_grouped_min_argmin_sortorder_tiebreak(spark):
         for r in grouped_min_argmin(df, ["g"], F.col("v"), [F.col("p")]).collect()
     }
     assert got_asc == {1: "a", 2: "c"}
+
+
+def test_grouped_exact_quantiles_releases_its_cache(spark):
+    """The pre-aggregate regime persists its (group, value) table across
+    the stats and final passes; the cache entry must be released once
+    the caller drops the output (review round 6 caught the frame being
+    rebound by the pruning join, which leaked the persisted subtree in
+    the CacheManager forever)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.partitioning import grouped_exact_quantiles
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    out = grouped_exact_quantiles(df, "g", "v", [0.5], pre_aggregate=True)
+    out.collect()
+    del out
+    gc.collect()
+    assert cm.isEmpty(), "grouped_exact_quantiles leaked a CacheManager entry"
+
+
+def test_connected_components_ignores_null_endpoints(spark):
+    """Edges with a NULL endpoint carry no linkage information — both
+    regimes must drop them (the union-find path would otherwise raise
+    TypeError comparing None to int; the distributed path would skip
+    them via F.min NULL semantics, diverging the regimes)."""
+    from catlas_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (5, 6)], "id_a long, id_b long"
+    )
+    expect = {(1, 1), (2, 1), (5, 5), (6, 5)}
+    for dme in (200_000, 0):
+        got = {
+            (r.node, r.cluster_id)
+            for r in connected_components(pairs, driver_max_edges=dme).collect()
+        }
+        assert got == expect, f"driver_max_edges={dme}"
