@@ -50,8 +50,18 @@ SHARD_COL = "memo_shard"
 
 
 def memo_key(key_cols: list[str], version: str) -> F.Column:
-    """Deterministic 64-bit key: xxhash64 over key columns + version."""
-    return F.xxhash64(*key_cols, F.lit(version))
+    """Deterministic 64-bit key: xxhash64 over key columns + version.
+
+    Each column is preceded by its null indicator: xxhash64 SKIPS null
+    inputs entirely, so without the marker the tuples (1, NULL) and
+    (NULL, 1) hash identically and the memo would serve one row's
+    cached result for a different key (verified collision). The
+    boolean marker is never null, so null position always contributes.
+    """
+    cols: list[F.Column] = []
+    for c in key_cols:
+        cols += [F.col(c).isNull(), F.col(c)]
+    return F.xxhash64(*cols, F.lit(version))
 
 
 def _memo_files(path: str) -> list[str]:
@@ -96,6 +106,7 @@ def memoize(
     table_path: str,
     version: str = "v1",
     n_shards: int | None = None,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Compute-once operator application.
 
@@ -127,8 +138,21 @@ def memoize(
     not prune the scan here because the idempotency window sits between
     scan and filter. Pick n_shards so one shard ~ a few hundred MB at
     steady state; the setting must be stable for a given table.
+
+    ``pin_input`` materializes the keyed input once (localCheckpoint /
+    reliable checkpoint via ``caching.pin``): the keyed frame is
+    otherwise re-evaluated by the shard-footprint probe, the compute
+    append, and both serving joins — up to 4 executions of ``df``'s
+    lineage. Leave False when df is a plain scan (the common case, and
+    an extra materialization would only add cost); set True when df is
+    itself an expensive derived plan — the very input memoization
+    targets.
     """
     keyed = df.withColumn(KEY_COL, memo_key(key_cols, version))
+    if pin_input:
+        from .caching import pin
+
+        keyed = pin(keyed)
     input_shards: set[int] | None = None
     if n_shards:
         keyed = keyed.withColumn(SHARD_COL, F.pmod(F.col(KEY_COL), F.lit(n_shards)))
@@ -170,9 +194,16 @@ def memoize(
         writer = writer.partitionBy(SHARD_COL)
     writer.parquet(table_path)
     memo_after = _read_memo(spark, _shard_prune(_memo_files(table_path)), table_path)
-    if SHARD_COL in memo_after.columns:
-        memo_after = memo_after.drop(SHARD_COL)
-    miss_rows = misses.join(memo_after, KEY_COL, "inner")
+    if memo_after is None:
+        # a zero-row append writes no part files (empty input — e.g. an
+        # empty micro-batch in the foreachBatch+memoize pattern), and an
+        # empty input's shard footprint prunes every existing file too:
+        # serve the (empty) computed frame directly
+        miss_rows = computed.limit(0)
+    else:
+        if SHARD_COL in memo_after.columns:
+            memo_after = memo_after.drop(SHARD_COL)
+        miss_rows = misses.join(memo_after, KEY_COL, "inner")
     if hits is None:
         return miss_rows.drop(KEY_COL, SHARD_COL)
     return hits.drop(KEY_COL, SHARD_COL).unionByName(miss_rows.drop(KEY_COL, SHARD_COL))

@@ -170,6 +170,14 @@ def brp_ann(
         return result
 
     q_small = queries.select(id_col, vec_col).limit(max_driver_queries + 1).collect()
+    if not q_small:
+        # empty query set: an upstream filter matching nothing must yield
+        # an empty result, not an IndexError in the driver-loop union
+        return queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(id_col).alias("n_id"),
+            F.lit(0.0).alias("dist"),
+        ).limit(0)
     if len(q_small) <= max_driver_queries:
         from pyspark.ml.linalg import Vectors
 
@@ -198,8 +206,15 @@ def brp_ann(
     max_radius_retries = 2
     pending, radius = qbase, bulk_radius
     chunks: list[DataFrame] = []
+    from .caching import pin
+
     for _ in range(max_radius_retries + 1):
-        got = _bulk_topk(pending, radius)
+        # pin each round's LSH join result (k x |pending| rows, bounded):
+        # unpinned, the approxSimilarityJoin re-executes inside the sat
+        # probe, the chunk semi-join, every later round's pending
+        # anti-join lineage, AND the final consumption — O(rounds^2)
+        # executions of the most expensive join instead of one per round
+        got = pin(_bulk_topk(pending, radius))
         # a query is satisfied iff its k-th candidate fell inside the radius
         sat = (
             got.groupBy("q_id")

@@ -63,8 +63,8 @@ def _int64_unit_from_stats(f: str, col: str) -> str:
                 mx = v if mx is None else max(mx, v)
     if mx is None:  # no stats: read the first row group's column
         tbl = pq.ParquetFile(f).read_row_group(0, columns=[col])
-        vals = tbl.column(0).to_pylist()
-        mx = max(v for v in vals if v is not None) if vals else 0
+        vals = [v for v in tbl.column(0).to_pylist() if v is not None]
+        mx = max(vals) if vals else 0  # all-null group: fall through to micros
     return TS_INT64_NANOS if mx > 10**17 else TS_INT64_MICROS
 
 
@@ -100,7 +100,10 @@ def normalize_ts(df: DataFrame, flavor: str, col: str = "ts") -> DataFrame:
     the session to UTC, so NTZ wall-clock == UTC instant)."""
     c = F.col(col)
     if flavor in (TS_NANOS, TS_INT64_NANOS):
-        return df.withColumn(col, F.timestamp_micros((c / 1000).cast("long")))
+        # INTEGER division: `/` promotes the long to double, whose ULP at
+        # modern ns epochs (~1.7e18) is 256 ns — the float quotient then
+        # truncates to the wrong microsecond for ~12% of values
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     if flavor == TS_INT64_MICROS:
         return df.withColumn(col, F.timestamp_micros(c))
     if flavor == TS_NTZ_MICROS:

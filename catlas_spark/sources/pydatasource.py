@@ -57,6 +57,10 @@ def _np_field(name: str, arr) -> str:
         return f"{name} array<double>"
     if np.issubdtype(arr.dtype, np.floating):
         return f"{name} double"
+    # bool BEFORE the string fallback (np.bool_ is not an np.integer):
+    # inferring 'string' for a bool array fails at arrow conversion
+    if np.issubdtype(arr.dtype, np.bool_):
+        return f"{name} boolean"
     if np.issubdtype(arr.dtype, np.integer):
         return f"{name} long"
     return f"{name} string"

@@ -71,8 +71,12 @@ def parquet_column_bounds(path_or_glob: str, col: str):
                     continue
                 found = True
                 if c.statistics is None or not c.statistics.has_min_max:
-                    if c.statistics is not None and c.num_values == 0:
-                        # all-NULL group: contributes no values, skip
+                    # all-NULL group contributes no values: skip it. NOTE
+                    # ColumnChunkMetaData.num_values COUNTS nulls, so the
+                    # test must compare the statistics' null_count against
+                    # it (num_values == 0 never matches in practice).
+                    st = c.statistics
+                    if st is not None and st.null_count == c.num_values:
                         break
                     return None
                 s = c.statistics

@@ -149,6 +149,37 @@ USER_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_value 
 _USER_STATE_SCHEMA = "n long, total double, mx double"
 
 
+def _user_stats_update(key, pdfs, state):
+    """State-update body of :func:`stateful_user_stats` (module-level so
+    the unit test can drive it with a fake state handle).
+
+    -inf is the in-STATE sentinel for "no non-null value seen"; the
+    emitted max_value is NULL in that case, matching batch F.max
+    semantics (count(*) counts every row; sum/max skip nulls). The
+    batch max is guarded with notna: an all-null batch's pandas max()
+    is NaN, and ``max(mx, nan)`` only keeps ``mx`` by the accident of
+    comparison-argument order.
+    """
+    import pandas as pd
+
+    n, total, mx = (state.get if state.exists else (0, 0.0, float("-inf")))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_mx = pdf["value"].max()
+        if pd.notna(batch_mx):
+            mx = max(mx, float(batch_mx))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 4)],
+            "max_value": [round(mx, 4) if mx != float("-inf") else None],
+        }
+    )
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running (count, total value, max value) maintained in the
@@ -160,23 +191,7 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     partitions by user_id with the shuffle, and a timeout would evict
     idle users (omitted here: the smoke source is finite).
     """
-    import pandas as pd
-
-    def update(key, pdfs, state):
-        n, total, mx = (state.get if state.exists else (0, 0.0, float("-inf")))
-        for pdf in pdfs:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-            mx = max(mx, float(pdf["value"].max()))
-        state.update((n, total, mx))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [round(total, 4)],
-                "max_value": [round(mx, 4)],
-            }
-        )
+    update = _user_stats_update
 
     src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
     return src.groupBy("user_id").applyInPandasWithState(

@@ -92,3 +92,46 @@ def test_int64_unit_decided_per_file_not_per_row(tmp_path):
     early_ns = 50_000_000_000_000_000  # 1971-08 in nanos; 1973-magnitude trap
     _write_events(f, pa.int64(), [early_ns] + [u * 1000 for u in EPOCH_US])
     assert events_io.probe_ts_flavor(f) == events_io.TS_INT64_NANOS
+
+
+def test_nanos_to_micros_conversion_is_integer_exact(spark, tmp_path):
+    """Float division corrupts modern ns epochs: a double's ULP at
+    ~1.7e18 is 256 ns, so (ts / 1000).cast('long') lands on the wrong
+    microsecond for ~12% of values. The conversion must use integer
+    division and match v // 1000 for EVERY value."""
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000_816_816  # odd-microsecond modern ns epoch
+    vals = [base + i * 1_001 for i in range(3000)]
+    f = str(tmp_path / "ns_exact.parquet")
+    _write_events(f, pa.int64(), vals)
+    df = events_io.normalize_ts(
+        spark.read.parquet(f), events_io.TS_INT64_NANOS
+    )
+    got = {
+        r["event_id"]: r["us"]
+        for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()
+    }
+    want = {i: v // 1000 for i, v in enumerate(vals)}
+    assert got == want
+
+
+def test_int64_stats_fallback_tolerates_all_null_first_group(spark, tmp_path):
+    """A stats-free int64 ts file whose first row group is entirely NULL
+    must still classify (max over the empty non-null subset used to
+    raise ValueError); with no values at all it falls through to the
+    micros default."""
+    f = str(tmp_path / "nullfirst.parquet")
+    n = 3
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([None] * n, pa.int64()),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(table, f, version="2.6", write_statistics=False)
+    assert events_io.probe_ts_flavor(f) == events_io.TS_INT64_MICROS

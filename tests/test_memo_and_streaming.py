@@ -789,3 +789,78 @@ def test_dedup_stream_business_key_across_batches(spark, tmp_path):
         (1, "click", "05:00"),
         (2, "view", "06:00"),
     ]
+
+
+def test_memo_key_distinguishes_null_positions(spark):
+    """xxhash64 silently skips NULL inputs, so (1, NULL) and (NULL, 1)
+    collide without per-column null markers — a collision that made the
+    memo serve one row's cached result for a different key."""
+    from catlas_spark.memo import memo_key
+
+    df = spark.createDataFrame(
+        [(1, None), (None, 1), (None, None), (1, 1)], "a int, b int"
+    )
+    keys = [r.k for r in df.select(memo_key(["a", "b"], "v1").alias("k")).collect()]
+    assert len(set(keys)) == 4
+
+
+def test_sharded_memoize_tolerates_empty_input(spark, tmp_path):
+    """A zero-row input appends no part files (and its empty shard
+    footprint prunes every existing file), which used to crash the
+    read-back with AttributeError; it must return an empty frame with
+    the computed schema — the empty-micro-batch case of the
+    foreachBatch+memoize pattern."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.memo import memoize
+
+    table = str(tmp_path / "memo_empty")
+    df = spark.createDataFrame([], "x long, t string").filter("1=0")
+    out = memoize(
+        spark,
+        df,
+        ["t"],
+        lambda m: m.withColumn("r", F.length("t")),
+        table,
+        n_shards=4,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"x", "t", "r"}
+
+
+def test_stateful_user_stats_all_null_values_emit_null_max():
+    """A user whose every event has value=NULL must emit max_value=NULL
+    (batch F.max semantics), not -Infinity; n_events still counts rows
+    and total_value follows sum-skips-null. Drives the REAL update body
+    with a fake state handle (the applyInPandasWithState wire needs a
+    stream; the logic does not)."""
+    import pandas as pd
+
+    from catlas_spark.streaming.events import _user_stats_update
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.stored = t
+
+    st = FakeState()
+    pdf = pd.DataFrame({"value": [None, None]}, dtype="float64")
+    [out] = list(_user_stats_update((7,), [pdf], st))
+    assert out["n_events"].iloc[0] == 2
+    assert out["total_value"].iloc[0] == 0.0
+    assert out["max_value"].iloc[0] is None
+    assert st.stored == (2, 0.0, float("-inf"))
+
+    # a later batch with a real value upgrades the state and the output
+    class FakeState2:
+        exists = True
+        get = st.stored
+
+        def update(self, t):
+            self.stored = t
+
+    st2 = FakeState2()
+    [out2] = list(_user_stats_update((7,), [pd.DataFrame({"value": [3.5]})], st2))
+    assert out2["max_value"].iloc[0] == 3.5
+    assert st2.stored == (3, 3.5, 3.5)

@@ -365,3 +365,16 @@ def test_pq_topk_invariants(spark, sf_dir):
     )
     assert len(codes) == 16 * 4
     assert all(r.code == r.n_id for r in codes)
+
+
+def test_brp_ann_empty_queries_returns_empty(spark, sf_dir):
+    """An upstream filter that matches nothing must yield an empty
+    result frame, not an IndexError in the driver-loop union."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.ml import brp_ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brp_ann(e, e.filter(F.col("vec_id") < 0), k=3)
+    assert out.columns == ["q_id", "n_id", "dist"]
+    assert out.count() == 0

@@ -119,3 +119,15 @@ def test_read_json_robust_bad_record_policies(spark, tmp_path):
 
     with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_json_robust(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_np_field_maps_bool_to_boolean():
+    """A bool npz array used to infer 'string', which fails at arrow
+    conversion when the reader yields Python bools."""
+    import numpy as np
+
+    from catlas_spark.sources.pydatasource import _np_field
+
+    assert _np_field("flag", np.array([True, False])) == "flag boolean"
+    assert _np_field("x", np.array([1.5])) == "x double"
+    assert _np_field("n", np.array([1])) == "n long"

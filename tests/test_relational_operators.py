@@ -864,3 +864,25 @@ def test_connected_components_ignores_null_endpoints(spark):
             for r in connected_components(pairs, driver_max_edges=dme).collect()
         }
         assert got == expect, f"driver_max_edges={dme}"
+
+
+def test_parquet_column_bounds_skips_all_null_row_group(spark, tmp_path):
+    """An all-null row group has stats with has_min_max=False but
+    num_values COUNTING the nulls — the skip test must compare the
+    statistics' null_count, not num_values==0, or one null-only group
+    disables bounds for the whole dataset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catlas_spark.sources.stats import parquet_column_bounds
+
+    d = tmp_path / "bounds"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"v": pa.array([None, None, None], pa.int64())}),
+        str(d / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"v": pa.array([5, 9, 7], pa.int64())}), str(d / "b.parquet")
+    )
+    assert parquet_column_bounds(str(d), "v") == (5, 9)
