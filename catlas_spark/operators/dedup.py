@@ -454,6 +454,15 @@ def connected_components(
             labels = merged.select("node", "label")
             if changed == 0:
                 break
+        else:
+            # min labels travel ONE hop per round: exiting the loop still
+            # changing means the graph diameter exceeds max_iter and the
+            # labels are SPLIT clusters — returning them silently would
+            # keep duplicate representatives downstream
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter="
+                f"{max_iter} rounds (graph diameter too large); raise max_iter"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     edges.unpersist()
@@ -610,7 +619,16 @@ def containment_pairs(
        contained doc to consist almost entirely of corpus-wide
        boilerplate (those pairs are boilerplate matches, not copies).
     """
-    hashed = shingle_hashes(df, text_col, id_col, shingle_n).select("doc", "h1").distinct()
+    # the shingle explode+hash+distinct subtree feeds FOUR consumers
+    # (the sets build, the document-frequency aggregate, and both sides
+    # of the candidate self-join via `rare`) — persist it or the
+    # corpus-sized explode re-executes per consumer
+    hashed = (
+        shingle_hashes(df, text_col, id_col, shingle_n)
+        .select("doc", "h1")
+        .distinct()
+        .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
+    )
     # full sets for exact verify; reused by both join sides -> persist
     sets = (
         hashed.groupBy("doc")
@@ -643,7 +661,7 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
-    return materialize_and_release(out, sets)
+    return materialize_and_release(out, sets, hashed)
 
 
 def _norm_tokens(text: Column) -> Column:

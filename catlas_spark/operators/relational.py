@@ -225,13 +225,36 @@ def point_in_interval_join(
         ),
     )
     pts = points.withColumn("__bucket", F.date_trunc(bucket, F.col(point_col)))
-    return (
-        pts.join(iv, "__bucket", how)
-        .filter(
-            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    if how == "inner":
+        return (
+            pts.join(iv, "__bucket", how)
+            .filter(
+                (F.col(point_col) >= F.col(start_col))
+                & (F.col(point_col) < F.col(end_col))
+            )
+            .drop("__bucket")
         )
-        .drop("__bucket")
+    if how not in ("left", "left_outer", "leftouter", "left_semi", "leftsemi",
+                   "left_anti", "leftanti", "semi", "anti"):
+        # right/full outer would emit an unmatched INTERVAL once per
+        # expansion bucket (the interval side is exploded) — an
+        # interval-preserving outer needs a post-join dedup keyed on an
+        # interval id, which this operator does not require of callers
+        raise ValueError(
+            f"point_in_interval_join supports inner and left-side joins, not {how!r}"
+        )
+    # left-side joins: the exact range predicate must live INSIDE the
+    # join condition — post-filtering evaluates NULL on unmatched rows
+    # and silently degrades the outer join to inner
+    cond = (
+        (pts["__bucket"] == iv["__bucket"])
+        & (pts[point_col] >= iv[start_col])
+        & (pts[point_col] < iv[end_col])
     )
+    out = pts.join(iv, cond, how)
+    if how in ("left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"):
+        return out.drop("__bucket")
+    return out.drop(iv["__bucket"]).drop(pts["__bucket"])
 
 
 def set_containment_join(

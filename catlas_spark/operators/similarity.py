@@ -254,9 +254,15 @@ def kmeans_lloyd(
     vecs = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    centroids = vecs.filter(F.col("vid") < k).select(
+    # the K SMALLEST ids (TakeOrdered, k rows), as documented — NOT
+    # filter(vid < k), which is empty for id spaces that do not cover
+    # [0, k) and silently yielded zero centroids (review round 6)
+    centroids = vecs.orderBy("vid").limit(k).select(
         F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
     )
+
+    if iters < 1:
+        raise ValueError("kmeans_lloyd needs iters >= 1 (the final assignment IS an iteration)")
 
     def d2_col():
         diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
@@ -326,7 +332,10 @@ def semantic_dedup(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    centroids = vecs.filter(F.col("vid") < k).select(
+    # the K SMALLEST ids (TakeOrdered, k rows), as documented — NOT
+    # filter(vid < k), which is empty for id spaces that do not cover
+    # [0, k) and silently yielded zero centroids (review round 6)
+    centroids = vecs.orderBy("vid").limit(k).select(
         F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
     )
 
@@ -412,7 +421,10 @@ def build_ivf_index(
     vecs = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    centroids = vecs.filter(F.col("vid") < k).select(
+    # the K SMALLEST ids (TakeOrdered, k rows), as documented — NOT
+    # filter(vid < k), which is empty for id spaces that do not cover
+    # [0, k) and silently yielded zero centroids (review round 6)
+    centroids = vecs.orderBy("vid").limit(k).select(
         F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
     )
     diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))

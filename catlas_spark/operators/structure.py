@@ -177,8 +177,12 @@ def attach_surrogate_graph(slabs: DataFrame, n_nodes_mod: int = 12) -> DataFrame
 
 
 def _edge_keys(edges: Column) -> Column:
-    """array<array<int>> → canonical sortable string keys."""
-    return F.transform(edges, lambda e: F.concat_ws("-", e))
+    """array<array<int>> → canonical sortable string keys. Endpoints are
+    sorted first: a bond recorded [1,2] initially and [2,1] in the final
+    frame is the SAME edge — without canonicalization array_except would
+    count it as one removal plus one addition (a phantom dissociation
+    and a double-counted reconstruction change)."""
+    return F.transform(edges, lambda e: F.concat_ws("-", F.array_sort(e)))
 
 
 def anomaly_flags(

@@ -53,7 +53,10 @@ def frame_error_curve(validation: DataFrame) -> DataFrame:
 def best_frame(validation: DataFrame) -> DataFrame:
     """Per adsorbate: the frame index minimizing MAE
     (`bin/optimize_frame.py:89-95` argmin) — min_by over the curve."""
-    curve = frame_error_curve(validation)
+    # struct ordering is NULLS FIRST: a frame whose MAE aggregated to
+    # NULL (no valid ml values at that position) would win the argmin —
+    # exclude it; the best frame is the minimum over MEASURED frames
+    curve = frame_error_curve(validation).filter(F.col("mae").isNotNull())
     return curve.groupBy("adsorbate").agg(
         F.min_by(F.struct("frame", "mae"), F.struct("mae", "frame")).alias("best")
     ).select(

@@ -46,11 +46,12 @@ from .operators.filters import (
     adsorption_energy_target_filter,
     apply_filters,
 )
+from .operators.relational import soft_delete_gate
 
 
-def soft_delete_gate_struct(expr: Column) -> Column:
-    """F20 gating for struct-valued features: NULL on soft-deleted rows."""
-    return F.when(F.col("filter_reason").isNull(), expr)
+# F20 gating of struct-valued features lives in
+# operators.relational.soft_delete_gate (a missing .otherwise is the
+# same implicit NULL) — no pipeline-local copy to drift
 
 
 # ---------------------------------------------------------------------------
@@ -306,7 +307,11 @@ def run_screen(
         adsorbates, config.get("adsorbate_filters", {}), ADSORBATE_FILTERS, ctx, None
     )
 
-    max_miller = int(config.get("slab_filters", {}).get("filter_by_max_miller_index", 2))
+    # None / "None" disables a filter per the filters-module convention;
+    # slab enumeration still needs a bound, so a disabled miller filter
+    # falls back to the default 2 instead of crashing int()
+    raw_mm = config.get("slab_filters", {}).get("filter_by_max_miller_index", 2)
+    max_miller = 2 if raw_mm in (None, "None") else int(raw_mm)
     slabs = enumerate_slabs(b, max_miller=max_miller)
     slab_conf = {
         k: v
@@ -362,8 +367,9 @@ def run_screen(
                 ).cast("array<int>")
                 adslabs = adslabs.withColumn(
                     f"anomaly_detection_{step['label']}",
-                    soft_delete_gate_struct(
-                        anomaly_flags(F.col("bond_edges"), final_edges, ads_nodes)
+                    soft_delete_gate(
+                        adslabs,
+                        anomaly_flags(F.col("bond_edges"), final_edges, ads_nodes),
                     ),
                 )
         elif kind == "filter_by_adsorption_energy":

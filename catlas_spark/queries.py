@@ -4343,7 +4343,7 @@ def _km_d2(v: str, c: str) -> str:
       SELECT vec_id AS vid, [CAST(x AS DOUBLE) for x in embedding] AS v
       FROM embeddings
     ),
-    c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM v WHERE vid < 8),
+    c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM v ORDER BY vid LIMIT 8),
     s1 AS (
       SELECT v.vid, v.v, c0.cid, {_km_d2("v.v", "c0.c")} AS d2
       FROM v, c0
@@ -4397,7 +4397,7 @@ _SEMDEDUP_ORACLE = f"""
       SELECT vec_id AS vid, [CAST(x AS DOUBLE) for x in embedding] AS v
       FROM embeddings
     ),
-    c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM v WHERE vid < 8),
+    c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM v ORDER BY vid LIMIT 8),
     s AS (
       SELECT v.vid, v.v, c0.cid, {_km_d2("v.v", "c0.c")} AS d2
       FROM v, c0

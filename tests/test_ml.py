@@ -378,3 +378,28 @@ def test_brp_ann_empty_queries_returns_empty(spark, sf_dir):
     out = brp_ann(e, e.filter(F.col("vec_id") < 0), k=3)
     assert out.columns == ["q_id", "n_id", "dist"]
     assert out.count() == 0
+
+
+def test_kmeans_and_semantic_handle_shifted_id_space(spark):
+    """Centroid init is the k SMALLEST ids, not filter(id < k): an id
+    space starting above k used to yield zero centroids and a silent
+    empty result (semantic_dedup then reported the whole corpus
+    pruned)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from catlas_spark.operators.similarity import kmeans_lloyd, semantic_dedup
+
+    e = spark.range(1000, 1040).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (F.col("id") % 7 + i).cast("double"),
+        ).alias("embedding"),
+    )
+    km = kmeans_lloyd(e, k=4, iters=1)
+    assert km.count() > 0  # centroids exist despite ids >= k
+    sd = semantic_dedup(e, k=4)
+    assert sd.count() > 0  # survivors exist — corpus not silently pruned
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_lloyd(e, k=4, iters=0)

@@ -102,3 +102,23 @@ def test_load_pickled_dataframe_roundtrip(spark, tmp_path):
     assert set(df.columns) == set(pdf.columns)
     assert rows["random1"].DFT_energy == -1.25
     assert list(rows["random2"].ML_energy) == [0.6, 0.4]
+
+
+def test_best_frame_ignores_null_mae_frames(spark):
+    """A frame position where every ML value is NULL aggregates to NULL
+    MAE; struct ordering is NULLS FIRST, so without the exclusion that
+    frame would win the argmin."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.parity import best_frame
+
+    rows = [
+        ("CO", 1.0, [2.0, 1.1, None]),
+        ("CO", 1.0, [3.0, 1.2, None]),
+    ]
+    df = spark.createDataFrame(
+        rows, "adsorbate string, DFT_energy double, ML_energy array<double>"
+    ).withColumn("good_trajectory", F.lit(True))
+    got = best_frame(df).collect()[0]
+    assert got.best_frame == 1  # frame 2 (NULL mae) must not win
+    assert got.best_mae is not None

@@ -886,3 +886,49 @@ def test_parquet_column_bounds_skips_all_null_row_group(spark, tmp_path):
         pa.table({"v": pa.array([5, 9, 7], pa.int64())}), str(d / "b.parquet")
     )
     assert parquet_column_bounds(str(d), "v") == (5, 9)
+
+
+def test_point_in_interval_left_join_keeps_unmatched_points(spark):
+    """The exact range predicate must sit INSIDE the join condition for
+    left-side joins — post-filtering evaluates NULL on unmatched rows
+    and silently degrades the outer join to inner. right/full are
+    rejected (an unmatched interval would emit once per expansion
+    bucket)."""
+    import pytest
+
+    from catlas_spark.operators.relational import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [("2024-01-01 10:30:00",), ("2024-01-01 23:00:00",)], "p string"
+    ).select(F.col("p").cast("timestamp").alias("p"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "2024-01-01 11:00:00", "A")], "s string, e string, tag string"
+    ).select(
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "tag",
+    )
+    out = point_in_interval_join(pts, iv, "p", "s", "e", how="left").collect()
+    got = {(str(r.p), r.tag) for r in out}
+    assert got == {
+        ("2024-01-01 10:30:00", "A"),
+        ("2024-01-01 23:00:00", None),  # unmatched point SURVIVES
+    }
+    inner = point_in_interval_join(pts, iv, "p", "s", "e").collect()
+    assert len(inner) == 1
+    with pytest.raises(ValueError, match="left-side"):
+        point_in_interval_join(pts, iv, "p", "s", "e", how="full")
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Exiting the distributed loop still changing means split clusters;
+    the operator must raise, not return them silently."""
+    import pytest
+
+    from catlas_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3, driver_max_edges=0)

@@ -72,3 +72,22 @@ def test_anomaly_flags(spark, initial, final, ads, expect):
         anomaly_flags(F.col("initial_edges"), F.col("final_edges"), F.col("ads")).alias("a")
     ).collect()[0].a
     assert (out.dissociation, out.desorption, out.reconstruction) == expect
+
+
+def test_anomaly_edge_keys_canonicalize_endpoint_order(spark):
+    """A bond recorded [1,2] initially and [2,1] finally is the SAME
+    edge — reversed endpoints must not read as a dissociation."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.operators.structure import anomaly_flags
+
+    df = spark.createDataFrame(
+        [(1,)], "id int"
+    ).select(
+        F.expr("array(array(0, 1), array(1, 2))").alias("init"),
+        F.expr("array(array(1, 0), array(2, 1))").alias("final"),
+        F.expr("array(0, 1)").alias("ads"),
+    )
+    row = df.select(anomaly_flags(F.col("init"), F.col("final"), F.col("ads")).alias("a")).first()
+    assert row.a.dissociation is False
+    assert row.a.reconstruction is False
