@@ -85,6 +85,7 @@ def main() -> None:
     warm_totals = [
         round(sum(t for t in run.values() if t >= 0), 3) for run in warm_runs
     ]
+    failed = sorted(n for n, t in timings.items() if t < 0)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "total_query_seconds",
@@ -93,6 +94,11 @@ def main() -> None:
         "queries": timings,
         "cold_total_seconds": cold_total,
         "warm_pass_totals": warm_totals,
+        # failed queries are EXCLUDED from the total (their -1 sentinels
+        # would corrupt it) — surface them loudly so a crashing query can
+        # never read as an improvement of the lower-is-better metric
+        "n_failed": len(failed),
+        "failed": failed,
         "sf": sf_val,
     }
     print(json.dumps(full))
@@ -122,6 +128,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "cold_total_seconds": cold_total,
                 "warm_pass_totals": warm_totals,
+                "n_failed": len(failed),
+                "failed": failed,
                 "slowest": slowest,
                 "queries_file": "BENCH_DETAIL.json",
             }

@@ -51,7 +51,10 @@ def render_sankey(lineage: Lineage, out_dir: str) -> None:
             )
         )
         fig.write_image(os.path.join(out_dir, "sankey.png"))
-    except ImportError:
+    except (ImportError, ValueError):
+        # ImportError: plotly absent. ValueError: plotly present but the
+        # kaleido image-export engine is not — either way the PNG is an
+        # optional artifact and must not fail the run AFTER results wrote
         pass
 
 

@@ -35,7 +35,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif df[c].dtype == object:
             df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    # sort by ROUNDED float keys: each side is sorted independently, so a
+    # sub-tolerance key difference (0.3 vs 0.3+ulp) would order tied rows
+    # differently on the two sides and misalign the row-wise compare
+    keys = df.copy()
+    for c in keys.columns:
+        if pd.api.types.is_float_dtype(keys[c]):
+            keys[c] = keys[c].round(9)
+    order = keys.sort_values(by=list(keys.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
@@ -82,6 +90,11 @@ def main() -> int:
         )
 
     qs, oracles = Q.queries(), Q.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a misspelled name must not read as a passing (0-comparison) gate
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 2
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -27,6 +27,7 @@ Usage: python scripts/compare_duckdb.py [sf_dir] [--passes N]
 from __future__ import annotations
 
 import json
+import re
 import os
 import statistics
 import sys
@@ -38,15 +39,22 @@ import duckdb
 
 from catlas_spark import queries as Q
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+from catlas_spark.sources.star import STAR_TABLES as TABLES  # one source of truth
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    argv = sys.argv[1:]
     n_passes = 3
-    if "--passes" in sys.argv:
-        n_passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    if "--passes" in argv:
+        i = argv.index("--passes")
+        if i + 1 >= len(argv):
+            raise SystemExit("--passes needs a value")
+        n_passes = int(argv[i + 1])
+        if n_passes < 1:
+            raise SystemExit("--passes must be >= 1")
+        del argv[i : i + 2]  # the VALUE must not leak into positionals
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -64,11 +72,17 @@ def main() -> None:
             print(f"duckdb error {n}: {type(e).__name__}: {e}", file=sys.stderr)
             runs.pop(n)
     for _ in range(n_passes):
-        for n in runs:
+        for n in list(runs):
             t0 = time.perf_counter()
-            con.execute(oracles[n]).fetchall()
+            try:
+                con.execute(oracles[n]).fetchall()
+            except Exception as e:  # a transient pass-2 failure must not
+                # discard every completed measurement
+                print(f"duckdb error {n}: {type(e).__name__}: {e}", file=sys.stderr)
+                runs.pop(n)
+                continue
             runs[n].append(time.perf_counter() - t0)
-    duck = {n: round(statistics.median(v), 3) for n, v in runs.items()}
+    duck = {n: round(statistics.median(v), 3) for n, v in runs.items() if v}
 
     detail_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.json")
     spark: dict[str, float] = {}
@@ -76,7 +90,9 @@ def main() -> None:
         detail = json.load(open(detail_path))
         # refuse to compare across scale factors: a stale detail file at a
         # different sf silently produces nonsense ratios
-        if sf_dir.rstrip("/").endswith(f"sf{detail.get('sf')}"):
+        m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+        dir_sf = float(m.group(1)) if m else None
+        if dir_sf is not None and detail.get("sf") is not None and float(detail["sf"]) == dir_sf:
             spark = detail["queries"]
         else:
             print(
@@ -94,7 +110,11 @@ def main() -> None:
         json.dump({"sf_dir": sf_dir, "queries": duck}, f, sort_keys=True)
     spark_common = {n: s for n, s in spark.items() if n in duck and s >= 0}
     spark_total = round(sum(spark_common.values()), 3)
-    ratio = round(spark_total / duck_total, 2) if duck_total and spark_common else None
+    # the ratio must divide totals over the SAME query set: a query
+    # missing/failed on the Spark side would otherwise still inflate the
+    # DuckDB denominator and understate the ratio
+    duck_common = round(sum(duck[n] for n in spark_common), 3)
+    ratio = round(spark_total / duck_common, 2) if duck_common and spark_common else None
     floor_est = round(0.2 * len(spark_common), 1)  # ~0.2 s/query scheduling+codegen
     worst = sorted(
         ((s / duck[n] if duck[n] > 0 else 0, n, duck[n], s) for n, s in spark_common.items()),
@@ -106,6 +126,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "n_queries": len(duck),
                 "duckdb_total_sec": duck_total,
+                "duckdb_common_total_sec": duck_common,
                 "spark_total_sec": spark_total or None,
                 "ratio_spark_over_duckdb": ratio,
                 "spark_floor_estimate_sec": floor_est,
