@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .caching import maybe_persist
+from .session import AUTOBROADCAST_BYTES
 from .operators.dedup import MINHASH_P, minhash_coeffs
 from .operators.relational import (
     best_within_relative_threshold,
@@ -70,7 +71,10 @@ def _correctness_history() -> dict[str, tuple[int, bool]]:
                 and bool(row.get("hash_match"))
                 and row.get("err") is None
             )
-            hist[name] = (rnd, ok)
+            # MAX parsed round wins — lexicographic file order would let
+            # r11 shadow r100 once rounds reach three digits
+            if name not in hist or rnd >= hist[name][0]:
+                hist[name] = (rnd, ok)
     return hist
 
 
@@ -115,6 +119,14 @@ def oracle_sql() -> dict[str, str]:
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _norm_text() -> Column:
+    """The canonical text normalization (lower, trim, collapse runs of
+    whitespace) — the ONE definition that must stay expression-identical
+    to the oracle-side ``regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')``
+    string; 14 query sites share it."""
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Session hardening for driver-owned sessions (all runtime-settable
     # and cheap — ~0.5 ms total, so applied unconditionally):
@@ -131,13 +143,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cores)),
     )
-    # restore the default broadcast threshold: queries that demonstrate
-    # shuffle-join-only optimizations (runtime bloom filter) lower it for
-    # their own plan; resetting here scopes that override to one query
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # restore the per-query conf overrides: queries that demonstrate
+    # shuffle-join-only optimizations (runtime bloom filter) lower these
+    # for their own plan; resetting here scopes each override to one
+    # query. The broadcast threshold restores to the SESSION's intended
+    # 64MB (session.py), not Spark's 10MB default — hardcoding 10MB made
+    # the session tuning dead code after the first _t() call. The bloom
+    # scan-size threshold restores to Spark's 10GB default (previously
+    # it leaked at 1KB for the rest of the session, injecting runtime
+    # bloom filters into every later shuffle-join plan).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(AUTOBROADCAST_BYTES))
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "10GB",
+    )
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        # evict plans of dead sessions: entries keyed by stale appIds
+        # hold py4j references into stopped JVMs and accumulate forever
+        # in a process that cycles sessions
+        for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+            del _TABLE_CACHE[k]
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _TABLE_CACHE[key] = df
     return df
@@ -1773,10 +1801,9 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto each document's bigrams with one vocabulary-keyed join.
     At 100 TB every stage is a hash shuffle on token keys; nothing
     collects."""
-    from pyspark import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     docs = d.select("doc_id", F.split(norm, " ").alias("t")).filter(F.size("t") >= 2)
     # bigrams via explode(sequence) + element_at: a pure generator —
     # the doc-partitioned lead() window this replaces cost a full
@@ -1829,7 +1856,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-shuffle plan (term counts, doc frequencies, per-doc window);
     the document-count scalar joins in as a broadcast literal."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
     wdoc = Window.partitionBy("doc_id")
@@ -2801,7 +2828,7 @@ def q_token_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(
-            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+            F.split(_norm_text(), " ")
         ).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
@@ -2899,7 +2926,7 @@ def q_repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.col("doc_id").alias("doc"),
-        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ").alias("t"),
+        F.split(_norm_text(), " ").alias("t"),
     ).filter(F.size("t") >= 2)
     pairs = toks.select(
         "doc",
@@ -3316,12 +3343,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from md5(doc_id), not an RNG; the plan is one window top-k per
     stratum, no global sort, no driver-side sampling state."""
     d = _t(spark, sf_dir, "documents")
-    u = (
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
-         .cast("long") + F.lit(1))
-        / F.lit(4503599627370496.0)
-    )
-    key = -F.log(u) / F.col("n_chars")
+    # _hash_uniform: the ONE definition of the hash->uniform transform
+    # (duplicating its magic constant here once desynchronized from the
+    # _HASH_U oracle string)
+    key = -F.log(_hash_uniform(F.col("doc_id"))) / F.col("n_chars")
     w = Window.partitionBy("source").orderBy(key, "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -3508,7 +3533,6 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently drop a frontier supplier at the semi-join — one
     materialization makes the join keys bit-identical by construction
     (and saves the second aggregation of the fact table)."""
-    from pyspark import StorageLevel
 
     from .caching import materialize_and_release
     from .operators.relational import skyline_2d
@@ -3922,14 +3946,13 @@ def q_set_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to ~4 per excerpt. Shingle width is the knob that buys the
     sparse regime. The dense-dimension case, where the postings baseline
     wins instead, is `set_containment_join`."""
-    from pyspark import StorageLevel
 
     from .functions.text import token_shingles
     from .operators.relational import set_containment_join_prefix
 
     d = _t(spark, sf_dir, "documents")
     norm_toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        _norm_text(), " "
     )
     excerpts = d.filter(F.size(norm_toks) >= 13).select(
         F.col("doc_id").alias("ex_id"),
@@ -4604,10 +4627,17 @@ def q_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     support = 0.0008
     sketch = set(li.stat.freqItems(["l_suppkey"], support).collect()[0][0])
     counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
-    total = li.count()
-    return counts.filter(
-        (F.col("n") > total * support)
-        & F.col("l_suppkey").isin(list(sketch))
+    # grand total folded from the (supplier-count-sized) counts table as
+    # a broadcast scalar — a bare li.count() was a third full corpus
+    # scan (the misra_gries_contract pattern)
+    tot = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("n") > F.col("__total") * support)
+            & F.col("l_suppkey").isin(list(sketch))
+        )
+        .drop("__total")
     )
 
 
@@ -5371,7 +5401,7 @@ def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-final chunk is full-width and the final one ends at the last
     token."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     stride, win = 24, 32
     last_start = (
         F.greatest(
@@ -5438,12 +5468,11 @@ def q_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and V from the train split only. Same scale shape: one
     bigram explode, token-keyed hash shuffles, broadcast prefix counts,
     nothing collects but the vocabulary scalar."""
-    from pyspark import StorageLevel
 
     from .caching import materialize_and_release
 
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     docs = d.select(
         "doc_id",
         F.split(norm, " ").alias("t"),
@@ -5569,12 +5598,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram explode. All token-keyed hash shuffles; the bigram total
     folds in as a broadcast scalar; global top-50 via
     TakeOrderedAndProject, no full sort."""
-    from pyspark import StorageLevel
 
     from .caching import materialize_and_release
 
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     docs = d.select(F.split(norm, " ").alias("t")).filter(F.size("t") >= 2)
     pairs = (
         docs.select("t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"))
@@ -5678,7 +5706,7 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.tokenize import bpe_train
 
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     words = (
         d.select(F.explode(F.split(norm, " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -5743,7 +5771,7 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the second regex pass it saves, 1.5 -> 1.9 s measured; the
     recompute stays.)"""
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     pat = r"(?=(\S+" + r" \S+" * 4 + r"))\S+"
     pos = d.select(
         "doc_id",
@@ -5931,7 +5959,7 @@ def q_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescans raw text). The oracle is the naive full-scan counting
     phrase starts per document."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     w0, w1, w2 = _PHRASE_W
     pos = d.select(
         "doc_id", F.posexplode(F.split(norm, " ")).alias("p", "tok")
@@ -5999,7 +6027,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     toks = F.split(norm, " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(10)).cast("int")
     chunks = F.transform(
@@ -6124,7 +6152,10 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     values. The oracle replays median, MAD, and the threshold; the
     pre-round z comparison is bit-identical across engines because both
     compute the same IEEE expression."""
-    e = _t(spark, sf_dir, "events")
+    # _events, not _t: the raw scan would bypass the ts-flavor probe and
+    # crash outright on a NANOS-flavor events file (a flavor that HAS
+    # shipped in earlier rounds) before nanosAsLong is set
+    e = _events(spark, sf_dir)
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
@@ -6320,7 +6351,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["scan", "customer", "window"]
     k1, b = 1.2, 0.75
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tot = dl.agg(F.sum("dl").alias("t"), F.count(F.lit(1)).alias("n")).first()
@@ -7954,7 +7985,7 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-domain-sized. The list here is a stand-in — swap the IN set
     for the real one."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = _norm_text()
     toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
     hits = (
         toks.filter(F.col("term").isin("error", "fatal", "panic"))

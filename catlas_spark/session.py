@@ -24,6 +24,16 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+
+# The engine's broadcast threshold — ONE constant shared by the session
+# builder and queries._t()'s per-query-override restore, so the two can
+# never disagree (they did: the builder set 64MB but _t() restored the
+# hardcoded 10MB after the first call, making 64MB dead code — every
+# recorded bench pair ran at 10MB). Spark's default is kept because all
+# plan evidence was gathered under it; dimension joins broadcast via
+# explicit hints regardless. Tune per deployment at cluster scale.
+AUTOBROADCAST_BYTES = 10 * 1024 * 1024
+
 def get_spark(
     app_name: str = "catlas_spark",
     cpus: int | None = None,
@@ -63,7 +73,7 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(AUTOBROADCAST_BYTES))
         # static conf, must be set at session create: the generated-class
         # cache defaults to 100 entries, and a many-query session (171
         # registry queries x several WholeStageCodegen units each)
