@@ -55,8 +55,10 @@ def test_semi_anti_join_strategies(spark, sf_dir):
 
 # the ONLY queries allowed to carry a Python stage: the multimodal
 # decoders and the custom-mergeable-sketch exemplar (Arrow-batched
-# MapInPandas) plus the native Spark-4 UDTF exemplar (Arrow-enabled
-# UDTF) — never row-at-a-time EvalPython anywhere
+# MapInPandas), the SemDeDup pairwise scorer (Arrow applyInPandas —
+# the engine's one vectorized-Python arithmetic stage, bit-exact
+# dim-sequential numpy fold), plus the native Spark-4 UDTF exemplar
+# (Arrow-enabled UDTF) — never row-at-a-time EvalPython anywhere
 MAPINPANDAS_QUERIES = (
     "multimodal_decode",
     "multimodal_frame_sample",
@@ -64,20 +66,31 @@ MAPINPANDAS_QUERIES = (
     "multimodal_audio_energy",
     "misra_gries_contract",
 )
+GROUPED_PANDAS_QUERIES = ("dedup_semantic",)
 UDTF_QUERIES = ("rle_tokens_udtf",)
-PYTHON_STAGE_QUERIES = MAPINPANDAS_QUERIES + UDTF_QUERIES
+PYTHON_STAGE_QUERIES = MAPINPANDAS_QUERIES + GROUPED_PANDAS_QUERIES + UDTF_QUERIES
 
 
 def test_no_python_udf_in_native_queries(spark, sf_dir):
     # everything else must stay JVM-side: no BatchEvalPython /
-    # ArrowEvalPython (scalar UDFs) and no MapInPandas either — a new
-    # Python stage must be added to the explicit whitelist above
+    # ArrowEvalPython (scalar UDFs) and no pandas stages either — the
+    # bare "InPandas" probe catches MapInPandas AND FlatMapGroupsInPandas
+    # (a grouped stage slipping in unlisted used to pass the old
+    # "MapInPandas" substring check — tautology-hunt fix, round 7).
+    # A new Python stage must be added to the explicit whitelist above.
     for name in Q.queries():
         if name in PYTHON_STAGE_QUERIES:
             continue
         p = plan_of(spark, sf_dir, name)
         assert "EvalPython" not in p, f"{name} fell off the JVM path"
-        assert "MapInPandas" not in p, f"{name} grew an unlisted Python stage"
+        assert "InPandas" not in p, f"{name} grew an unlisted Python stage"
+
+
+def test_semantic_scorer_is_arrow_grouped(spark, sf_dir):
+    for name in GROUPED_PANDAS_QUERIES:
+        p = plan_of(spark, sf_dir, name)
+        assert "FlatMapGroupsInPandas" in p  # Arrow per-cluster batches
+        assert "BatchEvalPython" not in p
 
 
 def test_multimodal_is_arrow_batched(spark, sf_dir):
