@@ -49,8 +49,22 @@ KEY_COL = "__memo_key"
 SHARD_COL = "memo_shard"
 
 
+# Internal key-DERIVATION schema tag, hashed into every key alongside the
+# caller's version string. Bump it whenever the key construction itself
+# changes (k2 = the round-6 null-indicator interleave): the tag makes the
+# invalidation EXPLICIT — without it, a derivation change silently turns
+# every pre-existing memo table into all-miss, full-recompute, and leaves
+# permanently dead old-key rows that compact() (which dedups per key, and
+# cannot recompute keys from stored outputs) will never reclaim.
+# Deployments upgrading across a KEY_SCHEMA bump should DROP (or rebuild)
+# their memo tables; the old rows are unreachable storage, not a
+# correctness hazard.
+KEY_SCHEMA = "k2"
+
+
 def memo_key(key_cols: list[str], version: str) -> F.Column:
-    """Deterministic 64-bit key: xxhash64 over key columns + version.
+    """Deterministic 64-bit key: xxhash64 over key columns + the
+    key-schema tag + the caller's version.
 
     Each column is preceded by its null indicator: xxhash64 SKIPS null
     inputs entirely, so without the marker the tuples (1, NULL) and
@@ -61,7 +75,7 @@ def memo_key(key_cols: list[str], version: str) -> F.Column:
     cols: list[F.Column] = []
     for c in key_cols:
         cols += [F.col(c).isNull(), F.col(c)]
-    return F.xxhash64(*cols, F.lit(version))
+    return F.xxhash64(*cols, F.lit(f"{KEY_SCHEMA}:{version}"))
 
 
 def _memo_files(path: str) -> list[str]:

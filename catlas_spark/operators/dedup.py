@@ -365,16 +365,19 @@ def connected_components(
     # the session setting, so billion-edge graphs keep their
     # parallelism. The count also materializes the edge cache the first
     # round would have built anyway.
-    # NOTE the override is SESSION-GLOBAL for the duration of the loop
-    # (restored in the finally): this engine runs one query at a time
-    # per session (bench/driver contract); a session planning other
-    # queries concurrently would see the tiny partition count. The
-    # value may be non-numeric under exotic configs — fall back to the
-    # context default rather than crash.
+    # Sizing is PER-PLAN (r7, closing VERDICT r6 #5): an explicit
+    # ``repartition(n, key)`` ahead of each round's aggregation — the
+    # aggregate's ClusteredDistribution is satisfied by the hash
+    # partitioning, so no second exchange appears — instead of flipping
+    # session-global spark.sql.shuffle.partitions for the loop's
+    # duration, which leaked the tiny partition count into any plan the
+    # session built concurrently. A/B on the forced-distributed sf0.1
+    # graphs: wall-clock unchanged (within noise) with the conf
+    # mutation gone. The value may be non-numeric under exotic configs
+    # — fall back to the context default rather than crash.
     spark = pairs.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        sess_parts = int(prev_parts)
+        sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         sess_parts = spark.sparkContext.defaultParallelism
     n_edges = edges.count()
@@ -417,7 +420,6 @@ def connected_components(
             ),
         )
     right_size = max(1, min(sess_parts, n_edges // 100_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(right_size))
     try:
         # init FUSED with propagation round 1: the first hash-to-min
         # round is label(v) = min(v, min neighbor of v), which needs no
@@ -426,7 +428,8 @@ def connected_components(
         # fixed cost at any graph size) disappears from every call
         # (measured 2.0 -> 1.5 s, identical labels).
         labels = (
-            edges.groupBy("s")
+            edges.repartition(right_size, "s")
+            .groupBy("s")
             .agg(F.min("d").alias("__md"))
             .select(
                 F.col("s").alias("node"),
@@ -445,6 +448,7 @@ def connected_components(
             # shuffle join per round
             merged = (
                 labels.union(prop)
+                .repartition(right_size, "node")
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .join(labels.select("node", F.col("label").alias("__old")), "node")
@@ -464,8 +468,11 @@ def connected_components(
                 f"{max_iter} rounds (graph diameter too large); raise max_iter"
             )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    edges.unpersist()
+        # release INSIDE the finally: on the non-convergence raise the
+        # MEMORY_ONLY edge cache would otherwise stay pinned in the
+        # CacheManager for the rest of the session — exactly the
+        # stale-canonicalized-plan hazard documented above (ADVICE r6)
+        edges.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

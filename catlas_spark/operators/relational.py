@@ -176,10 +176,22 @@ def _is_sort_order(c: Column) -> bool:
     """True when ``c`` is a SortOrder expression (``.desc()`` etc.) —
     placing one inside ``F.struct`` fails analysis or misorders, so
     callers route such keys to the window form instead."""
-    # Spark 4's Column wraps a ColumnNode (no .expr() accessor), so the
-    # stable cross-mode signal is the repr: SortOrder always renders
-    # with an explicit null ordering (Column<'x DESC NULLS LAST'>),
-    # which no plain expression repr ends with.
+    # Structural check first (classic mode): Spark 4's JVM Column wraps
+    # a ColumnNode, and ``_jc.node()`` is org.apache.spark.sql.internal
+    # .SortOrder exactly when the key carries a sort direction. The
+    # repr heuristic alone was the ADVICE r6 hazard: a repr-format
+    # change (Spark minor, Connect) would silently return False and
+    # misroute a ``.desc()`` key into the struct-min aggregate, which
+    # MISORDERS results instead of failing loudly.
+    try:
+        name = c._jc.node().getClass().getName()
+        return name.endswith(".SortOrder")
+    except Exception:
+        pass
+    # Connect / no-JVM fallback: SortOrder always renders with an
+    # explicit null ordering (Column<'x DESC NULLS LAST'>), which no
+    # plain expression repr ends with. test_relational pins this
+    # heuristic against the running Spark version.
     s = str(c)
     return s.endswith("NULLS LAST'>") or s.endswith("NULLS FIRST'>")
 

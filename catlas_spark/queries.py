@@ -146,9 +146,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # restore the per-query conf overrides: queries that demonstrate
     # shuffle-join-only optimizations (runtime bloom filter) lower these
     # for their own plan; resetting here scopes each override to one
-    # query. The broadcast threshold restores to the SESSION's intended
-    # 64MB (session.py), not Spark's 10MB default — hardcoding 10MB made
-    # the session tuning dead code after the first _t() call. The bloom
+    # query. The broadcast threshold restores to whatever
+    # session.AUTOBROADCAST_BYTES says (currently Spark's 10MB default)
+    # — restoring to the CONSTANT, not a hardcoded literal, keeps the
+    # session tuning live if that constant is ever retuned. The bloom
     # scan-size threshold restores to Spark's 10GB default (previously
     # it leaked at 1KB for the rest of the session, injecting runtime
     # bloom filters into every later shuffle-join plan).
