@@ -132,6 +132,7 @@ def grouped_exact_quantiles(
     num_partitions: int | None = None,
     pre_aggregate: bool | None = None,
     extremes: bool = False,
+    value_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """EXACT interpolated quantiles (quantile_cont semantics: value at
     position p*(n-1) with linear interpolation) per group, WITHOUT
@@ -182,6 +183,19 @@ def grouped_exact_quantiles(
     different scales (an amplified corpus turns near-unique prices into
     100x-duplicated ones), so the dispatch must be per-call, not
     hard-coded.
+
+    ``value_bounds``: planning-time (min, max) of the value column —
+    parquet footer statistics (``sources.stats.parquet_column_bounds``),
+    a catalog, or caller knowledge. When given, bucket boundaries are
+    EQUAL-WIDTH points between the bounds and the probe pass drops its
+    percentile sketch (the KLL build was most of the probe's cost; with
+    an explicit ``pre_aggregate`` the probe job disappears entirely).
+    Same exactness contract as the sketch: boundaries affect only
+    bucket BALANCE — equal-width binning under heavy value skew piles
+    rows into few cells, so callers with pathologically skewed values
+    should omit ``value_bounds`` and keep the equi-depth sketch.
+    Conservative bounds (footer min/max wider than post-filter data)
+    are fine for the same reason.
     """
     import math
     from collections import defaultdict
@@ -193,24 +207,50 @@ def grouped_exact_quantiles(
     # n_parts == 1 means no interior boundaries — percentile_approx with
     # an empty percentage list builds an array<void> literal that fails
     # analysis, so the probe skips the sketch and every group lands in
-    # one covering cell (the count/distinct probe still runs).
+    # one covering cell (the count/distinct probe still runs when the
+    # regime dispatch needs it).
     probe_qs = [i / n_parts for i in range(1, n_parts)]
-    probe_aggs = [
-        F.approx_count_distinct(value_col).alias("__nd"),
-        F.count(F.lit(1)).alias("__n"),
-    ]
-    if probe_qs:
-        probe_aggs.append(
-            F.percentile_approx(
-                F.col(value_col).cast("double"), probe_qs, 10_000
-            ).alias("__bounds")
+    need_sketch = bool(probe_qs) and value_bounds is None
+    probe = None
+    if need_sketch or pre_aggregate is None:
+        # probe job: the boundary sketch (only when no planning-time
+        # bounds exist — the KLL build was most of this job's cost)
+        # plus the dispatch aggregates. Fusing the dispatch into the
+        # stats job via ROLLUP/GROUPING SETS was measured SLOWER than
+        # this extra job (0.64 s vs 0.49 s probe+stats at sf0.1): the
+        # Expand duplicates every row through the HLL update, which
+        # costs more than one job's scheduling floor. Keep two jobs.
+        probe_aggs = [
+            F.approx_count_distinct(value_col).alias("__nd"),
+            F.count(F.lit(1)).alias("__n"),
+        ]
+        if need_sketch:
+            probe_aggs.append(
+                F.percentile_approx(
+                    F.col(value_col).cast("double"), probe_qs, 10_000
+                ).alias("__bounds")
+            )
+        probe = df.agg(*probe_aggs).first()
+        if pre_aggregate is None:
+            pre_aggregate = bool(probe["__n"]) and probe["__nd"] < 0.5 * probe["__n"]
+    if value_bounds is not None and probe_qs:
+        v_lo, v_hi = float(value_bounds[0]), float(value_bounds[1])
+        bounds = sorted({v_lo + (v_hi - v_lo) * q for q in probe_qs})
+    else:
+        bounds = sorted(
+            {b for b in ((probe["__bounds"] if need_sketch else None) or []) if b is not None}
         )
-    probe = df.agg(*probe_aggs).first()
-    if pre_aggregate is None:
-        pre_aggregate = bool(probe["__n"]) and probe["__nd"] < 0.5 * probe["__n"]
-    bounds = sorted(
-        {b for b in ((probe["__bounds"] if probe_qs else None) or []) if b is not None}
-    )
+
+    # bucket id = #boundaries <= value: deterministic, codegen-friendly,
+    # ordered by value (NULLs sort first, matching window NULLS FIRST)
+    b_expr: Column = F.lit(0)
+    for b in bounds:
+        b_expr = b_expr + (F.col(value_col).cast("double") >= F.lit(b)).cast("int")
+    pid_expr = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(b_expr)
+
+    stat_aggs = [F.sum("__cnt").alias("__c")]
+    if extremes:
+        stat_aggs += [F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")]
 
     if pre_aggregate:
         g = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
@@ -218,15 +258,7 @@ def grouped_exact_quantiles(
         g = df.select(group_col, value_col).withColumn(
             "__cnt", F.lit(1).cast("long")
         )
-    pre_agg_cached = pre_aggregate
-    # bucket id = #boundaries <= value: deterministic, codegen-friendly,
-    # ordered by value (NULLs sort first, matching window NULLS FIRST)
-    b_expr: Column = F.lit(0)
-    for b in bounds:
-        b_expr = b_expr + (F.col(value_col).cast("double") >= F.lit(b)).cast("int")
-    g = g.withColumn(
-        "__pid", F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(b_expr)
-    )
+    g = g.withColumn("__pid", pid_expr)
 
     # g feeds TWO actions — the per-cell stats collect below and the
     # final windowed pass — and unpersisted each re-executes the full
@@ -238,16 +270,13 @@ def grouped_exact_quantiles(
     # two scans are the honest cost there. Released on return via the
     # materialize-and-release discipline (the output is groups x probs).
     g_cached = None
-    if pre_agg_cached:
+    if pre_aggregate:
         from .caching import maybe_persist
 
         g = maybe_persist(g)
         g_cached = g  # the frame actually persisted — `g` is rebound by
         # the pruning join below, so releasing `g` there would unpersist
         # the never-persisted joined frame and leak this cache entry
-    stat_aggs = [F.sum("__cnt").alias("__c")]
-    if extremes:
-        stat_aggs += [F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")]
     stats = g.groupBy("__pid", group_col).agg(*stat_aggs).collect()
     acc: dict = defaultdict(int)
     offsets: dict = {}  # (pid, group value) -> global rank offset; driver-only
@@ -301,6 +330,20 @@ def grouped_exact_quantiles(
         (F.col("__pid") == F.col("__hpid"))
         & F.col(group_col).eqNullSafe(F.col("__hgrp")),
     ).drop("__hpid", "__hgrp")
+    # Right-size the window exchange to the COVERING CELLS (driver-known
+    # from the pruning above — the CC right_size principle applied
+    # per-plan): the per-cell window otherwise inherits the session
+    # shuffle width, and AQE's parallelismFirst keeps those ~n_cells of
+    # real work spread over 32 mostly-empty tasks. The explicit hash
+    # repartition on the window keys satisfies the window's required
+    # distribution, so no second exchange appears; never raised above
+    # the session setting, so wide plans keep their parallelism.
+    try:
+        sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sess_parts = spark.sparkContext.defaultParallelism
+    win_parts = max(1, min(sess_parts, len(hit_rows)))
+    g = g.repartition(win_parts, "__pid", group_col)
 
     tschema = T.StructType(
         [

@@ -802,6 +802,40 @@ def test_grouped_exact_quantiles_edge_cases(spark):
         }, f"num_partitions={n_parts}"
 
 
+def test_grouped_exact_quantiles_value_bounds(spark):
+    """Planning-time value_bounds (parquet-footer min/max) must give the
+    same exact quantiles as the sketch path — boundaries steer only
+    bucket balance — including with NULL groups, conservative (wider)
+    bounds, degenerate lo==hi bounds, and both dispatch modes (the
+    bounds path must still run the distinct-ratio probe when
+    pre_aggregate=None)."""
+    from pyspark.sql import functions as F
+
+    from catlas_spark.partitioning import grouped_exact_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 10.0), ("b", 5.0), (None, 3.0), (None, 7.0)],
+        "g string, v double",
+    )
+    probs = [0.0, 0.5, 1.0]
+    truth = {}
+    for r in df.groupBy("g").agg(
+        *[F.percentile("v", F.lit(p)).alias(f"p{i}") for i, p in enumerate(probs)]
+    ).collect():
+        for i, p in enumerate(probs):
+            truth[(r["g"], float(p))] = round(r[f"p{i}"], 6)
+    for vb in ((1.0, 10.0), (-100.0, 100.0), (3.0, 3.0)):
+        for pre in (None, True, False):
+            got = {
+                (r["g"], r.prob): round(r.quantile, 6)
+                for r in grouped_exact_quantiles(
+                    df, "g", "v", probs, num_partitions=4,
+                    pre_aggregate=pre, value_bounds=vb,
+                ).collect()
+            }
+            assert got == truth, f"value_bounds={vb} pre_aggregate={pre}"
+
+
 def test_grouped_min_argmin_sortorder_tiebreak(spark):
     """A SortOrder tiebreak (.desc()) cannot ride inside the min_by
     struct key — it must route to the window form and be honored."""
