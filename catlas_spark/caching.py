@@ -125,8 +125,19 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     and survive executor loss. The env var is read per call so long
     sessions can opt in late; ``setCheckpointDir`` is applied lazily
     and only once.
+
+    Under :func:`lazy_plans` the frame is returned UNPINNED so the full
+    lazy tree stays visible to plan tooling — a checkpointed frame
+    explains as ``Scan ExistingRDD``, which made every pin-using query
+    VACUOUSLY pass the Python-stage plan sweep (the r7 tautology hunt's
+    finding). Plans built in that mode are for explain() ONLY:
+    executing a placement-sensitive plan without its pin can recompute
+    a differently-placed layout and corrupt ranks.
     """
     import os
+
+    if not _MATERIALIZE:
+        return df
 
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckpt_dir:

@@ -121,7 +121,11 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     import io
 
     # disable broadcast BEFORE building the plan: the point at scale is
-    # sort-merge over co-located buckets with zero exchanges
+    # sort-merge over co-located buckets with zero exchanges. Restore
+    # the PREVIOUS value, not a literal — the old hardcoded 64MB restore
+    # silently leaked a non-default broadcast threshold into every later
+    # test in the shared session (r7 tautology hunt).
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table("li_bucketed").join(
@@ -141,7 +145,7 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
             == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
         )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
 
 def test_bloom_filter_join_pruning(spark, sf_dir):
