@@ -62,10 +62,18 @@ def _release_on_gc(jdf) -> None:
         pass
 
 
+_LAZY_PINS: list[DataFrame] = []
+
+
 @contextmanager
 def lazy_plans():
     """Within this context, operators skip materialize/release and return
-    their full lazy plans (for explain/inspection tooling only)."""
+    their full lazy plans (for explain/inspection tooling only).
+
+    Frames pinned during the context (see :func:`pin`) are persisted
+    instead of checkpointed and are unpersisted HERE on exit, so plan
+    tooling neither hides pinned subtrees behind Scan ExistingRDD nor
+    leaks canonicalized-plan CacheManager entries into later queries."""
     global _MATERIALIZE
     prev = _MATERIALIZE
     _MATERIALIZE = False
@@ -73,6 +81,13 @@ def lazy_plans():
         yield
     finally:
         _MATERIALIZE = prev
+        if prev:  # outermost context only — nested exits keep outer pins
+            while _LAZY_PINS:
+                df = _LAZY_PINS.pop()
+                try:
+                    df.unpersist(False)
+                except Exception:
+                    pass
 
 
 def maybe_persist(
@@ -126,17 +141,26 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     sessions can opt in late; ``setCheckpointDir`` is applied lazily
     and only once.
 
-    Under :func:`lazy_plans` the frame is returned UNPINNED so the full
-    lazy tree stays visible to plan tooling — a checkpointed frame
-    explains as ``Scan ExistingRDD``, which made every pin-using query
-    VACUOUSLY pass the Python-stage plan sweep (the r7 tautology hunt's
-    finding). Plans built in that mode are for explain() ONLY:
-    executing a placement-sensitive plan without its pin can recompute
-    a differently-placed layout and corrupt ranks.
+    Under :func:`lazy_plans` the frame is PERSISTED (eagerly, cache
+    released at context exit) instead of checkpointed: a checkpointed
+    frame explains as ``Scan ExistingRDD``, which made every pin-using
+    query VACUOUSLY pass the Python-stage plan sweep (the r7 tautology
+    hunt's finding) — the InMemoryRelation keeps the pinned subtree
+    visible in explain output. A bare no-op was the r7 review's
+    counter-finding: iterative operators run driver actions while the
+    plan is BUILT (BRP retry rounds, BPE best-pair collects, CC
+    convergence probes), and without materialization each round
+    re-executes all prior rounds' lineage — O(rounds^2)-or-worse plan
+    sweeps. The persist keeps those loops linear; cached placement is
+    stable, so construction-time offset collects stay valid too.
     """
     import os
 
     if not _MATERIALIZE:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            df.count()
+        _LAZY_PINS.append(df)
         return df
 
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")

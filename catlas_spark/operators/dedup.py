@@ -382,8 +382,13 @@ def connected_components(
         sess_parts = spark.sparkContext.defaultParallelism
     n_edges = edges.count()
     if n_edges <= driver_max_edges:
-        rows = edges.collect()  # bounded by driver_max_edges by construction
-        edges.unpersist(blocking=False)
+        try:
+            rows = edges.collect()  # bounded by driver_max_edges by construction
+        finally:
+            # release on the error path too (fetch failure mid-collect) —
+            # same stale-canonicalized-plan hazard as the distributed
+            # regime's finally below
+            edges.unpersist(blocking=False)
         parent: dict = {}
 
         def _find(x):

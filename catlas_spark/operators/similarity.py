@@ -382,31 +382,58 @@ def semantic_dedup(
         # priority order == the SQL window ORDER BY d2, vid (vid unique
         # within a cluster, so the order is total — kind is irrelevant)
         pdf = pdf.sort_values(["d2", "vid"]).reset_index(drop=True)
-        c = len(pdf)
-        V = np.stack(pdf["v"].to_numpy())  # (c, d) float64
-        nsq = np.zeros(c)
-        S = np.zeros((c, c))
-        for i in range(V.shape[1]):
-            col = V[:, i]
-            nsq += col * col  # JVM fold order: acc + x*x, dim-sequential
-            S += np.outer(col, col)  # S[j,l] folds v_j[i]*v_l[i] in dim order
-        norms = np.sqrt(nsq)  # sqrt is correctly rounded on both runtimes
-        sims = S / np.outer(norms, norms)  # IEEE division, same as the JVM
-        if c > 1:
-            masked = np.where(np.tri(c, k=-1, dtype=bool), sims, -np.inf)
-            max_prev = masked.max(axis=1)  # a NaN sim propagates, as it must:
-            # Spark orders NaN above all doubles, so a NaN pair was a drop
-            # in the join form too
-        else:
-            max_prev = np.zeros(c)
-        max_prev[0] = 0.0  # rank-1 row has no higher-priority mate
-        has_prev = np.ones(c, dtype=bool)
-        has_prev[0] = False
+        n_all = len(pdf)
+        # a NULL embedding scores NULL against every mate in the join
+        # form (zip_with over a NULL array) — it can neither drop nor be
+        # dropped. Split it out as an automatic survivor instead of
+        # feeding None into np.stack (which would crash the task); it
+        # still counts toward the cluster size, and removing it from the
+        # pair matrix preserves every other row's higher-priority set
+        # exactly (its pairs never qualify in either direction).
+        isnull = pdf["v"].map(lambda x: x is None).to_numpy()
+        live = pdf[~isnull]
+        c = len(live)
+        max_prev = np.zeros(n_all)
+        has_prev = np.zeros(n_all, dtype=bool)
+        if c > 0:
+            V = np.stack(live["v"].to_numpy())  # (c, d) float64
+            nsq = np.zeros(c)
+            S = np.zeros((c, c))
+            for i in range(V.shape[1]):
+                col = V[:, i]
+                nsq += col * col  # JVM fold order: acc + x*x, dim-sequential
+                S += np.outer(col, col)  # S[j,l] folds v_j[i]*v_l[i] in dim order
+            norms = np.sqrt(nsq)  # sqrt is correctly rounded on both runtimes
+            denom = np.outer(norms, norms)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = S / denom  # IEEE division, same as the JVM
+            # a ZERO-norm pair divides 0/0: the JVM's non-ANSI Divide
+            # yields NULL there (pair ignored, row kept), where numpy
+            # yields NaN (which would poison the max and drop the whole
+            # tail of the cluster) — mask those pairs out of the max.
+            # Genuine NaN VALUES in a vector still propagate, as they
+            # must: Spark orders NaN above all doubles, so a NaN sim was
+            # a drop in the join form too.
+            sims[denom == 0.0] = -np.inf
+            if c > 1:
+                masked = np.where(np.tri(c, k=-1, dtype=bool), sims, -np.inf)
+                mp = masked.max(axis=1)
+            else:
+                mp = np.zeros(c)
+            mp[0] = 0.0  # rank-1 row has no higher-priority mate
+            hp = np.ones(c, dtype=bool)
+            hp[0] = False
+            # -inf means every higher-priority pair was norm-masked: the
+            # row is kept, exactly like the join form's all-NULL sims
+            hp[mp == -np.inf] = False
+            mp[mp == -np.inf] = 0.0
+            max_prev[~isnull] = mp
+            has_prev[~isnull] = hp
         return pd.DataFrame(
             {
                 "vid": pdf["vid"],
                 "cid": pdf["cid"],
-                "n_cluster_members": np.full(c, c, dtype=np.int64),
+                "n_cluster_members": np.full(n_all, n_all, dtype=np.int64),
                 "max_prev": max_prev,
                 "has_prev": has_prev,
             }

@@ -220,10 +220,15 @@ def grouped_exact_quantiles(
         # this extra job (0.64 s vs 0.49 s probe+stats at sf0.1): the
         # Expand duplicates every row through the HLL update, which
         # costs more than one job's scheduling floor. Keep two jobs.
-        probe_aggs = [
-            F.approx_count_distinct(value_col).alias("__nd"),
-            F.count(F.lit(1)).alias("__n"),
-        ]
+        probe_aggs = []
+        if pre_aggregate is None:
+            # dispatch aggregates only when the dispatch will read them —
+            # an explicit pre_aggregate with a sketch-only probe skips
+            # the per-row HLL update over the whole scan
+            probe_aggs += [
+                F.approx_count_distinct(value_col).alias("__nd"),
+                F.count(F.lit(1)).alias("__n"),
+            ]
         if need_sketch:
             probe_aggs.append(
                 F.percentile_approx(

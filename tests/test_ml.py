@@ -140,6 +140,30 @@ def test_kmeans_lloyd_matches_numpy_replay(spark, sf_dir):
     assert all(i > 0 for _, i in got.values())
 
 
+def test_semantic_dedup_null_and_zero_vectors(spark):
+    """r7 review regressions: a NULL embedding must survive (it scores
+    NULL against every mate in the join form — it must not crash
+    np.stack), and a ZERO vector must neither drop cluster-mates nor be
+    dropped (0/0 divides to NULL in Spark's join form; the numpy NaN
+    must not poison the running max and drop the cluster's tail)."""
+    from catlas_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact dup of vec 0 -> must drop
+        (3, None),  # NULL embedding
+        (4, [0.0, 1.0, 0.0, 0.0]),  # orthogonal -> must survive
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.n_cluster_members for r in semantic_dedup(
+        emb, k=2, tau=0.9
+    ).collect()}
+    assert 2 not in got  # the true duplicate is pruned
+    assert {0, 1, 3, 4} <= set(got)  # zero-norm, NULL, orthogonal all kept
+    assert sum(got.values()) >= len(got)  # sizes count every member
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """SemDeDup contract checks beyond the SQL oracle: survivors are a
     subset of the corpus, tau=1.01 keeps everything, every dropped row
