@@ -439,7 +439,24 @@ def semantic_dedup(
             }
         )
 
-    scored = assigned.groupBy("cid").applyInPandas(_score, out_schema)
+    # right-size the grouped-pandas exchange to the CLUSTER COUNT (k is
+    # planning-time): the groupBy otherwise inherits the session shuffle
+    # width and launches mostly-EMPTY Arrow python-runner tasks (24 of
+    # 32 at k=8 — worker startup per empty task measured ~0.3 s of the
+    # in-suite time). The explicit hash repartition on cid satisfies the
+    # stage's ClusteredDistribution, so no second exchange appears;
+    # never raised above the session setting, so corpus-scale k keeps
+    # full parallelism.
+    spark = emb.sparkSession
+    try:
+        sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sess_parts = spark.sparkContext.defaultParallelism
+    scored = (
+        assigned.repartition(max(1, min(sess_parts, k)), "cid")
+        .groupBy("cid")
+        .applyInPandas(_score, out_schema)
+    )
     # the only Spark-side float op on the Python stage's output is the
     # SAME F.round >= tau the join form applied — survivor set identical
     return scored.filter(

@@ -404,7 +404,13 @@ def q_group_exists_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouped_min_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 grouped min + argmin (`catlas/adslab_predictions.py:324-337`)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # project BEFORE the argmin: min_by's payload struct bakes in every
+    # column of its input, and Catalyst cannot prune through it — the
+    # full 16-column lineitem row rode the aggregation shuffle for a
+    # 3-column answer (r7; same bytes discipline as the sinks' P2)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     out = grouped_min_argmin(
         li, ["l_orderkey"], F.col("l_extendedprice"), [F.col("l_linenumber")]
     )
