@@ -307,6 +307,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     k: int = 8,
     tau: float = 0.5,
+    arrow_assign_from: int = 65,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus, then prune near-duplicates only WITHIN each cluster —
@@ -357,20 +358,83 @@ def semantic_dedup(
         F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
     )
 
-    diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
-    d2 = F.floor(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x) * 10000 + F.lit(0.5)) / 10000
-
-    w_assign = Window.partitionBy("vid").orderBy("d2", "cid")
-    assigned = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("d2", d2)
-        .withColumn("__rk", F.row_number().over(w_assign))
-        .filter(F.col("__rk") == 1)
-        .select("vid", "v", "cid", "d2")
-    )
-
     import numpy as np
     import pandas as pd
+
+    if k < arrow_assign_from:
+        # small-k regime (the registry query's k=8): the broadcast
+        # cross-join assignment is cheap and stays one JVM plan
+        diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
+        d2 = (
+            F.floor(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x) * 10000 + F.lit(0.5))
+            / 10000
+        )
+        w_assign = Window.partitionBy("vid").orderBy("d2", "cid")
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", d2)
+            .withColumn("__rk", F.row_number().over(w_assign))
+            .filter(F.col("__rk") == 1)
+            .select("vid", "v", "cid", "d2")
+        )
+    else:
+        # large-k regime: brute-force assignment is O(n*k) 64-dim folds,
+        # and as interpreted higher-order aggregates the cross-join form
+        # measured 407 s at 100x (200k vectors, k = n/250 = 800) — the
+        # very cliff the scorer fix removed from the pair phase. The
+        # SAME Arrow treatment applies: centroids (k x d, bounded by the
+        # k ~ n/250 contract; 800 x 64 doubles = 400 KB here, ~50 MB at
+        # k=100k — beyond that a two-level coarse-quantizer assignment
+        # is the documented next regime) collect to a numpy matrix
+        # closed over by a mapInPandas stage that computes every
+        # distance as the SAME dim-sequential fold, bit-exactly:
+        # acc += (V[:,i]-C[:,i])^2 in dim order, then the identical
+        # floor-snap, then argmin whose first-match tie-break equals the
+        # window's ORDER BY d2, cid (columns ordered by cid). No
+        # shuffle: assignment becomes map-side, which is also the
+        # 100 TB-correct shape (the corpus never moves for assignment).
+        c_rows = sorted(
+            (r for r in centroids.collect() if r["c"] is not None),
+            key=lambda r: r["cid"],
+        )
+        if not c_rows:  # empty corpus (or all-NULL vectors): nothing to dedup
+            return vecs.limit(0).select(
+                F.col("vid").alias("vec_id"),
+                F.lit(0).alias("cluster_id"),
+                F.lit(0).cast("long").alias("n_cluster_members"),
+            )
+        cid_arr = np.array([r["cid"] for r in c_rows], dtype=np.int32)
+        C = np.stack([np.asarray(r["c"], dtype=np.float64) for r in c_rows])
+
+        def _assign(batches):
+            for pdf in batches:
+                nulls = pdf["v"].map(lambda x: x is None).to_numpy()
+                live = pdf[~nulls]
+                out_cid = np.full(len(pdf), int(cid_arr[0]), dtype=np.int32)
+                out_d2 = np.full(len(pdf), np.nan)
+                if len(live):
+                    V = np.stack(live["v"].to_numpy())
+                    acc = np.zeros((len(live), len(cid_arr)))
+                    for i in range(V.shape[1]):
+                        diff = V[:, i][:, None] - C[:, i][None, :]
+                        acc += diff * diff  # JVM fold order per (row, centroid)
+                    d2m = np.floor(acc * 10000 + 0.5) / 10000
+                    best = d2m.argmin(axis=1)  # first min == smallest cid tie-break
+                    out_cid[~nulls] = cid_arr[best]
+                    out_d2[~nulls] = d2m[np.arange(len(live)), best]
+                yield pd.DataFrame(
+                    {
+                        "vid": pdf["vid"],
+                        "v": pdf["v"],
+                        "cid": out_cid,
+                        "d2": out_d2,
+                    }
+                )
+
+        vt = vecs.schema["vid"].dataType.simpleString()
+        assigned = vecs.mapInPandas(
+            _assign, f"vid {vt}, v array<double>, cid int, d2 double"
+        )
 
     vid_type = vecs.schema["vid"].dataType.simpleString()
     out_schema = (

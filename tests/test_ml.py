@@ -164,6 +164,28 @@ def test_semantic_dedup_null_and_zero_vectors(spark):
     assert sum(got.values()) >= len(got)  # sizes count every member
 
 
+def test_semantic_dedup_assignment_regimes_identical(spark, sf_dir):
+    """The large-k Arrow assignment (map-side dim-sequential numpy fold,
+    identical floor-snap, argmin-first tie-break) must be BIT-IDENTICAL
+    to the JVM broadcast-cross-join assignment — same survivors, same
+    clusters, same sizes — since the oracle only ever certifies the
+    JVM path (k=8). Forced via the arrow_assign_from dispatch knob at
+    the same k on both sides."""
+    from catlas_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k, tau = 80, 0.38
+    jvm = sorted(
+        (r.vec_id, r.cluster_id, r.n_cluster_members)
+        for r in semantic_dedup(emb, k=k, tau=tau, arrow_assign_from=10**9).collect()
+    )
+    arrow = sorted(
+        (r.vec_id, r.cluster_id, r.n_cluster_members)
+        for r in semantic_dedup(emb, k=k, tau=tau, arrow_assign_from=1).collect()
+    )
+    assert jvm == arrow and len(jvm) > 0
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """SemDeDup contract checks beyond the SQL oracle: survivors are a
     subset of the corpus, tau=1.01 keeps everything, every dropped row
