@@ -226,12 +226,77 @@ def quantized_topk(
     )
 
 
+def _jvm_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Exact nearest-centroid assignment as a broadcast cross join with a
+    codegen'd in-order fold, grid-snapped, argmin tie-broken on cid —
+    the small-k regime shared by `kmeans_lloyd` and `semantic_dedup`.
+    Returns (vid, v, cid, d2)."""
+    diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
+    d2 = (
+        F.floor(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x) * 10000 + F.lit(0.5))
+        / 10000
+    )
+    w = Window.partitionBy("vid").orderBy("d2", "cid")
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vid", "v", "cid", "d2")
+    )
+
+
+def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
+    """Exact nearest-centroid assignment for LARGE k, bit-identical to
+    :func:`_jvm_assign` (regime-equality tested): the cross-join form is
+    O(n*k) interpreted higher-order folds (407 s at 100x with k=800),
+    so the collected centroid matrix (k x d — bounded by the caller's
+    k ~ n/target_cluster_size contract; ~50 MB at k=100k, beyond which a
+    two-level coarse-quantizer assignment is the documented next
+    regime) closes over one Arrow mapInPandas stage computing every
+    distance as the SAME dim-sequential fold (``acc += (V[:,i]-C[:,i])^2``
+    in dim order), the identical floor-snap, and an argmin whose
+    first-match tie-break equals the window's ORDER BY d2, cid
+    (``c_rows`` must be cid-sorted). Map-side only — the corpus never
+    shuffles for assignment. NULL vectors assign to the smallest cid
+    with NULL-like d2, matching the window's NULLS FIRST pick."""
+    import numpy as np
+    import pandas as pd
+
+    cid_arr = np.array([r["cid"] for r in c_rows], dtype=np.int32)
+    C = np.stack([np.asarray(r["c"], dtype=np.float64) for r in c_rows])
+
+    def _assign(batches):
+        for pdf in batches:
+            nulls = pdf["v"].map(lambda x: x is None).to_numpy()
+            live = pdf[~nulls]
+            out_cid = np.full(len(pdf), int(cid_arr[0]), dtype=np.int32)
+            out_d2 = np.full(len(pdf), np.nan)
+            if len(live):
+                V = np.stack(live["v"].to_numpy())
+                acc = np.zeros((len(live), len(cid_arr)))
+                for i in range(V.shape[1]):
+                    diff = V[:, i][:, None] - C[:, i][None, :]
+                    acc += diff * diff  # JVM fold order per (row, centroid)
+                d2m = np.floor(acc * 10000 + 0.5) / 10000
+                best = d2m.argmin(axis=1)  # first min == smallest cid tie-break
+                out_cid[~nulls] = cid_arr[best]
+                out_d2[~nulls] = d2m[np.arange(len(live)), best]
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "v": pdf["v"], "cid": out_cid, "d2": out_d2}
+            )
+
+    vt = vecs.schema["vid"].dataType.simpleString()
+    return vecs.mapInPandas(_assign, f"vid {vt}, v array<double>, cid int, d2 double")
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    arrow_assign_from: int = 65,
 ) -> DataFrame:
     """Distributed Lloyd k-means as pure DataFrame ops — the TRAINING
     step of an IVF index (`ann_ivf` uses fixed centroids; this learns
@@ -264,21 +329,25 @@ def kmeans_lloyd(
     if iters < 1:
         raise ValueError("kmeans_lloyd needs iters >= 1 (the final assignment IS an iteration)")
 
-    def d2_col():
-        diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
-        fold = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
-        return F.floor(fold * 10000 + F.lit(0.5)) / 10000
+    # large-k regime: the cross-join assignment is the O(n*k)
+    # interpreted-fold cliff `semantic_dedup` hit at 100x — dispatch to
+    # the bit-identical Arrow map-side assignment (_arrow_assign); the
+    # price is one k-bounded centroid collect per iteration (the small-k
+    # path stays one fully-lazy composed plan)
+    arrow = k >= arrow_assign_from
 
     assigned = None
     for _ in range(iters):
-        w = Window.partitionBy("vid").orderBy("d2", "cid")
-        assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .withColumn("d2", d2_col())
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select("vid", "v", "cid", "d2")
-        )
+        if arrow:
+            c_rows = sorted(
+                (r for r in centroids.collect() if r["c"] is not None),
+                key=lambda r: r["cid"],
+            )
+            if not c_rows:
+                raise ValueError("kmeans_lloyd: no non-NULL init vectors")
+            assigned = _arrow_assign(vecs, c_rows)
+        else:
+            assigned = _jvm_assign(vecs, centroids)
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -364,35 +433,15 @@ def semantic_dedup(
     if k < arrow_assign_from:
         # small-k regime (the registry query's k=8): the broadcast
         # cross-join assignment is cheap and stays one JVM plan
-        diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
-        d2 = (
-            F.floor(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x) * 10000 + F.lit(0.5))
-            / 10000
-        )
-        w_assign = Window.partitionBy("vid").orderBy("d2", "cid")
-        assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .withColumn("d2", d2)
-            .withColumn("__rk", F.row_number().over(w_assign))
-            .filter(F.col("__rk") == 1)
-            .select("vid", "v", "cid", "d2")
-        )
+        assigned = _jvm_assign(vecs, centroids)
     else:
         # large-k regime: brute-force assignment is O(n*k) 64-dim folds,
         # and as interpreted higher-order aggregates the cross-join form
         # measured 407 s at 100x (200k vectors, k = n/250 = 800) — the
         # very cliff the scorer fix removed from the pair phase. The
-        # SAME Arrow treatment applies: centroids (k x d, bounded by the
-        # k ~ n/250 contract; 800 x 64 doubles = 400 KB here, ~50 MB at
-        # k=100k — beyond that a two-level coarse-quantizer assignment
-        # is the documented next regime) collect to a numpy matrix
-        # closed over by a mapInPandas stage that computes every
-        # distance as the SAME dim-sequential fold, bit-exactly:
-        # acc += (V[:,i]-C[:,i])^2 in dim order, then the identical
-        # floor-snap, then argmin whose first-match tie-break equals the
-        # window's ORDER BY d2, cid (columns ordered by cid). No
-        # shuffle: assignment becomes map-side, which is also the
-        # 100 TB-correct shape (the corpus never moves for assignment).
+        # SAME Arrow treatment applies (see _arrow_assign). No shuffle:
+        # assignment becomes map-side, which is also the 100 TB-correct
+        # shape (the corpus never moves for assignment).
         c_rows = sorted(
             (r for r in centroids.collect() if r["c"] is not None),
             key=lambda r: r["cid"],
@@ -403,38 +452,7 @@ def semantic_dedup(
                 F.lit(0).alias("cluster_id"),
                 F.lit(0).cast("long").alias("n_cluster_members"),
             )
-        cid_arr = np.array([r["cid"] for r in c_rows], dtype=np.int32)
-        C = np.stack([np.asarray(r["c"], dtype=np.float64) for r in c_rows])
-
-        def _assign(batches):
-            for pdf in batches:
-                nulls = pdf["v"].map(lambda x: x is None).to_numpy()
-                live = pdf[~nulls]
-                out_cid = np.full(len(pdf), int(cid_arr[0]), dtype=np.int32)
-                out_d2 = np.full(len(pdf), np.nan)
-                if len(live):
-                    V = np.stack(live["v"].to_numpy())
-                    acc = np.zeros((len(live), len(cid_arr)))
-                    for i in range(V.shape[1]):
-                        diff = V[:, i][:, None] - C[:, i][None, :]
-                        acc += diff * diff  # JVM fold order per (row, centroid)
-                    d2m = np.floor(acc * 10000 + 0.5) / 10000
-                    best = d2m.argmin(axis=1)  # first min == smallest cid tie-break
-                    out_cid[~nulls] = cid_arr[best]
-                    out_d2[~nulls] = d2m[np.arange(len(live)), best]
-                yield pd.DataFrame(
-                    {
-                        "vid": pdf["vid"],
-                        "v": pdf["v"],
-                        "cid": out_cid,
-                        "d2": out_d2,
-                    }
-                )
-
-        vt = vecs.schema["vid"].dataType.simpleString()
-        assigned = vecs.mapInPandas(
-            _assign, f"vid {vt}, v array<double>, cid int, d2 double"
-        )
+        assigned = _arrow_assign(vecs, c_rows)
 
     vid_type = vecs.schema["vid"].dataType.simpleString()
     out_schema = (

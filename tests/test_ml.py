@@ -186,6 +186,25 @@ def test_semantic_dedup_assignment_regimes_identical(spark, sf_dir):
     assert jvm == arrow and len(jvm) > 0
 
 
+def test_kmeans_assignment_regimes_identical(spark, sf_dir):
+    """kmeans_lloyd's large-k Arrow assignment must be bit-identical to
+    the JVM cross-join path across BOTH iterations (the second
+    iteration's centroids depend on the first's assignment, so any
+    divergence compounds and shows here)."""
+    from catlas_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    jvm = sorted(
+        (r.cluster_id, r.n_members, r.inertia)
+        for r in kmeans_lloyd(emb, k=80, iters=2, arrow_assign_from=10**9).collect()
+    )
+    arrow = sorted(
+        (r.cluster_id, r.n_members, r.inertia)
+        for r in kmeans_lloyd(emb, k=80, iters=2, arrow_assign_from=1).collect()
+    )
+    assert jvm == arrow and len(jvm) > 0
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """SemDeDup contract checks beyond the SQL oracle: survivors are a
     subset of the corpus, tau=1.01 keeps everything, every dropped row
