@@ -226,17 +226,45 @@ def quantized_topk(
     )
 
 
+def _seed_centroids(vecs: DataFrame, k: int) -> DataFrame:
+    """Deterministic centroid init shared by `kmeans_lloyd`,
+    `semantic_dedup` and `build_ivf_index`: the k SMALLEST ids'
+    vectors (TakeOrdered, k rows — NOT ``filter(vid < k)``, which is
+    empty for id spaces that do not cover [0, k) and silently yielded
+    zero centroids, review round 6), with NULL vectors dropped AFTER
+    the limit. The NULL filter matches the DuckDB oracle's effective
+    semantics (its ascending sort puts a NULL distance LAST, so a NULL
+    seed never wins an assignment) — without it, Spark's NULLS FIRST
+    window ranked a NULL seed ABOVE every real centroid and a single
+    NULL embedding among the k smallest ids hijacked the whole
+    clustering (r7 review; it also made the two assignment regimes
+    diverge, since the Arrow path cannot score a NULL centroid)."""
+    return (
+        vecs.orderBy("vid")
+        .limit(k)
+        .filter(F.col("v").isNotNull())
+        .select(F.col("vid").cast("int").alias("cid"), F.col("v").alias("c"))
+    )
+
+
 def _jvm_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Exact nearest-centroid assignment as a broadcast cross join with a
     codegen'd in-order fold, grid-snapped, argmin tie-broken on cid —
     the small-k regime shared by `kmeans_lloyd` and `semantic_dedup`.
-    Returns (vid, v, cid, d2)."""
+    Returns (vid, v, cid, d2).
+
+    The rank is NULLS LAST (r7 review): a (vector, centroid) pair of
+    mismatched lengths folds to NULL d2, and Spark's default NULLS
+    FIRST would rank that non-distance ABOVE every real distance —
+    hijacking the assignment — where the DuckDB oracle's ascending sort
+    (NULLS LAST) ignores it. A row with only NULL folds still resolves
+    to the smallest cid."""
     diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
     d2 = (
         F.floor(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x) * 10000 + F.lit(0.5))
         / 10000
     )
-    w = Window.partitionBy("vid").orderBy("d2", "cid")
+    w = Window.partitionBy("vid").orderBy(F.col("d2").asc_nulls_last(), "cid")
     return (
         vecs.crossJoin(F.broadcast(centroids))
         .withColumn("d2", d2)
@@ -258,30 +286,57 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
     in dim order), the identical floor-snap, and an argmin whose
     first-match tie-break equals the window's ORDER BY d2, cid
     (``c_rows`` must be cid-sorted). Map-side only — the corpus never
-    shuffles for assignment. NULL vectors assign to the smallest cid
-    with NULL-like d2, matching the window's NULLS FIRST pick."""
+    shuffles for assignment. NULL and wrong-length vectors assign to
+    the smallest cid with NULL d2, matching the window's NULLS FIRST
+    pick over all-NULL folds. Known caveat (documented, not fixed): a
+    vector with a genuine NaN COMPONENT yields d2 = NaN, which the
+    Arrow serializer emits as NULL where the JVM keeps a double NaN —
+    downstream sums (kmeans inertia) then skip it instead of
+    NaN-poisoning. Regime parity is contracted for NaN-free data."""
     import numpy as np
     import pandas as pd
 
-    cid_arr = np.array([r["cid"] for r in c_rows], dtype=np.int32)
-    C = np.stack([np.asarray(r["c"], dtype=np.float64) for r in c_rows])
+    min_cid = int(c_rows[0]["cid"])
+    # In the JVM form, a (vector, centroid) pair of MISMATCHED lengths
+    # folds to NULL d2 (zip_with pads with NULL), so each vector only
+    # ever competes among SAME-LENGTH centroids; a vector with no
+    # matching-length centroid gets all-NULL folds and the window's
+    # NULLS FIRST pick resolves to the smallest cid. Replicate by
+    # grouping centroids per dimension (each group stays cid-sorted —
+    # argmin first-match == the ORDER BY d2, cid tie-break within the
+    # non-NULL candidates).
+    cents_by_len: dict = {}
+    for r in c_rows:
+        arr = np.asarray(r["c"], dtype=np.float64)
+        cents_by_len.setdefault(len(arr), ([], []))
+        cents_by_len[len(arr)][0].append(int(r["cid"]))
+        cents_by_len[len(arr)][1].append(arr)
+    cents_by_len = {
+        length: (np.array(cids, dtype=np.int32), np.stack(mats))
+        for length, (cids, mats) in cents_by_len.items()
+    }
 
     def _assign(batches):
         for pdf in batches:
-            nulls = pdf["v"].map(lambda x: x is None).to_numpy()
-            live = pdf[~nulls]
-            out_cid = np.full(len(pdf), int(cid_arr[0]), dtype=np.int32)
+            lens = pdf["v"].map(lambda x: -1 if x is None else len(x)).to_numpy()
+            # default = the all-NULL-folds outcome: smallest cid, NULL d2
+            # (NULL vectors, and vectors with no same-length centroid)
+            out_cid = np.full(len(pdf), min_cid, dtype=np.int32)
             out_d2 = np.full(len(pdf), np.nan)
-            if len(live):
-                V = np.stack(live["v"].to_numpy())
-                acc = np.zeros((len(live), len(cid_arr)))
+            for length in np.unique(lens):
+                if length < 0 or length not in cents_by_len:
+                    continue
+                cid_arr, C = cents_by_len[length]
+                idx = np.flatnonzero(lens == length)
+                V = np.stack(pdf["v"].iloc[idx].to_numpy())
+                acc = np.zeros((len(idx), len(cid_arr)))
                 for i in range(V.shape[1]):
                     diff = V[:, i][:, None] - C[:, i][None, :]
                     acc += diff * diff  # JVM fold order per (row, centroid)
                 d2m = np.floor(acc * 10000 + 0.5) / 10000
                 best = d2m.argmin(axis=1)  # first min == smallest cid tie-break
-                out_cid[~nulls] = cid_arr[best]
-                out_d2[~nulls] = d2m[np.arange(len(live)), best]
+                out_cid[idx] = cid_arr[best]
+                out_d2[idx] = d2m[np.arange(len(idx)), best]
             yield pd.DataFrame(
                 {"vid": pdf["vid"], "v": pdf["v"], "cid": out_cid, "d2": out_d2}
             )
@@ -319,12 +374,7 @@ def kmeans_lloyd(
     vecs = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    # the K SMALLEST ids (TakeOrdered, k rows), as documented — NOT
-    # filter(vid < k), which is empty for id spaces that do not cover
-    # [0, k) and silently yielded zero centroids (review round 6)
-    centroids = vecs.orderBy("vid").limit(k).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
-    )
+    centroids = _seed_centroids(vecs, k)
 
     if iters < 1:
         raise ValueError("kmeans_lloyd needs iters >= 1 (the final assignment IS an iteration)")
@@ -344,7 +394,14 @@ def kmeans_lloyd(
                 key=lambda r: r["cid"],
             )
             if not c_rows:
-                raise ValueError("kmeans_lloyd: no non-NULL init vectors")
+                # all seeds NULL: the JVM regime's cross join with an
+                # empty centroid table yields an empty assignment — do
+                # the same (r7 review: raising here made the regimes
+                # diverge on the same degenerate input)
+                assigned = vecs.limit(0).select(
+                    "vid", "v", F.lit(0).alias("cid"), F.lit(0.0).alias("d2")
+                )
+                break
             assigned = _arrow_assign(vecs, c_rows)
         else:
             assigned = _jvm_assign(vecs, centroids)
@@ -420,12 +477,7 @@ def semantic_dedup(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    # the K SMALLEST ids (TakeOrdered, k rows), as documented — NOT
-    # filter(vid < k), which is empty for id spaces that do not cover
-    # [0, k) and silently yielded zero centroids (review round 6)
-    centroids = vecs.orderBy("vid").limit(k).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
-    )
+    centroids = _seed_centroids(vecs, k)
 
     import numpy as np
     import pandas as pd
@@ -462,23 +514,31 @@ def semantic_dedup(
 
     def _score(pdf: pd.DataFrame) -> pd.DataFrame:
         # priority order == the SQL window ORDER BY d2, vid (vid unique
-        # within a cluster, so the order is total — kind is irrelevant)
-        pdf = pdf.sort_values(["d2", "vid"]).reset_index(drop=True)
+        # within a cluster, so the order is total). na_position='first'
+        # matches the window's NULLS FIRST: a row whose d2 is NULL (NULL
+        # or ragged vector) ranked HIGHEST in the join form (r7 review).
+        pdf = pdf.sort_values(["d2", "vid"], na_position="first").reset_index(
+            drop=True
+        )
         n_all = len(pdf)
-        # a NULL embedding scores NULL against every mate in the join
-        # form (zip_with over a NULL array) — it can neither drop nor be
-        # dropped. Split it out as an automatic survivor instead of
-        # feeding None into np.stack (which would crash the task); it
-        # still counts toward the cluster size, and removing it from the
-        # pair matrix preserves every other row's higher-priority set
-        # exactly (its pairs never qualify in either direction).
-        isnull = pdf["v"].map(lambda x: x is None).to_numpy()
-        live = pdf[~isnull]
-        c = len(live)
         max_prev = np.zeros(n_all)
         has_prev = np.zeros(n_all, dtype=bool)
-        if c > 0:
-            V = np.stack(live["v"].to_numpy())  # (c, d) float64
+        # Pairs only score against SAME-LENGTH mates: in the join form,
+        # dot() over mismatched lengths zip_with-pads to a NULL fold —
+        # sim NULL, pair ignored in both directions — and a NULL vector
+        # scores NULL against everyone. So rows partition into
+        # length-groups; each group scores independently (its
+        # higher-priority set = earlier rows of the SAME length), NULL
+        # rows are automatic survivors, and nothing is fed to np.stack
+        # that could crash it (r7 review: ragged inputs crashed the
+        # task where the join form degraded gracefully).
+        lens = pdf["v"].map(lambda x: -1 if x is None else len(x)).to_numpy()
+        for length in np.unique(lens):
+            if length < 0:
+                continue  # NULL vectors: survivors, counted in the size
+            idx = np.flatnonzero(lens == length)
+            c = len(idx)
+            V = np.stack(pdf["v"].iloc[idx].to_numpy())  # (c, d) float64
             nsq = np.zeros(c)
             S = np.zeros((c, c))
             for i in range(V.shape[1]):
@@ -502,15 +562,15 @@ def semantic_dedup(
                 mp = masked.max(axis=1)
             else:
                 mp = np.zeros(c)
-            mp[0] = 0.0  # rank-1 row has no higher-priority mate
+            mp[0] = 0.0  # the group's first row has no same-length senior
             hp = np.ones(c, dtype=bool)
             hp[0] = False
             # -inf means every higher-priority pair was norm-masked: the
             # row is kept, exactly like the join form's all-NULL sims
             hp[mp == -np.inf] = False
             mp[mp == -np.inf] = 0.0
-            max_prev[~isnull] = mp
-            has_prev[~isnull] = hp
+            max_prev[idx] = mp
+            has_prev[idx] = hp
         return pd.DataFrame(
             {
                 "vid": pdf["vid"],
@@ -575,21 +635,11 @@ def build_ivf_index(
     # the K SMALLEST ids (TakeOrdered, k rows), as documented — NOT
     # filter(vid < k), which is empty for id spaces that do not cover
     # [0, k) and silently yielded zero centroids (review round 6)
-    centroids = vecs.orderBy("vid").limit(k).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c")
-    )
-    diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
-    d2 = (
-        F.floor(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x) * 10000 + F.lit(0.5))
-        / 10000
-    )
-    w = Window.partitionBy("vid").orderBy("d2", "cid")
-    assigned = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("d2", d2)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vid", "v", F.col("cid").alias("ivf_cluster"))
+    centroids = _seed_centroids(vecs, k)
+    # shared assignment helper (r7 review: this block was a verbatim
+    # copy of _jvm_assign that a future tie-break/snap fix would miss)
+    assigned = _jvm_assign(vecs, centroids).select(
+        "vid", "v", F.col("cid").alias("ivf_cluster")
     )
     assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(
         f"{path}/corpus"

@@ -164,6 +164,39 @@ def test_semantic_dedup_null_and_zero_vectors(spark):
     assert sum(got.values()) >= len(got)  # sizes count every member
 
 
+def test_semantic_dedup_regimes_agree_on_messy_data(spark):
+    """Both assignment regimes must agree on malformed inputs too: a
+    NULL vector among the k smallest ids (the seed filter — without it
+    Spark's NULLS FIRST window let a NULL seed hijack every
+    assignment), a ragged (wrong-length) vector (np.stack crash in the
+    Arrow path before r7 review; NULL-fold degrade in the JVM path),
+    and ordinary rows. Same survivors, clusters, sizes."""
+    from catlas_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, None),  # NULL vector with the SMALLEST id -> would be a seed
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0]),  # ragged
+        (3, [2.0, 0.0, 0.0]),  # cosine-dup of 1
+        (4, [0.0, 1.0, 0.0]),
+        (5, [2.0, 0.0]),  # cosine-dup of 2 (same-length pair must score)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(thresh):
+        return sorted(
+            (r.vec_id, r.cluster_id, r.n_cluster_members)
+            for r in semantic_dedup(
+                emb, k=3, tau=0.9, arrow_assign_from=thresh
+            ).collect()
+        )
+
+    jvm, arrow = run(10**9), run(1)
+    assert jvm == arrow and len(jvm) > 0
+    kept = {v for v, _, _ in jvm}
+    assert 0 in kept and 4 in kept  # NULL row and orthogonal row survive
+
+
 def test_semantic_dedup_assignment_regimes_identical(spark, sf_dir):
     """The large-k Arrow assignment (map-side dim-sequential numpy fold,
     identical floor-snap, argmin-first tie-break) must be BIT-IDENTICAL
