@@ -460,6 +460,47 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
     assert rows == expected and len(rows) > 0
 
 
+def test_rocksdb_all_streaming_gates_match_default(spark, sf_dir):
+    """Every REGISTRY streaming gate query (tumbling, hopping, session,
+    dedup, interval join, static enrich) must produce identical rows on
+    the RocksDB state store provider and the default provider — the six
+    state shapes (windowed agg, overlapping windows, session merge,
+    dropDuplicates eviction, stream-stream join state, broadcast
+    enrich) all round-trip their state through RocksDB's off-heap
+    column families at scale, so provider-dependent divergence must
+    fail HERE, not on a cluster (VERDICT r6 optional #7)."""
+    from catlas_spark import queries as Q
+
+    gates = [
+        "streaming_tumbling_counts",
+        "streaming_hopping_counts",
+        "streaming_session_windows",
+        "streaming_dedup_counts",
+        "streaming_interval_join",
+        "streaming_static_enrich",
+    ]
+    qs = Q.queries()
+
+    def run_all():
+        out = {}
+        for name in gates:
+            rows = qs[name](spark, sf_dir).collect()
+            out[name] = sorted(tuple(r) for r in rows)
+        return out
+
+    default = run_all()
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run_all()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    for name in gates:
+        assert rocks[name] == default[name] and len(default[name]) > 0, name
+
+
 def test_streaming_incremental_ingest_with_memo(spark, tmp_path):
     """The two engine features composed: a document stream ingested via
     foreachBatch + memoize. Re-crawled texts arriving in later
