@@ -231,18 +231,16 @@ def _seed_centroids(vecs: DataFrame, k: int) -> DataFrame:
     `semantic_dedup` and `build_ivf_index`: the k SMALLEST ids'
     vectors (TakeOrdered, k rows — NOT ``filter(vid < k)``, which is
     empty for id spaces that do not cover [0, k) and silently yielded
-    zero centroids, review round 6), with NULL vectors dropped AFTER
-    the limit. The NULL filter matches the DuckDB oracle's effective
-    semantics (its ascending sort puts a NULL distance LAST, so a NULL
-    seed never wins an assignment) — without it, Spark's NULLS FIRST
-    window ranked a NULL seed ABOVE every real centroid and a single
-    NULL embedding among the k smallest ids hijacked the whole
-    clustering (r7 review; it also made the two assignment regimes
-    diverge, since the Arrow path cannot score a NULL centroid)."""
+    zero centroids, review round 6). NULL seed vectors stay in the
+    table: a ``.filter`` AFTER the limit demotes the fast
+    TakeOrderedAndProject into a global sort+limit (measured 4x on the
+    whole operator), and the NULLS LAST rank in `_jvm_assign` already
+    makes a NULL seed lose to every real centroid — the DuckDB oracle's
+    effective semantics. `_arrow_assign` gives NULL seeds the same
+    never-wins treatment on the collected side."""
     return (
         vecs.orderBy("vid")
         .limit(k)
-        .filter(F.col("v").isNotNull())
         .select(F.col("vid").cast("int").alias("cid"), F.col("v").alias("c"))
     )
 
@@ -296,7 +294,9 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    min_cid = int(c_rows[0]["cid"])
+    min_cid = int(c_rows[0]["cid"])  # over ALL seeds, NULL vectors included:
+    # an all-NULL-folds row resolves to the globally smallest cid in the
+    # JVM window, whether or not that seed's vector is NULL
     # In the JVM form, a (vector, centroid) pair of MISMATCHED lengths
     # folds to NULL d2 (zip_with pads with NULL), so each vector only
     # ever competes among SAME-LENGTH centroids; a vector with no
@@ -307,6 +307,8 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
     # non-NULL candidates).
     cents_by_len: dict = {}
     for r in c_rows:
+        if r["c"] is None:
+            continue  # NULL seed: NULL d2 vs everyone -> never wins (NULLS LAST)
         arr = np.asarray(r["c"], dtype=np.float64)
         cents_by_len.setdefault(len(arr), ([], []))
         cents_by_len[len(arr)][0].append(int(r["cid"]))
@@ -389,15 +391,12 @@ def kmeans_lloyd(
     assigned = None
     for _ in range(iters):
         if arrow:
-            c_rows = sorted(
-                (r for r in centroids.collect() if r["c"] is not None),
-                key=lambda r: r["cid"],
-            )
+            c_rows = sorted(centroids.collect(), key=lambda r: r["cid"])
             if not c_rows:
-                # all seeds NULL: the JVM regime's cross join with an
+                # EMPTY CORPUS: the JVM regime's cross join with an
                 # empty centroid table yields an empty assignment — do
-                # the same (r7 review: raising here made the regimes
-                # diverge on the same degenerate input)
+                # the same (all-NULL seeds instead flow through
+                # _arrow_assign's never-wins handling, like the JVM)
                 assigned = vecs.limit(0).select(
                     "vid", "v", F.lit(0).alias("cid"), F.lit(0.0).alias("d2")
                 )
@@ -494,11 +493,8 @@ def semantic_dedup(
         # SAME Arrow treatment applies (see _arrow_assign). No shuffle:
         # assignment becomes map-side, which is also the 100 TB-correct
         # shape (the corpus never moves for assignment).
-        c_rows = sorted(
-            (r for r in centroids.collect() if r["c"] is not None),
-            key=lambda r: r["cid"],
-        )
-        if not c_rows:  # empty corpus (or all-NULL vectors): nothing to dedup
+        c_rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+        if not c_rows:  # empty corpus: nothing to dedup
             return vecs.limit(0).select(
                 F.col("vid").alias("vec_id"),
                 F.lit(0).alias("cluster_id"),
