@@ -285,8 +285,9 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
     first-match tie-break equals the window's ORDER BY d2, cid
     (``c_rows`` must be cid-sorted). Map-side only — the corpus never
     shuffles for assignment. NULL and wrong-length vectors assign to
-    the smallest cid with NULL d2, matching the window's NULLS FIRST
-    pick over all-NULL folds. Known caveat (documented, not fixed): a
+    the smallest cid with NULL d2 — with NULLS LAST ranking, a row whose
+    folds are ALL NULL ties every candidate and the cid tiebreak picks
+    the smallest. Known caveat (documented, not fixed): a
     vector with a genuine NaN COMPONENT yields d2 = NaN, which the
     Arrow serializer emits as NULL where the JVM keeps a double NaN —
     downstream sums (kmeans inertia) then skip it instead of
@@ -300,8 +301,8 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
     # In the JVM form, a (vector, centroid) pair of MISMATCHED lengths
     # folds to NULL d2 (zip_with pads with NULL), so each vector only
     # ever competes among SAME-LENGTH centroids; a vector with no
-    # matching-length centroid gets all-NULL folds and the window's
-    # NULLS FIRST pick resolves to the smallest cid. Replicate by
+    # matching-length centroid gets all-NULL folds, which tie under the
+    # NULLS LAST rank and resolve on the cid tiebreak. Replicate by
     # grouping centroids per dimension (each group stays cid-sorted —
     # argmin first-match == the ORDER BY d2, cid tie-break within the
     # non-NULL candidates).
@@ -393,10 +394,11 @@ def kmeans_lloyd(
         if arrow:
             c_rows = sorted(centroids.collect(), key=lambda r: r["cid"])
             if not c_rows:
-                # EMPTY CORPUS: the JVM regime's cross join with an
-                # empty centroid table yields an empty assignment — do
-                # the same (all-NULL seeds instead flow through
-                # _arrow_assign's never-wins handling, like the JVM)
+                # EMPTY CENTROID TABLE — an empty corpus, or (iteration
+                # 2+ of an all-NULL-vector corpus) a centroid update
+                # whose posexplode of NULL arrays produced no rows. The
+                # JVM regime's cross join with an empty table yields an
+                # empty assignment — do the same
                 assigned = vecs.limit(0).select(
                     "vid", "v", F.lit(0).alias("cid"), F.lit(0.0).alias("d2")
                 )
@@ -658,7 +660,14 @@ def ivf_search_pruned(
     exact-rerank by cosine inside them. Returns (vec_id, sim) top-k."""
     from ..functions.vector import dot, norm
 
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    # a NULL seed vector can be persisted by build_ivf_index (seed init
+    # keeps NULL rows to preserve its TakeOrdered plan; a NULL centroid
+    # never wins an assignment) — skip it here too instead of crashing
+    # zip(None, query) (r7 review)
+    cents = [
+        r for r in spark.read.parquet(f"{path}/centroids").collect()
+        if r["c"] is not None
+    ]
     ranked = sorted(
         cents,
         key=lambda r: (sum((a - b) ** 2 for a, b in zip(r["c"], query)), r["cid"]),

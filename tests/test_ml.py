@@ -354,6 +354,32 @@ def test_quantized_topk_production_path_skips_exact(spark, sf_dir):
     assert all(r.in_exact is None for r in rows)
 
 
+def test_ivf_index_tolerates_null_seed(spark, tmp_path):
+    """A NULL embedding among the k smallest ids persists a NULL
+    centroid row (seed init keeps NULL rows to preserve its TakeOrdered
+    plan); ivf_search_pruned must skip it instead of crashing its
+    driver-side zip, and the NULL seed must never win an assignment
+    (r7 review)."""
+    from catlas_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search_pruned,
+    )
+
+    rows = [
+        (0, None),  # smallest id -> becomes a (NULL) seed
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.9, 0.1]),
+        (4, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf_null")
+    build_ivf_index(emb, idx, k=3)
+    out = ivf_search_pruned(spark, idx, [1.0, 0.0], topk=2, nprobe=2)
+    got = [r.vec_id for r in out.collect()]
+    assert got and got[0] == 1  # exact match ranks first; no crash
+
+
 def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     """The persisted IVF index must (a) prune to the probed cluster
     directories at planning time (PartitionFilters on the hive column),
