@@ -881,6 +881,28 @@ def test_grouped_exact_quantiles_releases_its_cache(spark):
     assert cm.isEmpty(), "grouped_exact_quantiles leaked a CacheManager entry"
 
 
+def test_lazy_plans_releases_pins_on_exit(spark):
+    """pin() persists (instead of checkpointing) under lazy_plans so
+    plan sweeps see the pinned subtree — and the context exit must
+    unpersist every lazy pin, or the leaked canonicalized-plan cache
+    entries would serve stale results to later queries (the hazard
+    caching.py documents; r7 tautology hunt)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.caching import lazy_plans, pin
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    with lazy_plans():
+        df = pin(spark.range(100).select((F.col("id") % 7).alias("k")))
+        assert df.count() == 100  # usable inside the context
+        assert not cm.isEmpty()  # persisted, subtree visible to explain
+    gc.collect()
+    assert cm.isEmpty(), "lazy_plans leaked a pinned cache entry"
+
+
 def test_connected_components_ignores_null_endpoints(spark):
     """Edges with a NULL endpoint carry no linkage information — both
     regimes must drop them (the union-find path would otherwise raise
