@@ -121,24 +121,136 @@ def pagerank_adjacency(
     return ranks
 
 
-def triangle_participation(edges: DataFrame, src: str = "x", dst: str = "y") -> DataFrame:
+def triangle_participation(
+    edges: DataFrame,
+    src: str = "x",
+    dst: str = "y",
+    driver_max_edges: int = 200_000,
+    naive_max_edges: int = 1_000_000,
+) -> DataFrame:
     """Per-node triangle counts over an undirected edge list (one row
-    per edge, any consistent endpoint order), by degree-ordered edge
-    orientation (the compact-forward algorithm): every edge is oriented
-    from its lower-(degree, id) endpoint to the higher one, wedges are
-    built by joining oriented edges on their source, and a wedge closes
-    iff its outer pair is itself an oriented edge — so each triangle is
-    found exactly once, and the wedge count is bounded by the sum of
-    SQUARED ORIENTED out-degrees, which degree-ordering keeps near the
-    graph's arboricity bound instead of blowing up on hubs (a
-    celebrity node of degree 1M yields ~0 wedges as a source because
-    almost all its edges orient INTO it). Everything is hash joins and
-    aggregations on edge keys; no global sort, no relabeling pass.
+    per edge, any consistent endpoint order).
 
-    Returns (node, n_triangles) for nodes in at least one triangle.
+    Regime dispatch (the ``connected_components`` ``driver_max_edges``
+    planning discipline): the edge count — computed off the persisted
+    canonical edge list every regime reads anyway — picks the plan.
+
+    At or below ``driver_max_edges`` the canonical edge list is
+    collected and triangles are counted locally by adjacency-set
+    intersection (each canonical edge ``u<v`` contributes one triangle
+    per common neighbor ``w > v``, so each triangle counts exactly
+    once). A graph that small pays more in per-stage scheduling for the
+    two distributed joins (measured at sf0.1: the co-purchase graph is
+    3.6k edges and the distributed close costs ~0.6 s of pure job
+    overhead) than the whole closure costs locally — and this holds on
+    a 1000-executor cluster too: the *corpus*-scale work (building the
+    edge list from the fact table) stays distributed, while the
+    graph-closure tail runs where it fits. The collect is bounded by
+    the threshold by construction (~MBs), the same audited class as the
+    CC union-find dispatch at ``dedup.py``.
+
+    Between the thresholds, the NAIVE id-ordered 3-way self-join runs:
+    wedges are built from edges sharing their lower endpoint
+    (``v1 < v2`` dedups mirror wedges) and closed by probing the edge
+    list — two hash joins straight off the cached canonical edges, no
+    degree pass. The plan a single-node columnar engine picks; at ≤1M
+    edges the degree pass costs more than it saves, and the hub hazard
+    that motivates orientation is bounded by construction (worst-case
+    wedge volume is quadratic only for a single star, and at 1M edges
+    even that is one partition-sized join input).
+
+    Above the threshold, degree-ordered edge orientation (the
+    compact-forward algorithm) runs: every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges are built by
+    joining oriented edges on their source, and a wedge closes iff its
+    outer pair is itself an oriented edge — so each triangle is found
+    exactly once, and the wedge count is bounded by the sum of SQUARED
+    ORIENTED out-degrees, which degree-ordering keeps near the graph's
+    arboricity bound instead of blowing up on hubs (a celebrity node of
+    degree 1M yields ~0 wedges as a source because almost all its edges
+    orient INTO it). Everything is hash joins and aggregations on edge
+    keys; no global sort, no relabeling pass. 100× stress: 30 s vs the
+    naive plan's 104 s — the threshold keeps both numbers.
+
+    Both regimes count the same triangles (triangle counts are
+    orientation-invariant); a regime-equality test pins it at the
+    threshold. Returns (node, n_triangles) for nodes in at least one
+    triangle.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    from ..caching import materialize_and_release, maybe_persist
+
+    # self-loops and NULL endpoints carry no triangle information and
+    # would diverge the regimes (a self-loop closes fake wedges in the
+    # naive join; least/greatest collapse a NULL endpoint into a fake
+    # self-loop) — drop them up front so both regimes see the same graph
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    # canonical min<max edge form: the naive regime's join key order and
+    # the undirected expansion's input. Persisted because BOTH regimes
+    # read it 3+ times and the dispatch count materializes it anyway
+    # (upstream edge construction — explodes, aggregations — would
+    # otherwise recompute per read).
+    canon = maybe_persist(
+        e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+    )
+    # single bounded probe action: limit(k+1) returns the WHOLE edge list
+    # when it fits the driver threshold (and at most k+1 rows when it
+    # does not — the collect is bounded either way), so the small-graph
+    # path pays one action instead of a count + a collect
+    try:
+        rows = canon.limit(driver_max_edges + 1).collect()
+    except Exception:
+        canon.unpersist(blocking=False)  # release on the error path too
+        raise
+    if len(rows) <= driver_max_edges:
+        canon.unpersist(blocking=False)
+        adj: dict = {}
+        for r in rows:
+            u_, v_ = r["u"], r["v"]
+            adj.setdefault(u_, set()).add(v_)
+            adj.setdefault(v_, set()).add(u_)
+        counts: dict = {}
+        for r in rows:
+            u_, v_ = r["u"], r["v"]
+            for w_ in adj[u_] & adj[v_]:
+                if w_ > v_:  # u < v < w: each triangle exactly once
+                    counts[u_] = counts.get(u_, 0) + 1
+                    counts[v_] = counts.get(v_, 0) + 1
+                    counts[w_] = counts.get(w_, 0) + 1
+        from pyspark.sql import types as T
+
+        ntype = canon.schema["u"].dataType
+        return edges.sparkSession.createDataFrame(
+            list(counts.items()),
+            schema=T.StructType(
+                [
+                    T.StructField("node", ntype),
+                    T.StructField("n_triangles", T.LongType()),
+                ]
+            ),
+        )
+    del rows
+    n_edges = canon.count()
+    if n_edges <= naive_max_edges:
+        w = canon.select("u", F.col("v").alias("v1")).join(
+            canon.select("u", F.col("v").alias("v2")), "u"
+        ).filter(F.col("v1") < F.col("v2"))
+        tri = w.join(
+            canon.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+            ["v1", "v2"],
+        ).select("u", "v1", "v2")
+        out = (
+            tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        return materialize_and_release(out, canon)
+    und = canon.unionAll(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # orient u -> v iff (deg(u), u) < (deg(v), v): a total order, so
     # each undirected edge appears exactly once in `o`. Referenced three
@@ -169,8 +281,9 @@ def triangle_participation(edges: DataFrame, src: str = "x", dst: str = "y") -> 
     tri = wedges.join(
         o.select(F.col("u").alias("v1"), F.col("v").alias("v2")), ["v1", "v2"]
     ).select("u", "v1", "v2")
-    return (
+    out = (
         tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    return materialize_and_release(out, canon)

@@ -171,3 +171,45 @@ def test_triangle_participation_k4_plus_pendant(spark):
         r["node"]: r["n_triangles"] for r in triangle_participation(e).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_participation_regime_equality(spark):
+    """All three triangle regimes (driver adjacency-intersection, naive
+    id-ordered 3-way join, degree-ordered orientation) must count the
+    same triangles on the same graph — pinned AT the dispatch
+    thresholds, with a hub (star center), reversed/mixed edge
+    orientation, a self-loop, and a NULL endpoint in the input (the
+    hazards each regime handles differently)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.operators.graph import triangle_participation
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = set()
+    while len(edges) < 150:
+        u, v = rng.sample(nodes, 2)
+        edges.add((min(u, v), max(u, v)))
+    # hub: node 0 connected to everyone (orientation stress)
+    for v in range(1, 40):
+        edges.add((0, v))
+    rows = [
+        (v, u) if rng.random() < 0.5 else (u, v) for (u, v) in sorted(edges)
+    ]
+    rows += [(5, 5), (None, 3)]  # self-loop + NULL endpoint: no triangles
+    e = spark.createDataFrame(rows, "x LONG, y LONG")
+    n = len(edges)
+
+    def run(**kw):
+        return {
+            r["node"]: r["n_triangles"]
+            for r in triangle_participation(e, **kw).collect()
+        }
+
+    driver = run(driver_max_edges=n, naive_max_edges=n)
+    naive = run(driver_max_edges=n - 1, naive_max_edges=n)
+    degree = run(driver_max_edges=0, naive_max_edges=n - 1)
+    assert driver == naive == degree
+    assert sum(driver.values()) % 3 == 0 and sum(driver.values()) > 0
