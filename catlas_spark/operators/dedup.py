@@ -331,10 +331,10 @@ def connected_components(
     short-circuited with limit(1).
 
     Regime dispatch (same planning discipline as
-    ``set_containment_join_auto``): the edge count — already computed to
-    right-size the round shuffles — picks the execution regime. At or
+    ``set_containment_join_auto``): a single bounded ``limit(k+1)``
+    probe collects the edge list iff it fits the driver threshold. At or
     below ``driver_max_edges`` the (bidirectional, distinct) edge list
-    is collected and closed with driver-side union-find: a graph that
+    is closed with driver-side union-find: a graph that
     small pays more in per-round job scheduling (pin + convergence
     probe per round) than the whole closure costs locally, and this
     holds on a 1000-executor cluster too — near-dup match graphs are
@@ -380,15 +380,22 @@ def connected_components(
         sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         sess_parts = spark.sparkContext.defaultParallelism
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
-        try:
-            rows = edges.collect()  # bounded by driver_max_edges by construction
-        finally:
-            # release on the error path too (fetch failure mid-collect) —
-            # same stale-canonicalized-plan hazard as the distributed
-            # regime's finally below
-            edges.unpersist(blocking=False)
+    # single bounded probe action (the triangle_participation discipline):
+    # limit(k+1) returns the WHOLE edge list when it fits the driver
+    # threshold and at most k+1 rows when it does not, so the small-graph
+    # path pays one action instead of a count + a collect. The distributed
+    # branch still counts (it right-sizes the round shuffles); its count
+    # completes whatever cache partitions the probe left unbuilt.
+    try:
+        rows = edges.limit(driver_max_edges + 1).collect()
+    except Exception:
+        # release on the error path too (fetch failure mid-collect) —
+        # same stale-canonicalized-plan hazard as the distributed
+        # regime's finally below
+        edges.unpersist(blocking=False)
+        raise
+    if len(rows) <= driver_max_edges:
+        edges.unpersist(blocking=False)
         parent: dict = {}
 
         def _find(x):
@@ -424,6 +431,8 @@ def connected_components(
                 ]
             ),
         )
+    del rows
+    n_edges = edges.count()
     right_size = max(1, min(sess_parts, n_edges // 100_000 + 1))
     try:
         # init FUSED with propagation round 1: the first hash-to-min
