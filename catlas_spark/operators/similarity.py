@@ -256,12 +256,29 @@ def _jvm_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     FIRST would rank that non-distance ABOVE every real distance —
     hijacking the assignment — where the DuckDB oracle's ascending sort
     (NULLS LAST) ignores it. A row with only NULL folds still resolves
-    to the smallest cid."""
+    to the smallest cid.
+
+    NaN d2 is snapped to NULL (r8, closing the r7 regime-divergence
+    note): a NaN COMPONENT in the vector or centroid folds to a double
+    NaN here, which Spark ranks ABOVE every real distance (NaN sorts
+    largest) but BELOW NULL — a third ordering class neither the Arrow
+    regime (whose argmin NaN-poisons) nor the scorer's pandas sort
+    (which groups NaN with NULL) reproduces. One ``nanvl`` collapses
+    NaN into the already-handled NULL class on the JVM side, so a
+    poisoned pair is a non-distance everywhere: the broken centroid
+    never wins, the broken vector takes the all-NULL-folds default, and
+    the k>=65 dispatch provably cannot change an answer. The nanvl must
+    wrap the RAW fold, before the grid snap: Spark's floor(double)
+    returns BIGINT, so floor(NaN*1e4+0.5) silently snapped NaN to 0 —
+    the poisoned centroid didn't just mis-rank, it WON every assignment
+    at d2=0 (caught by the r8 regime-equality test, worse than the r7
+    note assumed)."""
     diff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
-    d2 = (
-        F.floor(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x) * 10000 + F.lit(0.5))
-        / 10000
+    raw = F.nanvl(
+        F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x),
+        F.lit(None).cast("double"),
     )
+    d2 = F.floor(raw * 10000 + F.lit(0.5)) / 10000
     w = Window.partitionBy("vid").orderBy(F.col("d2").asc_nulls_last(), "cid")
     return (
         vecs.crossJoin(F.broadcast(centroids))
@@ -287,11 +304,13 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
     shuffles for assignment. NULL and wrong-length vectors assign to
     the smallest cid with NULL d2 — with NULLS LAST ranking, a row whose
     folds are ALL NULL ties every candidate and the cid tiebreak picks
-    the smallest. Known caveat (documented, not fixed): a
-    vector with a genuine NaN COMPONENT yields d2 = NaN, which the
-    Arrow serializer emits as NULL where the JVM keeps a double NaN —
-    downstream sums (kmeans inertia) then skip it instead of
-    NaN-poisoning. Regime parity is contracted for NaN-free data."""
+    the smallest. NaN COMPONENTS (in a seed or a corpus row — Arrow
+    hands NULL array elements to numpy as NaN, so those land here too)
+    fold to NaN distances, which are NON-candidates in both regimes
+    (r8): the JVM fold nanvl-snaps NaN d2 to NULL, and this path masks
+    NaN entries out of the argmin — a poisoned centroid never wins, a
+    poisoned vector takes the all-NULL-folds default. Parity holds on
+    NaN-bearing data, not just NaN-free (regime-equality tested)."""
     import numpy as np
     import pandas as pd
 
@@ -337,9 +356,25 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
                     diff = V[:, i][:, None] - C[:, i][None, :]
                     acc += diff * diff  # JVM fold order per (row, centroid)
                 d2m = np.floor(acc * 10000 + 0.5) / 10000
-                best = d2m.argmin(axis=1)  # first min == smallest cid tie-break
-                out_cid[idx] = cid_arr[best]
-                out_d2[idx] = d2m[np.arange(len(idx)), best]
+                # NaN entries (a NaN component in the vector or the
+                # centroid — Arrow hands NULL elements to numpy as NaN)
+                # are NON-distances: the JVM fold snaps them to NULL
+                # (nanvl) and NULLS LAST ranks them below every real
+                # candidate. A plain argmin would instead PROPAGATE the
+                # NaN and hand the row to the poisoned centroid. Mask:
+                # rank over valid entries only (first-valid-min == the
+                # ORDER BY d2, cid tie-break), rows with no valid
+                # candidate keep the all-NULL-folds default.
+                valid = ~np.isnan(d2m)
+                has_valid = valid.any(axis=1)
+                masked = np.where(valid, d2m, np.inf)
+                row_min = masked.min(axis=1)
+                # first VALID index achieving the min (a masked inf could
+                # otherwise shadow a genuine +inf distance at a lower cid)
+                best = (valid & (masked == row_min[:, None])).argmax(axis=1)
+                sel = np.flatnonzero(has_valid)
+                out_cid[idx[sel]] = cid_arr[best[sel]]
+                out_d2[idx[sel]] = d2m[sel, best[sel]]
             yield pd.DataFrame(
                 {"vid": pdf["vid"], "v": pdf["v"], "cid": out_cid, "d2": out_d2}
             )
@@ -406,10 +441,25 @@ def kmeans_lloyd(
             assigned = _arrow_assign(vecs, c_rows)
         else:
             assigned = _jvm_assign(vecs, centroids)
+        # nanvl: poisoned components (NaN, or NULL — the Arrow regime's
+        # serializer hands NULL elements back as NaN, so the two spell
+        # the same non-value differently) are SKIPPED by the mean, the
+        # same never-counts treatment the assignment gives them; without
+        # it avg() propagates NaN on one regime and skips NULL on the
+        # other and iteration 2 diverges
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg((F.floor(F.avg("x") * 10000 + F.lit(0.5)) / 10000).alias("m"))
+            .agg(
+                (
+                    F.floor(
+                        F.avg(F.nanvl(F.col("x"), F.lit(None).cast("double")))
+                        * 10000
+                        + F.lit(0.5)
+                    )
+                    / 10000
+                ).alias("m")
+            )
             .groupBy("cid")
             .agg(
                 F.transform(

@@ -527,3 +527,59 @@ def test_kmeans_and_semantic_handle_shifted_id_space(spark):
     assert sd.count() > 0  # survivors exist — corpus not silently pruned
     with pytest.raises(ValueError, match="iters"):
         kmeans_lloyd(e, k=4, iters=0)
+
+
+def test_assignment_regimes_agree_on_nan_components(spark):
+    """NaN/NULL COMPONENTS (not whole-NULL vectors) must not change
+    answers across the assignment dispatch (r8, closing the r7 caveat):
+    a poisoned centroid folds to NaN d2 against every vector — the JVM
+    fold now nanvl-snaps that to NULL (never wins under NULLS LAST) and
+    the Arrow argmin masks it (never a plain argmin, which propagates
+    NaN); a poisoned corpus row takes the all-NULL-folds default on
+    both paths. Covers a NULL component in a SEED, a NaN component in a
+    SEED, and both flavors in corpus rows, through semantic_dedup AND
+    both kmeans iterations (the centroid-update mean must also skip
+    poisoned components identically — the Arrow serializer hands NULL
+    elements back as NaN)."""
+    from catlas_spark.operators.similarity import kmeans_lloyd, semantic_dedup
+
+    nan = float("nan")
+    rows = [
+        (0, [1.0, None, 0.0]),  # NULL component in a seed (k=3 -> ids 0,1,2)
+        (1, [nan, 0.0, 0.0]),  # NaN component in a seed
+        (2, [0.0, 1.0, 0.0]),  # the only clean seed
+        (3, [0.0, 2.0, 0.0]),  # cosine-dup of 2
+        (4, [1.0, None, 3.0]),  # NULL component corpus row
+        (5, [nan, 5.0, 1.0]),  # NaN component corpus row
+        (6, [5.0, 0.0, 1.0]),
+        (7, [0.0, 1.0, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run_sd(thresh):
+        return sorted(
+            (r.vec_id, r.cluster_id, r.n_cluster_members)
+            for r in semantic_dedup(
+                emb, k=3, tau=0.9, arrow_assign_from=thresh
+            ).collect()
+        )
+
+    jvm, arrow = run_sd(10**9), run_sd(1)
+    assert jvm == arrow and len(jvm) > 0
+    kept = {v for v, _, _ in jvm}
+    assert 2 in kept  # the clean seed's cluster keeps its keeper
+    # poisoned rows assign to the default cluster as non-candidates on
+    # BOTH paths; whether the scorer then drops them is its own spec
+    # (NaN sims drop, matching the former join form) — parity is the
+    # contract here, pinned by the equality above
+
+    def run_km(thresh):
+        return sorted(
+            (r.cluster_id, r.n_members, r.inertia)
+            for r in kmeans_lloyd(
+                emb, k=3, iters=2, arrow_assign_from=thresh
+            ).collect()
+        )
+
+    km_jvm, km_arrow = run_km(10**9), run_km(1)
+    assert km_jvm == km_arrow and len(km_jvm) > 0
