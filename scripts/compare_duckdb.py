@@ -84,7 +84,22 @@ def main() -> None:
             runs[n].append(time.perf_counter() - t0)
     duck = {n: round(statistics.median(v), 3) for n, v in runs.items() if v}
 
-    detail_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.json")
+    # spark side: prefer the NEWER of the committed authoritative detail
+    # (BENCH_DETAIL.json, written only under bench.py --commit-detail)
+    # and the default rerun artifact (BENCH_DETAIL.latest.json) — a
+    # back-to-back pair should compare THIS session's spark run, while a
+    # standalone oracle rerun still compares against the committed pair
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = [
+        p
+        for p in (
+            os.path.join(repo, "BENCH_DETAIL.json"),
+            os.path.join(repo, "BENCH_DETAIL.latest.json"),
+        )
+        if os.path.exists(p)
+    ]
+    detail_path = max(candidates, key=os.path.getmtime) if candidates else os.path.join(repo, "BENCH_DETAIL.json")
+    spark_src = os.path.basename(detail_path)
     spark: dict[str, float] = {}
     if os.path.exists(detail_path):
         detail = json.load(open(detail_path))
@@ -96,17 +111,21 @@ def main() -> None:
             spark = detail["queries"]
         else:
             print(
-                f"BENCH_DETAIL.json is sf={detail.get('sf')} but sf_dir={sf_dir}; "
+                f"{spark_src} is sf={detail.get('sf')} but sf_dir={sf_dir}; "
                 "spark side omitted - rerun bench.py at this sf",
                 file=sys.stderr,
             )
 
     duck_total = round(sum(duck.values()), 3)
     # persist per-query medians so ratio analysis across rounds reads
-    # one artifact pair (BENCH_DETAIL.json + DUCK_DETAIL.json)
-    with open(
-        os.path.join(os.path.dirname(detail_path), "DUCK_DETAIL.json"), "w"
-    ) as f:
+    # one artifact pair — same overwrite protection as bench.py: the
+    # committed DUCK_DETAIL.json only updates when recording an
+    # authoritative pair (--commit-detail / SPARK_GRAFT_BENCH_COMMIT)
+    authoritative = "--commit-detail" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_COMMIT"
+    )
+    duck_name = "DUCK_DETAIL.json" if authoritative else "DUCK_DETAIL.latest.json"
+    with open(os.path.join(repo, duck_name), "w") as f:
         json.dump({"sf_dir": sf_dir, "queries": duck}, f, sort_keys=True)
     spark_common = {n: s for n, s in spark.items() if n in duck and s >= 0}
     spark_total = round(sum(spark_common.values()), 3)
@@ -134,7 +153,7 @@ def main() -> None:
                     {"query": n, "ratio": round(r, 1), "duck": d, "spark": s}
                     for r, n, d, s in worst
                 ],
-                "note": "spark side read from BENCH_DETAIL.json - run bench.py back-to-back on an idle box",
+                "note": f"spark side read from {spark_src} - run bench.py back-to-back on an idle box",
             }
         )
     )
