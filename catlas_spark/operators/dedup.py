@@ -35,7 +35,7 @@ Scale/portability design:
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import materialize_and_release, maybe_persist
@@ -640,14 +640,23 @@ def containment_pairs(
        contained doc to consist almost entirely of corpus-wide
        boilerplate (those pairs are boilerplate matches, not copies).
     """
-    # the shingle explode+hash+distinct subtree feeds FOUR consumers
-    # (the sets build, the document-frequency aggregate, and both sides
+    # the shingle explode+hash+dedup subtree feeds FOUR consumers
+    # (the sets build, the document-frequency filter, and both sides
     # of the candidate self-join via `rare`) — persist it or the
-    # corpus-sized explode re-executes per consumer
+    # corpus-sized explode re-executes per consumer.
+    # ONE exchange serves three of them (r8 job-count cut, 22 -> fewer
+    # AQE stage materializations): the explicit hash repartition on h1
+    # ahead of the dedup satisfies dropDuplicates' clustering (h1 is a
+    # subset of the dedup key, so same-(doc,h1) rows are co-located),
+    # the persisted cache KEEPS that partitioning, and both the
+    # window-df filter below and the candidate self-join on h1 then run
+    # exchange-free on top of it — where the old distinct + df-aggregate
+    # + join-back shape paid a separate shuffle for each.
     hashed = (
         shingle_hashes(df, text_col, id_col, shingle_n)
         .select("doc", "h1")
-        .distinct()
+        .repartition("h1")
+        .dropDuplicates(["doc", "h1"])
         .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
     # full sets for exact verify; reused by both join sides -> persist
@@ -656,9 +665,15 @@ def containment_pairs(
         .agg(F.collect_set("h1").alias("hset"), F.count(F.lit(1)).alias("n_sh"))
         .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
-    rare = hashed.join(
-        hashed.groupBy("h1").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),
-        "h1",
+    # document frequency as a window over the SAME h1 partitioning —
+    # identical df values to the old groupBy(h1)+join-back (both count
+    # deduped (doc, h1) rows), minus that pair of exchanges
+    rare = (
+        hashed.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h1"))
+        )
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
     )
     a, b = rare.alias("a"), rare.alias("b")
     cand = (

@@ -39,18 +39,24 @@ def _apply_merge(seg: DataFrame, a: str, b: str) -> DataFrame:
         .filter(F.col("rn") % 2 == 1)
         .select("word", "pos")
     )
-    # the selection table is at most vocabulary-sized — broadcast both uses
-    s_keep = F.broadcast(sel.withColumn("is_sel", F.lit(True)))
-    s_drop = F.broadcast(
-        sel.select("word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("is_drop"))
+    # ONE broadcast of a marker table instead of two (r8 job-count cut:
+    # each broadcast exchange was its own AQE stage materialization, ×2
+    # per merge iteration): a merge START (pos, mk=1) and its absorbed
+    # right neighbor (pos+1, mk=2) are disjoint (starts within a run are
+    # 2 apart; runs are non-adjacent), so the union keys are unique and
+    # a single left join recovers both flags. Vocabulary-sized, as
+    # before.
+    marks = F.broadcast(
+        sel.select("word", "pos", F.lit(1).alias("mk")).unionAll(
+            sel.select("word", (F.col("pos") + 1).alias("pos"), F.lit(2).alias("mk"))
+        )
     )
     return (
-        with_n.join(s_keep, ["word", "pos"], "left")
-        .join(s_drop, ["word", "pos"], "left")
-        .filter(F.col("is_drop").isNull())
+        with_n.join(marks, ["word", "pos"], "left")
+        .filter(F.col("mk").isNull() | (F.col("mk") == 1))
         .withColumn(
             "sym2",
-            F.when(F.col("is_sel"), F.concat("sym", "nxt")).otherwise(F.col("sym")),
+            F.when(F.col("mk") == 1, F.concat("sym", "nxt")).otherwise(F.col("sym")),
         )
         .withColumn("pos2", F.row_number().over(w))
         .select("word", "cnt", F.col("pos2").alias("pos"), F.col("sym2").alias("sym"))
@@ -95,6 +101,14 @@ def bpe_train(
         )
         .select("word", "cnt", (F.col("pos") + 1).alias("pos"), F.col("col").alias("sym"))
     )
+    # Iteration pins stay pin() (localCheckpoint): a persist-based pin
+    # that in PRINCIPLE preserves the hash(word) partitioning/ordering
+    # for the next iteration's lead window was measured and REJECTED —
+    # under AQE the cached plan is adaptive, its final partitioning is
+    # unknown at the consumer's planning time, so the exchange is paid
+    # anyway AND the eager count through the full plan costs more than
+    # the checkpoint's direct RDD materialization (19 vs 20 jobs,
+    # 2.3-2.7 s vs 1.8-2.0 s warm at sf0.1, same session back-to-back).
     from ..caching import pin
 
     seg = pin(seg)
