@@ -127,6 +127,24 @@ def materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
     return out
 
 
+def keep_alive(child: DataFrame, *parents: DataFrame) -> DataFrame:
+    """Tie a materialized parent's release-on-GC to a DERIVED frame's
+    lifetime.
+
+    A caller that post-processes a :func:`materialize_and_release`
+    output (select / cast / filter) returns a NEW Python wrapper; the
+    operator output's local name dies at function return, the weakref
+    finalizer fires, and the just-counted cache is unpersisted BEFORE
+    the caller's action ever runs — a silent full recompute of the
+    operator pipeline (caught at the r8 100x triangle stress: ten extra
+    jobs re-running the whole 60M-row pair build after the M&R count
+    had already done it). Attaching the parents to the child keeps the
+    finalizer armed until the derived frame itself is dropped, which is
+    the lifetime the release-on-GC discipline intended."""
+    child._mr_keepalive = getattr(child, "_mr_keepalive", ()) + tuple(parents)
+    return child
+
+
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize a layout whose row placement must not change between
     the passes that read it (ranked offsets, CC rounds, BPE states).
@@ -158,9 +176,13 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
 
     if not _MATERIALIZE:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # register BEFORE the eager count (ADVICE r7): if the count
+        # raises (bad plan, executor loss) an unregistered persisted
+        # frame would outlive the context — the stale-canonicalized-plan
+        # CacheManager hazard this list exists to close
+        _LAZY_PINS.append(df)
         if eager:
             df.count()
-        _LAZY_PINS.append(df)
         return df
 
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")

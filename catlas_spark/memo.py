@@ -78,6 +78,42 @@ def memo_key(key_cols: list[str], version: str) -> F.Column:
     return F.xxhash64(*cols, F.lit(f"{KEY_SCHEMA}:{version}"))
 
 
+_SCHEMA_MARKER = "_key_schema"
+
+
+def _check_schema_marker(path: str) -> None:
+    """Persist/verify the key-schema tag alongside the table (ADVICE r7):
+    a table written under an older KEY_SCHEMA is all-miss dead storage
+    after an upgrade — detect it LOUDLY at lookup time instead of
+    silently recomputing over it forever. The marker is written when the
+    table is first touched under the current schema; a mismatch warns
+    (the rows are unreachable, not wrong — dropping the table is the
+    operator's documented upgrade step, not something a lookup should do
+    destructively). Pre-marker tables can't be classified and stay
+    silent."""
+    marker = os.path.join(path, _SCHEMA_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+        if found != KEY_SCHEMA:
+            import warnings
+
+            warnings.warn(
+                f"memo table {path} was written under key schema "
+                f"{found!r} but this build derives keys under "
+                f"{KEY_SCHEMA!r}: every lookup will miss and the old rows "
+                "are unreclaimable dead storage — DROP or rebuild the "
+                "table (see KEY_SCHEMA docs)",
+                stacklevel=3,
+            )
+        return
+    if os.path.isdir(path) and _memo_files(path):
+        return  # pre-marker table: age unknown, cannot classify
+    os.makedirs(path, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(KEY_SCHEMA)
+
+
 def _memo_files(path: str) -> list[str]:
     """Pinned snapshot of the memo table: the explicit list of part files
     currently on disk (recursive — sharded tables keep their files under
@@ -162,6 +198,7 @@ def memoize(
     itself an expensive derived plan — the very input memoization
     targets.
     """
+    _check_schema_marker(table_path)
     keyed = df.withColumn(KEY_COL, memo_key(key_cols, version))
     if pin_input:
         from .caching import pin
@@ -232,6 +269,14 @@ def compact(spark: SparkSession, table_path: str) -> int:
     if memo is None:
         return 0
     sharded = SHARD_COL in memo.columns
+    # the overwrite below clears the directory — carry the key-schema
+    # marker across (the compacted rows keep whatever era they were
+    # written under; compact cannot re-derive keys)
+    marker = os.path.join(table_path, _SCHEMA_MARKER)
+    marker_val = None
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            marker_val = f.read().strip()
     tmp = table_path + ".compact"
     memo.write.mode("overwrite").parquet(tmp)
     compacted = spark.read.parquet(tmp)
@@ -239,6 +284,9 @@ def compact(spark: SparkSession, table_path: str) -> int:
     if sharded:
         writer = writer.partitionBy(SHARD_COL)
     writer.parquet(table_path)
+    if marker_val is not None:
+        with open(marker, "w") as f:
+            f.write(marker_val)
     n = spark.read.parquet(table_path).count()
     import shutil
 

@@ -185,7 +185,14 @@ def _is_sort_order(c: Column) -> bool:
     # MISORDERS results instead of failing loudly.
     try:
         name = c._jc.node().getClass().getName()
-        return name.endswith(".SortOrder")
+        if name.endswith(".SortOrder"):
+            return True
+        # a structural NON-match still falls through to the repr
+        # heuristic (ADVICE r7): if a future Spark renames/wraps the
+        # internal node class while _jc.node() keeps resolving, an
+        # early False here would silently misroute a .desc() key into
+        # the struct-min aggregate — the exact misordering this
+        # function exists to prevent
     except Exception:
         pass
     # Connect / no-JVM fallback: SortOrder always renders with an

@@ -2461,14 +2461,17 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rem + F.ceil((F.col("rnk") - cut) / max(base, 1)))
         .cast("long")
     )
-    return (
+    from .caching import keep_alive
+
+    return keep_alive(
         ranked.select("o_totalprice", q.alias("q"))
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 4).alias("lo"),
             F.round(F.max("o_totalprice"), 4).alias("hi"),
-        )
+        ),
+        ranked,  # derived frame must outlive ranked's release-on-GC
     )
 
 
@@ -2853,14 +2856,17 @@ def q_token_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, totals = ranked_by_range(
         counts, [F.col("n").desc(), "tok"], cum_cols=("n",)
     )
-    return (
+    from .caching import keep_alive
+
+    return keep_alive(
         ranked.filter(F.col("rnk") <= 100)
         .select(
             "tok",
             "n",
             "rnk",
             F.round(F.col("cum_n") / F.lit(totals["sum_n"]), 4).alias("cum_share"),
-        )
+        ),
+        ranked,  # derived frame must outlive ranked's release-on-GC
     )
 
 
@@ -6146,7 +6152,16 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
     )
     out = triangle_participation(pairs)
-    return out.select(F.col("node").alias("part"), F.col("n_triangles").cast("long"))
+    # keep_alive: the select returns a NEW wrapper; without the tie the
+    # operator output's finalizer unpersists its just-counted cache at
+    # function return and the caller's action recomputes the whole
+    # pipeline (caching.keep_alive)
+    from .caching import keep_alive
+
+    return keep_alive(
+        out.select(F.col("node").alias("part"), F.col("n_triangles").cast("long")),
+        out,
+    )
 
 
 _MAD_ORACLE = """

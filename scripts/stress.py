@@ -169,7 +169,21 @@ def main() -> None:
         k = max(8, emb.count() // 250)
         return semantic_dedup(emb, k=k, tau=0.38)
 
-    overrides = {"dedup_semantic": semantic_dedup_scaled}
+    def kmeans_scaled(spark, sf_dir):
+        # same k ∝ corpus discipline for the trainer (registry pins k=8
+        # for its fixed oracle): the shared Arrow-assignment dispatch's
+        # second consumer, covered at the scale that found the
+        # dedup_semantic cliff
+        from catlas_spark.operators.similarity import kmeans_lloyd
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        k = max(8, emb.count() // 250)
+        return kmeans_lloyd(emb, k=k, iters=2)
+
+    overrides = {
+        "dedup_semantic": semantic_dedup_scaled,
+        "kmeans_ivf_train": kmeans_scaled,
+    }
     timings = {}
     names = [n for n in HEADLINE if only is None or n in only]
     if only:

@@ -905,3 +905,36 @@ def test_stateful_user_stats_all_null_values_emit_null_max():
     [out2] = list(_user_stats_update((7,), [pd.DataFrame({"value": [3.5]})], st2))
     assert out2["max_value"].iloc[0] == 3.5
     assert st2.stored == (3, 3.5, 3.5)
+
+
+def test_memo_key_schema_marker(spark, tmp_path):
+    """The key-schema marker (ADVICE r7): a fresh table records the
+    current KEY_SCHEMA; a table marked with an OLDER schema warns loudly
+    at lookup time (its rows are unreachable dead storage after an
+    upgrade) instead of silently recomputing forever; compact preserves
+    the marker across its directory rewrite."""
+    import os
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.memo import KEY_SCHEMA, _SCHEMA_MARKER, compact, memoize
+
+    table = str(tmp_path / "memo_marker")
+    df = spark.range(0, 10).select(F.col("id").alias("x"))
+    memoize(spark, df, ["x"], _expensive, table)
+    marker = os.path.join(table, _SCHEMA_MARKER)
+    assert open(marker).read().strip() == KEY_SCHEMA
+
+    # compact rewrites the directory — the marker must survive
+    compact(spark, table)
+    assert open(marker).read().strip() == KEY_SCHEMA
+
+    # stale-schema table: lookups warn (and still work — all-miss)
+    with open(marker, "w") as f:
+        f.write("k0")
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        out = memoize(spark, df, ["x"], _expensive, table)
+        assert {r.result for r in out.collect()} == {i * 10 for i in range(10)}
+    assert any("key schema" in str(w.message) for w in got)

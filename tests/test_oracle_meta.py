@@ -11,10 +11,12 @@ from __future__ import annotations
 
 import math
 import sys
+from pathlib import Path
 
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+# repo root from __file__, not a hardcoded checkout path (ADVICE r7)
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from scripts.check_oracle import compare
 

@@ -418,3 +418,44 @@ def test_lazy_plans_registers_no_cache_entries(spark, sf_dir):
         for name in ("skyline_pareto", "set_containment_prefix", "lm_quality_score"):
             Q.queries()[name](spark, sf_dir)  # build only; no action
     assert cm.isEmpty(), "lazy_plans left CacheManager entries behind"
+
+
+def test_keep_alive_prevents_premature_cache_release(spark):
+    """r8: a frame DERIVED from a materialize_and_release output must
+    not lose the materialized cache when the operator output's local
+    name dies — without keep_alive the weakref finalizer unpersists the
+    just-counted cache at function return and the caller's action
+    silently recomputes the whole pipeline (caught at the 100x triangle
+    stress: ten extra jobs re-running the 60M-row pair build)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.caching import keep_alive, materialize_and_release
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    def make_derived(tie):
+        big = spark.range(0, 100_000).select(
+            (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+        )
+        out = materialize_and_release(
+            big.groupBy("k").agg(F.sum("v").alias("s"))
+        )
+        derived = out.select("k", (F.col("s") * 2).alias("s2"))
+        return keep_alive(derived, out) if tie else derived
+
+    # untied: the finalizer fires once the operator-local wrapper dies
+    d = make_derived(tie=False)
+    gc.collect()
+    assert cm.isEmpty(), "expected the untied cache to be released on GC"
+    d.count()  # recomputes, still correct — just wasteful
+
+    # tied: the cache must survive until the DERIVED frame dies
+    d = make_derived(tie=True)
+    gc.collect()
+    assert not cm.isEmpty(), "keep_alive failed: cache released early"
+    d.count()  # served from the surviving cache
+    del d
+    gc.collect()
+    assert cm.isEmpty(), "cache must still release once the derived frame dies"
