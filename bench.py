@@ -115,8 +115,8 @@ def main() -> None:
     # --commit-detail / SPARK_GRAFT_BENCH_COMMIT=1 (the builder recording
     # an authoritative pair) overwrites BENCH_DETAIL.json itself.
     authoritative = "--commit-detail" in sys.argv or os.environ.get(
-        "SPARK_GRAFT_BENCH_COMMIT"
-    )
+        "SPARK_GRAFT_BENCH_COMMIT", ""
+    ).lower() not in ("", "0", "false", "no")
     detail_name = "BENCH_DETAIL.json" if authoritative else "BENCH_DETAIL.latest.json"
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name

@@ -90,6 +90,17 @@ def lazy_plans():
                     pass
 
 
+def is_materializing() -> bool:
+    """True outside :func:`lazy_plans` — operators whose REGIME DISPATCH
+    runs driver actions (probe collects, dispatch counts) consult this
+    to return their representative distributed plan lazily instead:
+    under the explain-only context those actions would re-execute the
+    un-persisted upstream per probe (maybe_persist is a no-op there),
+    and a driver-regime LocalRelation would make the plan sweep vacuous
+    for exactly the plan it exists to check."""
+    return _MATERIALIZE
+
+
 def maybe_persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:

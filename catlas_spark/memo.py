@@ -284,6 +284,10 @@ def compact(spark: SparkSession, table_path: str) -> int:
     if sharded:
         writer = writer.partitionBy(SHARD_COL)
     writer.parquet(table_path)
+    # restore the marker IMMEDIATELY after the destructive overwrite —
+    # a failure in the count/cleanup below must not leave the table
+    # silently demoted to "pre-marker, unclassifiable" (which would
+    # permanently disable the stale-schema warning)
     if marker_val is not None:
         with open(marker, "w") as f:
             f.write(marker_val)

@@ -177,7 +177,7 @@ def triangle_participation(
     threshold. Returns (node, n_triangles) for nodes in at least one
     triangle.
     """
-    from ..caching import materialize_and_release, maybe_persist
+    from ..caching import is_materializing, materialize_and_release, maybe_persist
 
     # self-loops and NULL endpoints carry no triangle information and
     # would diverge the regimes (a self-loop closes fake wedges in the
@@ -196,94 +196,112 @@ def triangle_participation(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
     )
-    # single bounded probe action: limit(k+1) returns the WHOLE edge list
-    # when it fits the driver threshold (and at most k+1 rows when it
-    # does not — the collect is bounded either way), so the small-graph
-    # path pays one action instead of a count + a collect
-    try:
-        rows = canon.limit(driver_max_edges + 1).collect()
-    except Exception:
-        canon.unpersist(blocking=False)  # release on the error path too
-        raise
-    if len(rows) <= driver_max_edges:
-        canon.unpersist(blocking=False)
-        adj: dict = {}
-        for r in rows:
-            u_, v_ = r["u"], r["v"]
-            adj.setdefault(u_, set()).add(v_)
-            adj.setdefault(v_, set()).add(u_)
-        counts: dict = {}
-        for r in rows:
-            u_, v_ = r["u"], r["v"]
-            for w_ in adj[u_] & adj[v_]:
-                if w_ > v_:  # u < v < w: each triangle exactly once
-                    counts[u_] = counts.get(u_, 0) + 1
-                    counts[v_] = counts.get(v_, 0) + 1
-                    counts[w_] = counts.get(w_, 0) + 1
-        from pyspark.sql import types as T
-
-        ntype = canon.schema["u"].dataType
-        return edges.sparkSession.createDataFrame(
-            list(counts.items()),
-            schema=T.StructType(
-                [
-                    T.StructField("node", ntype),
-                    T.StructField("n_triangles", T.LongType()),
-                ]
-            ),
-        )
-    del rows
-    n_edges = canon.count()
-    if n_edges <= naive_max_edges:
-        w = canon.select("u", F.col("v").alias("v1")).join(
-            canon.select("u", F.col("v").alias("v2")), "u"
-        ).filter(F.col("v1") < F.col("v2"))
-        tri = w.join(
-            canon.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
-            ["v1", "v2"],
-        ).select("u", "v1", "v2")
-        out = (
+    def _per_node(tri: DataFrame) -> DataFrame:
+        return (
             tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
+
+    def _naive_plan() -> DataFrame:
+        w = (
+            canon.select("u", F.col("v").alias("v1"))
+            .join(canon.select("u", F.col("v").alias("v2")), "u")
+            .filter(F.col("v1") < F.col("v2"))
+        )
+        tri = w.join(
+            canon.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+            ["v1", "v2"],
+        ).select("u", "v1", "v2")
+        return _per_node(tri)
+
+    def _degree_plan() -> DataFrame:
+        und = canon.unionAll(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        # orient u -> v iff (deg(u), u) < (deg(v), v): a total order, so
+        # each undirected edge appears exactly once in `o`. Referenced
+        # three times below (both wedge sides + the closing probe) and
+        # left LAZY on purpose: AQE's runtime stage cache dedups the
+        # repeated shuffle subtrees within the single action, while
+        # persist(MEMORY_ONLY) + materialize was measured 2-5x SLOWER
+        # here (13.5/4.8/16.7 s vs 3.4/2.1/3.4 s back-to-back at sf0.1)
+        # — the build+count actions cost more than the plan-tree
+        # repetition ever does
+        o = (
+            und.join(deg, "u")
+            .withColumnRenamed("d", "du")
+            .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+            .filter(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+            )
+            .select("u", "v", "dv")
+        )
+        wedges = (
+            o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+            .join(o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2")), "u")
+            .filter(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+            )
+        )
+        tri = wedges.join(
+            o.select(F.col("u").alias("v1"), F.col("v").alias("v2")), ["v1", "v2"]
+        ).select("u", "v1", "v2")
+        return _per_node(tri)
+
+    if not is_materializing():
+        # explain-only context (lazy_plans): no probe, no dispatch count,
+        # no caches — return the scale-representative degree-ordered plan
+        # lazily, exactly the pre-dispatch behavior. Otherwise the probe
+        # and count would each re-execute the un-persisted corpus-sized
+        # edge build, and the sf0.1 driver regime would hand the plan
+        # sweep a vacuous LocalRelation (the r7 pin tautology, again).
+        return _degree_plan()
+
+    # single bounded probe action: limit(k+1) returns the WHOLE edge list
+    # when it fits the driver threshold (and at most k+1 rows when it
+    # does not — the collect is bounded either way), so the small-graph
+    # path pays one action instead of a count + a collect. The whole
+    # dispatch runs under one release-on-error guard: any failure after
+    # the persist (probe, count, the M&R materialization) must not leave
+    # the canon cache in the CacheManager (stale-canonicalized-plan
+    # hazard, caching.py).
+    try:
+        rows = canon.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            canon.unpersist(blocking=False)
+            adj: dict = {}
+            for r in rows:
+                u_, v_ = r["u"], r["v"]
+                adj.setdefault(u_, set()).add(v_)
+                adj.setdefault(v_, set()).add(u_)
+            counts: dict = {}
+            for r in rows:
+                u_, v_ = r["u"], r["v"]
+                for w_ in adj[u_] & adj[v_]:
+                    if w_ > v_:  # u < v < w: each triangle exactly once
+                        counts[u_] = counts.get(u_, 0) + 1
+                        counts[v_] = counts.get(v_, 0) + 1
+                        counts[w_] = counts.get(w_, 0) + 1
+            from pyspark.sql import types as T
+
+            ntype = canon.schema["u"].dataType
+            return edges.sparkSession.createDataFrame(
+                list(counts.items()),
+                schema=T.StructType(
+                    [
+                        T.StructField("node", ntype),
+                        T.StructField("n_triangles", T.LongType()),
+                    ]
+                ),
+            )
+        del rows
+        n_edges = canon.count()
+        out = _naive_plan() if n_edges <= naive_max_edges else _degree_plan()
         return materialize_and_release(out, canon)
-    und = canon.unionAll(
-        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    # orient u -> v iff (deg(u), u) < (deg(v), v): a total order, so
-    # each undirected edge appears exactly once in `o`. Referenced three
-    # times below (both wedge sides + the closing probe) and left LAZY
-    # on purpose: AQE's runtime stage cache dedups the repeated shuffle
-    # subtrees within the single action, while persist(MEMORY_ONLY) +
-    # materialize was measured 2-5x SLOWER here (13.5/4.8/16.7 s vs
-    # 3.4/2.1/3.4 s back-to-back at sf0.1) — the build+count actions
-    # cost more than the plan-tree repetition ever does
-    o = (
-        und.join(deg, "u")
-        .withColumnRenamed("d", "du")
-        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
-        .filter(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-        )
-        .select("u", "v", "dv")
-    )
-    wedges = (
-        o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
-        .join(o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2")), "u")
-        .filter(
-            (F.col("d1") < F.col("d2"))
-            | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
-        )
-    )
-    tri = wedges.join(
-        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")), ["v1", "v2"]
-    ).select("u", "v1", "v2")
-    out = (
-        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    return materialize_and_release(out, canon)
+    except Exception:
+        canon.unpersist(blocking=False)  # release on every error path
+        raise

@@ -2461,17 +2461,17 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rem + F.ceil((F.col("rnk") - cut) / max(base, 1)))
         .cast("long")
     )
-    from .caching import keep_alive
-
-    return keep_alive(
+    # no keep_alive needed: ranked_by_range pins via localCheckpoint
+    # (ContextCleaner-freed, no release-on-GC finalizer) — keep_alive is
+    # only for frames derived from materialize_and_release outputs
+    return (
         ranked.select("o_totalprice", q.alias("q"))
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 4).alias("lo"),
             F.round(F.max("o_totalprice"), 4).alias("hi"),
-        ),
-        ranked,  # derived frame must outlive ranked's release-on-GC
+        )
     )
 
 
@@ -2856,17 +2856,17 @@ def q_token_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, totals = ranked_by_range(
         counts, [F.col("n").desc(), "tok"], cum_cols=("n",)
     )
-    from .caching import keep_alive
-
-    return keep_alive(
+    # no keep_alive needed: ranked_by_range pins via localCheckpoint
+    # (ContextCleaner-freed, no release-on-GC finalizer) — keep_alive is
+    # only for frames derived from materialize_and_release outputs
+    return (
         ranked.filter(F.col("rnk") <= 100)
         .select(
             "tok",
             "n",
             "rnk",
             F.round(F.col("cum_n") / F.lit(totals["sum_n"]), 4).alias("cum_share"),
-        ),
-        ranked,  # derived frame must outlive ranked's release-on-GC
+        )
     )
 
 

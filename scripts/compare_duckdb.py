@@ -56,6 +56,71 @@ def main() -> None:
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # Authoritative-pair consistency: committing DUCK_DETAIL.json only
+    # makes sense against the committed spark side — refuse the mixed
+    # pairing (bench.py ran WITHOUT --commit-detail, so its run sits in
+    # latest.json while the committed BENCH_DETAIL.json is a different
+    # session; pairing them is the silent-shadowing failure the
+    # protection exists to prevent).
+    authoritative = "--commit-detail" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_COMMIT", ""
+    ).lower() not in ("", "0", "false", "no")
+
+    # spark side: prefer the NEWER of the committed authoritative detail
+    # (BENCH_DETAIL.json, written only under bench.py --commit-detail)
+    # and the default rerun artifact (BENCH_DETAIL.latest.json) — a
+    # back-to-back pair should compare THIS session's spark run, while a
+    # standalone oracle rerun still compares against the committed pair.
+    # A candidate at the WRONG scale factor falls through to the next
+    # (a newer latest.json at sf1 must not blank out a committed
+    # BENCH_DETAIL.json that matches this sf_dir).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = sorted(
+        (
+            p
+            for p in (
+                os.path.join(repo, "BENCH_DETAIL.json"),
+                os.path.join(repo, "BENCH_DETAIL.latest.json"),
+            )
+            if os.path.exists(p)
+        ),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    dir_sf = float(m.group(1)) if m else None
+    spark: dict[str, float] = {}
+    spark_src = "(none)"
+    for p in candidates:
+        detail = json.load(open(p))
+        if (
+            dir_sf is not None
+            and detail.get("sf") is not None
+            and float(detail["sf"]) == dir_sf
+        ):
+            spark = detail["queries"]
+            spark_src = os.path.basename(p)
+            break
+        print(
+            f"{os.path.basename(p)} is sf={detail.get('sf')} but "
+            f"sf_dir={sf_dir}; trying next candidate",
+            file=sys.stderr,
+        )
+    if not spark:
+        print(
+            "no BENCH_DETAIL at this sf; spark side omitted - rerun "
+            "bench.py at this sf",
+            file=sys.stderr,
+        )
+    if authoritative and spark_src != "BENCH_DETAIL.json":
+        raise SystemExit(
+            "--commit-detail refused: the spark side would come from "
+            f"{spark_src}, not the committed BENCH_DETAIL.json — run "
+            "`python bench.py --commit-detail` first so the committed "
+            "pair is one session"
+        )
+
+
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
@@ -84,46 +149,13 @@ def main() -> None:
             runs[n].append(time.perf_counter() - t0)
     duck = {n: round(statistics.median(v), 3) for n, v in runs.items() if v}
 
-    # spark side: prefer the NEWER of the committed authoritative detail
-    # (BENCH_DETAIL.json, written only under bench.py --commit-detail)
-    # and the default rerun artifact (BENCH_DETAIL.latest.json) — a
-    # back-to-back pair should compare THIS session's spark run, while a
-    # standalone oracle rerun still compares against the committed pair
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    candidates = [
-        p
-        for p in (
-            os.path.join(repo, "BENCH_DETAIL.json"),
-            os.path.join(repo, "BENCH_DETAIL.latest.json"),
-        )
-        if os.path.exists(p)
-    ]
-    detail_path = max(candidates, key=os.path.getmtime) if candidates else os.path.join(repo, "BENCH_DETAIL.json")
-    spark_src = os.path.basename(detail_path)
-    spark: dict[str, float] = {}
-    if os.path.exists(detail_path):
-        detail = json.load(open(detail_path))
-        # refuse to compare across scale factors: a stale detail file at a
-        # different sf silently produces nonsense ratios
-        m = re.search(r"sf([0-9.]+)/?$", sf_dir)
-        dir_sf = float(m.group(1)) if m else None
-        if dir_sf is not None and detail.get("sf") is not None and float(detail["sf"]) == dir_sf:
-            spark = detail["queries"]
-        else:
-            print(
-                f"{spark_src} is sf={detail.get('sf')} but sf_dir={sf_dir}; "
-                "spark side omitted - rerun bench.py at this sf",
-                file=sys.stderr,
-            )
-
     duck_total = round(sum(duck.values()), 3)
     # persist per-query medians so ratio analysis across rounds reads
     # one artifact pair — same overwrite protection as bench.py: the
     # committed DUCK_DETAIL.json only updates when recording an
-    # authoritative pair (--commit-detail / SPARK_GRAFT_BENCH_COMMIT)
-    authoritative = "--commit-detail" in sys.argv or os.environ.get(
-        "SPARK_GRAFT_BENCH_COMMIT"
-    )
+    # authoritative pair (--commit-detail / SPARK_GRAFT_BENCH_COMMIT),
+    # and the consistency check above guarantees its spark mate is the
+    # committed BENCH_DETAIL.json from this session
     duck_name = "DUCK_DETAIL.json" if authoritative else "DUCK_DETAIL.latest.json"
     with open(os.path.join(repo, duck_name), "w") as f:
         json.dump({"sf_dir": sf_dir, "queries": duck}, f, sort_keys=True)
