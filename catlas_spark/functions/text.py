@@ -23,7 +23,15 @@ STOPWORDS = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization."""
+    """Whitespace tokenization.
+
+    CONVENTION (engine-portable, shared with every DuckDB oracle):
+    splitting EMPTY text yields one empty token — ``split('')`` is
+    ``['']`` in Spark and ``string_split('', ' ')`` is ``['']`` in
+    DuckDB, so ``token_count('') == 1`` on both engines. Callers
+    summing corpus token counts over possibly-empty documents should
+    pre-filter ``length(trim(text)) > 0``; changing the convention here
+    would silently diverge every oracle that replays ``len(toks)``."""
     return F.split(F.trim(col), r"\s+")
 
 
@@ -51,9 +59,22 @@ def unique_token_ratio(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are not alphanumeric or whitespace."""
-    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
-    return F.length(stripped) / F.length(col)
+    """Fraction of characters that are ASCII punctuation
+    (``!-/ :-@ [-\\` {-~``, i.e. POSIX [:punct:]).
+
+    Counting PUNCTUATION rather than "everything non-[A-Za-z0-9\\s]"
+    keeps the ratio fair for non-English text (r8): under the old
+    complement definition every accented or non-Latin LETTER (é, ü, ß,
+    CJK) counted as noise, so the quality scorer systematically
+    depressed exactly the fr/de/es documents this module's language-ID
+    supports. For pure-ASCII text the two definitions are identical.
+    Empty text yields NULL via ``try_divide`` — a plain ``/`` ERRORS on
+    division by zero under Spark 4's ANSI default, where the DuckDB
+    oracle's ``x/0`` is NULL; try_divide is the engine-portable
+    spelling. See :func:`quality_score` for why NULL is the right
+    disposition."""
+    stripped = F.regexp_replace(col, r"[^\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]", "")
+    return F.try_divide(F.length(stripped), F.length(col))
 
 
 def mean_token_length(col: Column) -> Column:
@@ -66,7 +87,16 @@ def mean_token_length(col: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """Heuristic document quality in [0, 1]: rewards moderate length,
     vocabulary diversity and low punctuation noise (the usual pre-training
-    corpus filters, each a cheap native expression)."""
+    corpus filters, each a cheap native expression).
+
+    EMPTY text scores NULL, deliberately (r8 review): punct_ratio is
+    try_divide NULL on zero length (DuckDB's x/0 agrees), and NULL
+    fails every ``quality >= tau`` keep-filter — the correct disposition
+    for an empty document. Patching the ratios to 0 would be WORSE:
+    unique_token_ratio of the [''] token list is 1.0, so a zero-guarded
+    empty doc would score 0.6 and sail through the standard 0.5
+    threshold. Reject-side callers (``quality < tau``) must handle NULL
+    explicitly."""
     len_score = F.least(F.length(col) / F.lit(400.0), F.lit(1.0))
     raw = 0.4 * len_score + 0.4 * unique_token_ratio(col) + 0.2 * (1.0 - punct_ratio(col))
     # floor(x*1e4 + 0.5) instead of round(): the score's small-denominator

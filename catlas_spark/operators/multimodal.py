@@ -43,7 +43,10 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """
     import numpy as np
 
-    payloads = pdf["payload"]
+    # NULL payloads (a NULL text column upstream of attach_binary_payload)
+    # are treated as empty bytes — the row stays in the output with the
+    # empty-payload features instead of len(None) crashing the stage
+    payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
     head_mean = payloads.apply(
         lambda b: float(np.frombuffer(b[:64], dtype=np.uint8).mean()) if len(b) else 0.0
     )
@@ -84,21 +87,22 @@ def extract_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     the same mapInPandas without changing the plan shape."""
     import pandas as pd
 
+    import numpy as np
+
     def run(batches):
         for pdf in batches:
             out_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
+                # NULL payload == empty payload: zero frames, no crash
+                n = len(payload) if payload is not None else 0
                 if n == 0:
                     continue
-                import numpy as np
-
                 step = max(n // n_frames, 1)
                 buf = np.frombuffer(payload, dtype=np.uint8)
+                # i < min(n_frames, n) keeps i*step <= n - step, so every
+                # slice is non-empty by construction — no fallback needed
                 for i in range(min(n_frames, n)):
                     chunk = buf[i * step : (i + 1) * step]
-                    if len(chunk) == 0:
-                        chunk = buf[-step:]
                     mean = float(chunk.mean())
                     mean = int(mean * 10_000 + 0.5) / 10_000.0
                     out_rows.append((int(doc_id), i, mean))
@@ -128,6 +132,12 @@ def resize_nearest(
 
     Arrow-batched mapInPandas; numpy strided indexing per batch — no
     per-row Python in the driver, no UDF serde per element.
+
+    Contract: a payload shorter than ``src_h`` bytes (or NULL) has no
+    complete source row to resample and emits NO output row — the
+    frame-sampling convention (fewer bytes, fewer outputs), not the
+    decode_features one (always one row per doc). Callers needing
+    one-row-per-doc should left-join this output back on doc_id.
     """
     import numpy as np
 
@@ -135,7 +145,7 @@ def resize_nearest(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w = len(payload) // src_h
+                w = (len(payload) if payload is not None else 0) // src_h
                 if w == 0:
                     continue
                 buf = np.frombuffer(payload[: src_h * w], dtype=np.uint8).reshape(
@@ -178,6 +188,8 @@ def audio_window_energy(
         for pdf in batches:
             ids, wins, rms = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload == empty: zero full windows
                 h = np.frombuffer(payload[:n_bytes], dtype=np.uint8).astype(
                     np.int64
                 ) - 128
@@ -194,4 +206,10 @@ def audio_window_energy(
                 {"doc_id": ids, "window_idx": wins, "rms": rms}
             ).astype({"doc_id": "int64", "window_idx": "int64", "rms": "float64"})
 
-    return df.mapInPandas(run, "doc_id long, window_idx long, rms double")
+    # project to the two consumed columns BEFORE the Python stage — its
+    # three siblings already do; without this every extra document column
+    # (including the text the payload was encoded from) crosses the Arrow
+    # boundary per batch for nothing
+    return df.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, window_idx long, rms double"
+    )

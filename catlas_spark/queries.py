@@ -1363,7 +1363,7 @@ _QUALITY_ORACLE = f"""
            round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 4) AS mean_tok_len,
            round(0.4 * least(len(text) / 400.0, 1.0)
                  + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
-                 + 0.2 * (1.0 - len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / len(text)),
+                 + 0.2 * (1.0 - len(regexp_replace(text, '[^\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]', '', 'g'))::DOUBLE / len(text)),
                  4) AS quality
     FROM base
 """
@@ -1703,7 +1703,7 @@ _CLEAN_CORPUS_ORACLE = f"""
              round(0.4 * least(len(text) / 400.0, 1.0)
                    + 0.4 * (len(list_distinct(string_split({_NORM}, ' ')))::DOUBLE
                             / len(string_split({_NORM}, ' ')))
-                   + 0.2 * (1.0 - len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                   + 0.2 * (1.0 - len(regexp_replace(text, '[^\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]', '', 'g'))::DOUBLE
                             / len(text)), 4) AS quality,
              len(list_filter(string_split({_NORM}, ' '),
                  t -> list_contains(['the','a','of','and','in','to','is'], t))) AS en_hits

@@ -39,17 +39,36 @@ def events_schema(ts_type: T.DataType | None = None) -> T.StructType:
 EVENTS_SCHEMA = events_schema()
 
 
-def read_event_stream(spark: SparkSession, dir_glob: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, dir_glob: str, flavor: str | None = None
+) -> DataFrame:
     """File-source stream over events parquet. The footer is probed ONCE
     at stream construction (pyarrow, no data IO) and the schema + ``ts``
     normalization are derived from the file's actual logical type —
     NANOS, MICROS-NTZ, UTC-adjusted, and raw-int64 flavors all end as a
     session-TZ TimestampType column under the pinned-UTC session, so
-    watermarks/windows see real event time (mirrors the batch _events)."""
+    watermarks/windows see real event time (mirrors the batch _events).
+
+    The probe is construction-time ONLY: a source directory that starts
+    EMPTY cannot be classified, and silently defaulting would read any
+    later-arriving NANOS/int64 files against the wrong schema for the
+    life of the query (r8 review) — so an empty source requires the
+    caller to pass ``flavor`` explicitly (one of the events_io TS_*
+    constants, the normal production bootstrap where the writer's
+    flavor is known)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # harmless for micros files; lets a NANOS file read as bigint instead of failing
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    flavor = probe_ts_flavor(dir_glob)
+    if flavor is None:
+        from ..sources.events_io import _first_parquet_file
+
+        if _first_parquet_file(dir_glob) is None:
+            raise ValueError(
+                f"read_event_stream: no parquet file under {dir_glob!r} to "
+                "probe the ts flavor from — pass flavor= explicitly when "
+                "starting a stream on an empty source directory"
+            )
+        flavor = probe_ts_flavor(dir_glob)
     raw = spark.readStream.schema(events_schema(spark_ts_type(flavor))).parquet(dir_glob)
     return normalize_ts(raw, flavor)
 
@@ -130,19 +149,25 @@ def dedup_stream(
     time_col: str = "ts",
     delay: str = "2 hours",
 ) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates within the watermark horizon
-    (the streaming form of the batch exact_dedup operator — state is
-    bounded by the watermark, so it runs indefinitely at scale).
+    """Streaming exact dedup with watermark-bounded state — the streaming
+    form of the batch exact_dedup operator.
 
-    For GUARANTEED state eviction include the event-time column in
-    ``keys`` (Spark only cleans dedup state when the watermark column is
-    part of the dedup subset) — dedup-by-business-key callers should key
-    on a time bucket derived from the event time and watermark THAT
-    column (``time_col``)."""
-    src = (
-        events.withWatermark(time_col, delay) if events.isStreaming else events
-    )
-    return src.dropDuplicates(keys or ["event_id"])
+    Streaming uses ``dropDuplicatesWithinWatermark`` (r8, closing the
+    review finding): plain ``dropDuplicates`` on a business key only
+    evicts state when the event-time column is PART OF the dedup subset,
+    so the old default keys=["event_id"] kept one state row per id
+    forever — the opposite of this docstring's scale claim. The
+    within-watermark form guarantees dedup of any duplicate arriving
+    within ``delay`` of the first occurrence and evicts the key's state
+    once the watermark passes it; a duplicate arriving later than that
+    is indistinguishable from a new event under bounded state (any
+    engine's exact streaming dedup makes the same trade). Batch frames
+    keep the global dropDuplicates — no state to bound."""
+    if events.isStreaming:
+        return events.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
+            keys or ["event_id"]
+        )
+    return events.dropDuplicates(keys or ["event_id"])
 
 
 USER_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
@@ -174,7 +199,10 @@ def _user_stats_update(key, pdfs, state):
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 4)],
+            # mx == -inf <=> no non-null value ever seen, and F.sum skips
+            # exactly the rows F.max skips — so the batch-parity NULL
+            # (not pandas' skipna 0.0) applies to the total too (r8)
+            "total_value": [round(total, 4) if mx != float("-inf") else None],
             "max_value": [round(mx, 4) if mx != float("-inf") else None],
         }
     )

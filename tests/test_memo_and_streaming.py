@@ -871,8 +871,9 @@ def test_sharded_memoize_tolerates_empty_input(spark, tmp_path):
 
 def test_stateful_user_stats_all_null_values_emit_null_max():
     """A user whose every event has value=NULL must emit max_value=NULL
-    (batch F.max semantics), not -Infinity; n_events still counts rows
-    and total_value follows sum-skips-null. Drives the REAL update body
+    AND total_value=NULL (batch parity: F.sum over only NULLs is NULL,
+    not pandas' skipna 0.0 — F.sum skips exactly the rows F.max skips,
+    r8 review); n_events still counts rows. Drives the REAL update body
     with a fake state handle (the applyInPandasWithState wire needs a
     stream; the logic does not)."""
     import pandas as pd
@@ -889,7 +890,7 @@ def test_stateful_user_stats_all_null_values_emit_null_max():
     pdf = pd.DataFrame({"value": [None, None]}, dtype="float64")
     [out] = list(_user_stats_update((7,), [pdf], st))
     assert out["n_events"].iloc[0] == 2
-    assert out["total_value"].iloc[0] == 0.0
+    assert out["total_value"].iloc[0] is None
     assert out["max_value"].iloc[0] is None
     assert st.stored == (2, 0.0, float("-inf"))
 
