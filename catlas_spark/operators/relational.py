@@ -230,7 +230,13 @@ def point_in_interval_join(
     explodes the interval side, too coarse inflates the candidate set
     the post-filter must discard.
     """
-    iv = intervals.withColumn(
+    # EMPTY intervals (end <= start under the exclusive-end contract —
+    # zero-length rows, or inverted dirty data) match nothing by
+    # definition, but fed to sequence() they produce a positive-step
+    # range with start > stop, which is a RUNTIME ERROR that kills the
+    # whole job (r8 review). Filter them out up front; for left-side
+    # joins the points still emit their unmatched NULL rows.
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -303,6 +309,14 @@ def set_containment_join(
     aggregating every co-occurrence and only the plausible ones.
 
     Output: (left_id, right_id, n_left) with n_left = |left set|.
+
+    EMPTY left sets emit NO rows — here and in every postings-level
+    strategy (``_postings``/``_bitmap``/``_prefix``): an empty set
+    carries no postings, so the id never enters the element join. The
+    vacuous-truth semantics (∅ ⊆ every right set → |right| pairs per
+    empty left id) would be an OUTPUT BLOWUP, not a fix; callers who
+    need empty-set rows should union them in explicitly (r8 review —
+    documenting the contract all four strategies already share).
     """
     l = left.select(
         left_id,

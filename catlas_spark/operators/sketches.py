@@ -51,7 +51,13 @@ def misra_gries(df: DataFrame, col: str, k: int) -> DataFrame:
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.Series | None = None
         for pdf in batches:
-            vc = pdf[col].value_counts()
+            # dropna=False: NULL is an item (often THE hot key — a
+            # missing-field domain). pandas' default silently dropped it,
+            # so a NULL above the N/(k+1) bound was never reported (r8
+            # review), violating the every-heavy-item guarantee; the
+            # None index survives Arrow as a NULL key and the merge
+            # groupBy groups it like any value.
+            vc = pdf[col].value_counts(dropna=False)
             acc = vc if acc is None else acc.add(vc, fill_value=0)
             if len(acc) > k:
                 cut = acc.nlargest(k + 1).iloc[-1]

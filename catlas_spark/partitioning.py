@@ -75,17 +75,27 @@ def ranked_by_range(
     parts = pin(
         df.repartitionByRange(n, *cols).withColumn("__pid", F.spark_partition_id())
     )
-    aggs = [F.count(F.lit(1)).alias("__cnt")] + [
-        F.sum(c).alias(f"__sum_{c}") for c in cum_cols
-    ]
+    aggs = (
+        [F.count(F.lit(1)).alias("__cnt")]
+        + [F.sum(c).alias(f"__sum_{c}") for c in cum_cols]
+        # per-partition NON-NULL counts: the running-sum parity fix
+        # below needs to know whether any prior partition contributed a
+        # non-null value (a numeric offset of 0 cannot distinguish "no
+        # prior values" from "prior values summing to zero")
+        + [F.count(F.col(c)).alias(f"__nn_{c}") for c in cum_cols]
+    )
     stats = sorted(parts.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"])
     offsets: dict[int, list[int]] = {}
+    nn_prior: dict[int, list[int]] = {}
     acc = [0] * (1 + len(cum_cols))
+    acc_nn = [0] * len(cum_cols)
     for r in stats:
         offsets[r["__pid"]] = list(acc)
+        nn_prior[r["__pid"]] = list(acc_nn)
         acc[0] += r["__cnt"]
         for i, c in enumerate(cum_cols):
             acc[1 + i] += r[f"__sum_{c}"] or 0
+            acc_nn[i] += r[f"__nn_{c}"]
     totals = {"count": acc[0]}
     for i, c in enumerate(cum_cols):
         totals[f"sum_{c}"] = acc[1 + i]
@@ -102,26 +112,55 @@ def ranked_by_range(
             "long"
         ),
     )
+    def _nn_map(idx: int) -> Column:
+        return F.create_map(
+            *[F.lit(v) for p, nns in nn_prior.items() for v in (p, nns[idx])]
+        )
+
     for i, c in enumerate(cum_cols):
+        frame = w.rowsBetween(Window.unboundedPreceding, 0)
+        win_sum = F.sum(c).over(frame)
+        # Running-sum parity with the single-reducer Window.orderBy form
+        # (r8 review): a partition whose PREFIX is all-NULL has a NULL
+        # window sum, and NULL + offset destroyed the carried-in prior
+        # partitions' sum. The global cumulative sum is NULL iff NO
+        # non-null value precedes the row anywhere — prior-partition
+        # non-null counts (driver-known) plus the within-partition
+        # running count decide; otherwise the NULL prefix counts as 0.
+        seen = F.coalesce(_nn_map(i)[F.col("__pid")], F.lit(0)) + F.count(
+            F.col(c)
+        ).over(frame)
         out = out.withColumn(
             f"cum_{c}",
-            F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
-            + F.coalesce(_offset_map(1 + i)[F.col("__pid")], F.lit(0)),
+            F.when(
+                seen > 0,
+                F.coalesce(win_sum, F.lit(0))
+                + F.coalesce(_offset_map(1 + i)[F.col("__pid")], F.lit(0)),
+            ),
         )
     return out.drop("__pid"), totals
 
 
+# pre-aggregate iff (sketched) distinct values < this fraction of rows:
+# duplicate-heavy data shrinks under (group, value) counting, near-unique
+# data only pays an extra shuffle. ONE definition — grouped_exact_quantiles'
+# fused probe and the standalone decide_quantile_preagg share it, so the
+# regime rule cannot drift between the two (r8 review).
+PREAGG_DISTINCT_FRACTION = 0.5
+
+
 def decide_quantile_preagg(df: DataFrame, value_col: str) -> bool:
-    """Regime probe for :func:`grouped_exact_quantiles`: pre-aggregate
-    iff the value column's (sketched) distinct count is under half the
-    row count — duplicate-heavy data shrinks under (group, value)
-    counting, near-unique data only pays an extra shuffle. One tiny
-    aggregation job (HLL + count, map-side combinable)."""
+    """Standalone form of :func:`grouped_exact_quantiles`'s fused regime
+    probe, for callers that want the dispatch decision ahead of time and
+    then pass ``pre_aggregate=`` explicitly (the operator itself fuses
+    this aggregation into its boundary-probe job — it does NOT call this
+    function). One tiny aggregation job (HLL + count, map-side
+    combinable); the threshold is the shared PREAGG_DISTINCT_FRACTION."""
     row = df.agg(
         F.approx_count_distinct(value_col).alias("nd"),
         F.count(F.lit(1)).alias("n"),
     ).first()
-    return bool(row["n"]) and row["nd"] < 0.5 * row["n"]
+    return bool(row["n"]) and row["nd"] < PREAGG_DISTINCT_FRACTION * row["n"]
 
 
 def grouped_exact_quantiles(
@@ -237,7 +276,10 @@ def grouped_exact_quantiles(
             )
         probe = df.agg(*probe_aggs).first()
         if pre_aggregate is None:
-            pre_aggregate = bool(probe["__n"]) and probe["__nd"] < 0.5 * probe["__n"]
+            pre_aggregate = (
+                bool(probe["__n"])
+                and probe["__nd"] < PREAGG_DISTINCT_FRACTION * probe["__n"]
+            )
     if value_bounds is not None and probe_qs:
         v_lo, v_hi = float(value_bounds[0]), float(value_bounds[1])
         bounds = sorted({v_lo + (v_hi - v_lo) * q for q in probe_qs})
@@ -287,6 +329,17 @@ def grouped_exact_quantiles(
     offsets: dict = {}  # (pid, group value) -> global rank offset; driver-only
     ext: dict = {}
     for r in sorted(stats, key=lambda r: (str(r[group_col]), r["__pid"])):
+        if r["__pid"] == -1:
+            # NULL values are IGNORED, per percentile/quantile_cont
+            # semantics (r8 review): counting the NULL cell into the
+            # group total shifted every rank position (a [NULL,1,2,3]
+            # group returned 1.5 for p50 where percentile says 2.0),
+            # and an all-NULL group's (None, None) extremes crashed the
+            # float() below. Skipping the cell here excludes NULLs from
+            # counts/offsets/extremes, and an all-NULL group never
+            # enters acc — it emits no rows, like a group absent from
+            # the input.
+            continue
         offsets[(r["__pid"], r[group_col])] = acc[r[group_col]]
         acc[r[group_col]] += r["__c"]
         if extremes:
@@ -317,6 +370,8 @@ def grouped_exact_quantiles(
     gtype = df.schema[group_col].dataType
     hit_rows = []
     for r in stats:
+        if r["__pid"] == -1:
+            continue  # NULL-value cells carry no rank positions (above)
         off = offsets[(r["__pid"], r[group_col])]
         if any(off < t <= off + r["__c"] for t in ranks[r[group_col]]):
             hit_rows.append((int(r["__pid"]), r[group_col], int(off)))
@@ -422,11 +477,29 @@ def repartition_after_explode(df: DataFrame, fanout: int, cap: int = 1000) -> Da
     return df.repartition(n)
 
 
-def salt(df: DataFrame, n_salts: int, *cols: str) -> DataFrame:
+def salt(df: DataFrame, n_salts: int) -> DataFrame:
     """Add a deterministic salt shard in [0, n_salts) derived from the
     full row hash — splits hot groups without randomness (reruns get the
-    same shards)."""
-    basis = [F.col(c) for c in df.columns]
+    same shards).
+
+    The basis is deliberately the WHOLE row, never the group/join key:
+    a salt hashed from the key alone is constant within a key, so the
+    hot key would land in one shard and the salting would be a no-op
+    (the r8 review found the old ``*cols`` parameter silently ignored —
+    it is gone because honoring it would be that bug). Map-typed
+    columns are excluded from the hash basis (Spark disallows hashing
+    MapType); a row of ONLY map columns cannot be salted
+    deterministically and raises."""
+    basis = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    if not basis:
+        raise ValueError(
+            "salt: every column is map-typed — no hashable basis for a "
+            "deterministic shard; add a hashable column first"
+        )
     return df.withColumn(SALT_COL, F.pmod(F.xxhash64(*basis), F.lit(n_salts)))
 
 
@@ -441,7 +514,7 @@ def salted_agg(
     ``partial_aggs``, then groupBy(key) with ``final_aggs`` over the
     partials. The first shuffle spreads the hot key across n_salts
     reducers; the second is tiny."""
-    salted = salt(df, n_salts, *group_cols)
+    salted = salt(df, n_salts)
     partial = salted.groupBy(*group_cols, SALT_COL).agg(*partial_aggs)
     return partial.groupBy(*group_cols).agg(*final_aggs)
 
@@ -469,7 +542,18 @@ def salted_join(
     partition always fits a hash map, and skipping the fact-side sort
     is pure win (measured ~10% at sf0.1; the gap grows with fact
     width since sort-merge sorts whole rows)."""
-    salted_fact = salt(fact, n_salts, fact_key)
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "semi",
+                   "left_anti", "leftanti", "anti"):
+        # right/full outer would emit an unmatched DIM row once per salt
+        # shard (the dim side is replicated n_salts times) — the same
+        # replicated-side-outer hazard point_in_interval_join guards;
+        # a dim-preserving outer needs post-join dedup on a dim row id,
+        # which this operator does not require of callers
+        raise ValueError(
+            f"salted_join supports inner and left-side joins, not {how!r}"
+        )
+    salted_fact = salt(fact, n_salts)
     replicated_dim = dim.withColumn(
         SALT_COL,
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
