@@ -31,7 +31,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector yields NULL similarity (skipped by
+    # every threshold/rank consumer) — plain `/` is a DIVIDE_BY_ZERO
+    # JOB-KILLER under Spark 4's ANSI default, and the DuckDB oracles'
+    # x/0 is NULL (r8 review, reproduced live)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def band_sign_bucket(a: Column, band: int, band_bits: int = 4) -> Column:
@@ -41,9 +45,12 @@ def band_sign_bucket(a: Column, band: int, band_bits: int = 4) -> Column:
     on ANY band — the banding trick that trades a per-band 2^-bits
     selectivity for multi-band recall, exactly like minhash LSH bands
     but over hyperplane signs."""
+    # try_element_at: an index past a SHORT/ragged vector's end is NULL
+    # (falls to the otherwise-0 negative-sign treatment) where ANSI
+    # element_at raises and kills the job (r8 review, reproduced live)
     bits = [
         F.when(
-            F.element_at(as_double(a), band * band_bits + i + 1) >= 0,
+            F.try_element_at(as_double(a), F.lit(band * band_bits + i + 1)) >= 0,
             F.lit(1 << i),
         ).otherwise(F.lit(0))
         for i in range(band_bits)
@@ -58,8 +65,11 @@ def sign_bucket(a: Column, n_bits: int = 3) -> Column:
     """Random-hyperplane-style coarse LSH bucket from the signs of the
     first ``n_bits`` components (deterministic; the scale path partitions
     candidate generation so ANN never does a full cross join)."""
+    # try_element_at, same short-vector rationale as band_sign_bucket
     bits = [
-        F.when(F.element_at(as_double(a), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(
+            F.try_element_at(as_double(a), F.lit(i + 1)) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         for i in range(n_bits)
     ]
     out = bits[0]

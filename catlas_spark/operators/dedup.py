@@ -179,6 +179,16 @@ def minhash_lsh_pairs(
     4×2 banding on the synthetic corpus vs ~20k with 3×4. High-J true
     duplicates (J ≥ 0.85) are still caught with ≥95% probability.
     """
+    if band_size <= 0 or n_perm % band_size != 0:
+        # a silent remainder throws away trailing signatures (recall
+        # quietly below the requested configuration), and band_size >
+        # n_perm yields ZERO bands — no candidates, an always-empty
+        # result with no error (r8 review). Misconfiguration must be
+        # loud.
+        raise ValueError(
+            f"minhash_lsh_pairs: n_perm={n_perm} must be a positive "
+            f"multiple of band_size={band_size}"
+        )
     n_bands = n_perm // band_size
     # The signature table feeds the band self-join (2 sides) and the
     # verify join (2 more) — persist it so the shingle+hash subtree runs
@@ -273,15 +283,22 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     """SimHash fingerprint: per-token md5 bits, majority vote per bit.
 
     Bit b of a token = high bit of hex nibble b of md5(token) (hex digit
-    in [89abcdef]) — portable to any engine with md5. The per-doc plan is
-    explode(tokens) → groupBy(doc) with ``bits`` conditional sums: one
-    shuffle, map-side combinable.
+    in [89abcdef]) — portable to any engine with md5. md5 has 32 hex
+    nibbles, so ``bits`` is capped at 32: beyond it the substring is
+    empty, the isin test constant-false, and every position silently
+    votes -1 — a fake resolution the caller never sees (r8 review).
+    The per-doc plan is explode(tokens) → groupBy(doc) with ``bits``
+    conditional sums: one shuffle, map-side combinable. Tokenization is
+    the module-wide _norm_tokens convention (one definition; text.py
+    documents it as oracle-load-bearing).
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(f"simhash: bits={bits} must be in [1, 32] (md5 nibbles)")
     from ..partitioning import spread_small_source
 
     toks = spread_small_source(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(_norm_tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
     votes = [
         F.sum(
@@ -380,21 +397,33 @@ def connected_components(
         sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         sess_parts = spark.sparkContext.defaultParallelism
-    # single bounded probe action (the triangle_participation discipline):
-    # limit(k+1) returns the WHOLE edge list when it fits the driver
-    # threshold and at most k+1 rows when it does not, so the small-graph
-    # path pays one action instead of a count + a collect. The distributed
-    # branch still counts (it right-sizes the round shuffles); its count
-    # completes whatever cache partitions the probe left unbuilt.
-    try:
-        rows = edges.limit(driver_max_edges + 1).collect()
-    except Exception:
-        # release on the error path too (fetch failure mid-collect) —
-        # same stale-canonicalized-plan hazard as the distributed
-        # regime's finally below
-        edges.unpersist(blocking=False)
-        raise
-    if len(rows) <= driver_max_edges:
+    # Under lazy_plans (explain/plan-sweep tooling) the driver regime is
+    # SKIPPED (r8 review, the graph.py regime-dispatch discipline): its
+    # createDataFrame result is a LocalRelation that hides the whole
+    # upstream pair pipeline from every plan assertion, and the probe
+    # collect is a pointless action in an explain-only context. The
+    # distributed min-label loop below is the representative plan; its
+    # pins persist (visible subtrees) per the r7 lazy_plans design.
+    from ..caching import is_materializing
+
+    rows = None
+    if is_materializing():
+        # single bounded probe action (the triangle_participation
+        # discipline): limit(k+1) returns the WHOLE edge list when it
+        # fits the driver threshold and at most k+1 rows when it does
+        # not, so the small-graph path pays one action instead of a
+        # count + a collect. The distributed branch still counts (it
+        # right-sizes the round shuffles); its count completes whatever
+        # cache partitions the probe left unbuilt.
+        try:
+            rows = edges.limit(driver_max_edges + 1).collect()
+        except Exception:
+            # release on the error path too (fetch failure mid-collect)
+            # — same stale-canonicalized-plan hazard as the distributed
+            # regime's finally below
+            edges.unpersist(blocking=False)
+            raise
+    if rows is not None and len(rows) <= driver_max_edges:
         edges.unpersist(blocking=False)
         parent: dict = {}
 
@@ -603,7 +632,13 @@ def banded_embedding_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+                # try_divide: a zero-norm embedding in a shared bucket is
+                # a NULL sim (fails the threshold), not an ANSI
+                # DIVIDE_BY_ZERO abort of the whole dedup job (r8)
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+                ),
+                4,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

@@ -61,8 +61,12 @@ def cosine_topk(
             "q_id",
             "n_id",
             F.round(
-                dot(F.col("q_vec"), F.col("n_vec"))
-                / (F.col("q_nm") * F.col("n_nm")),
+                # try_divide: zero-norm pair -> NULL sim (ranked last /
+                # filtered), not an ANSI DIVIDE_BY_ZERO job abort (r8)
+                F.try_divide(
+                    dot(F.col("q_vec"), F.col("n_vec")),
+                    F.col("q_nm") * F.col("n_nm"),
+                ),
                 4,
             ).alias("sim"),
         )
@@ -106,8 +110,12 @@ def bucketed_ann(
             "q_id",
             "n_id",
             F.round(
-                dot(F.col("q_vec"), F.col("n_vec"))
-                / (F.col("q_nm") * F.col("n_nm")),
+                # try_divide: zero-norm pair -> NULL sim (ranked last /
+                # filtered), not an ANSI DIVIDE_BY_ZERO job abort (r8)
+                F.try_divide(
+                    dot(F.col("q_vec"), F.col("n_vec")),
+                    F.col("q_nm") * F.col("n_nm"),
+                ),
                 4,
             ).alias("sim"),
         )
@@ -195,8 +203,12 @@ def quantized_topk(
             "q_id",
             "n_id",
             F.round(
-                dot(F.col("q_vec"), F.col("n_vec"))
-                / (F.col("q_nm") * F.col("n_nm")),
+                # try_divide: zero-norm pair -> NULL sim (ranked last /
+                # filtered), not an ANSI DIVIDE_BY_ZERO job abort (r8)
+                F.try_divide(
+                    dot(F.col("q_vec"), F.col("n_vec")),
+                    F.col("q_nm") * F.col("n_nm"),
+                ),
                 4,
             ).alias("sim_q"),
         )
@@ -241,7 +253,12 @@ def _seed_centroids(vecs: DataFrame, k: int) -> DataFrame:
     return (
         vecs.orderBy("vid")
         .limit(k)
-        .select(F.col("vid").cast("int").alias("cid"), F.col("v").alias("c"))
+        # cid is LONG (r8, reproduced): the old cast("int") was a
+        # CAST_OVERFLOW job abort under ANSI for 64-bit id spaces (the
+        # hash-derived ids this codebase produces everywhere), and a
+        # silent wraparound — two seeds colliding on one cid — without
+        # it; oracles cast BIGINT in lockstep
+        .select(F.col("vid").cast("long").alias("cid"), F.col("v").alias("c"))
     )
 
 
@@ -334,7 +351,7 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
         cents_by_len[len(arr)][0].append(int(r["cid"]))
         cents_by_len[len(arr)][1].append(arr)
     cents_by_len = {
-        length: (np.array(cids, dtype=np.int32), np.stack(mats))
+        length: (np.array(cids, dtype=np.int64), np.stack(mats))
         for length, (cids, mats) in cents_by_len.items()
     }
 
@@ -343,7 +360,7 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
             lens = pdf["v"].map(lambda x: -1 if x is None else len(x)).to_numpy()
             # default = the all-NULL-folds outcome: smallest cid, NULL d2
             # (NULL vectors, and vectors with no same-length centroid)
-            out_cid = np.full(len(pdf), min_cid, dtype=np.int32)
+            out_cid = np.full(len(pdf), min_cid, dtype=np.int64)
             out_d2 = np.full(len(pdf), np.nan)
             for length in np.unique(lens):
                 if length < 0 or length not in cents_by_len:
@@ -380,7 +397,7 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
             )
 
     vt = vecs.schema["vid"].dataType.simpleString()
-    return vecs.mapInPandas(_assign, f"vid {vt}, v array<double>, cid int, d2 double")
+    return vecs.mapInPandas(_assign, f"vid {vt}, v array<double>, cid long, d2 double")
 
 
 def kmeans_lloyd(
@@ -435,7 +452,7 @@ def kmeans_lloyd(
                 # JVM regime's cross join with an empty table yields an
                 # empty assignment — do the same
                 assigned = vecs.limit(0).select(
-                    "vid", "v", F.lit(0).alias("cid"), F.lit(0.0).alias("d2")
+                    "vid", "v", F.lit(0).cast("long").alias("cid"), F.lit(0.0).alias("d2")
                 )
                 break
             assigned = _arrow_assign(vecs, c_rows)
@@ -549,14 +566,14 @@ def semantic_dedup(
         if not c_rows:  # empty corpus: nothing to dedup
             return vecs.limit(0).select(
                 F.col("vid").alias("vec_id"),
-                F.lit(0).alias("cluster_id"),
+                F.lit(0).cast("long").alias("cluster_id"),
                 F.lit(0).cast("long").alias("n_cluster_members"),
             )
         assigned = _arrow_assign(vecs, c_rows)
 
     vid_type = vecs.schema["vid"].dataType.simpleString()
     out_schema = (
-        f"vid {vid_type}, cid int, n_cluster_members bigint, "
+        f"vid {vid_type}, cid long, n_cluster_members bigint, "
         "max_prev double, has_prev boolean"
     )
 
@@ -710,19 +727,28 @@ def ivf_search_pruned(
     exact-rerank by cosine inside them. Returns (vec_id, sim) top-k."""
     from ..functions.vector import dot, norm
 
-    # a NULL seed vector can be persisted by build_ivf_index (seed init
-    # keeps NULL rows to preserve its TakeOrdered plan; a NULL centroid
-    # never wins an assignment) — skip it here too instead of crashing
-    # zip(None, query) (r7 review)
-    cents = [
-        r for r in spark.read.parquet(f"{path}/centroids").collect()
-        if r["c"] is not None
-    ]
-    ranked = sorted(
-        cents,
-        key=lambda r: (sum((a - b) ** 2 for a, b in zip(r["c"], query)), r["cid"]),
-    )
-    probe = [int(r["cid"]) for r in ranked[:nprobe]]
+    # a persisted centroid is a NON-candidate when it is NULL, has a
+    # NULL/NaN COMPONENT, or has the wrong length — the same never-wins
+    # classes the assignment regimes give such vectors (r7 review caught
+    # bare-NULL; r8 caught the component cases: (a-b)**2 with a=None is
+    # a driver TypeError, and zip() silently TRUNCATES a wrong-length
+    # centroid to a prefix distance instead of excluding it)
+    def _d2(c):
+        if len(c) != len(query) or any(
+            a is None or a != a for a in c
+        ):
+            return None
+        return sum((a - b) ** 2 for a, b in zip(c, query))
+
+    cents = []
+    for r in spark.read.parquet(f"{path}/centroids").collect():
+        if r["c"] is None:
+            continue
+        d2 = _d2(r["c"])
+        if d2 is not None:
+            cents.append((d2, r["cid"]))
+    ranked = sorted(cents)
+    probe = [int(cid) for _, cid in ranked[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query])
     corpus = spark.read.parquet(f"{path}/corpus").filter(
         F.col("ivf_cluster").isin(probe)
@@ -731,7 +757,9 @@ def ivf_search_pruned(
     return (
         corpus.select(
             F.col("vid").alias("vec_id"),
-            F.round(dot(F.col("v"), q) / (norm(F.col("v")) * F.lit(qn)), 4).alias(
+            F.round(
+                F.try_divide(dot(F.col("v"), q), norm(F.col("v")) * F.lit(qn)), 4
+            ).alias(
                 "sim"
             ),
         )
@@ -797,8 +825,10 @@ def pq_topk(
     as DataFrame ops.
 
     The codebook is a deterministic seeded sample: the subvectors of the
-    ``n_centroids`` lowest-id corpus rows (ids must cover
-    ``[0, n_centroids)``), so an oracle can replay training, encoding and
+    ``n_centroids`` lowest-id corpus rows via TakeOrdered — NOT
+    ``filter(id < n_centroids)``, which is silently EMPTY for id spaces
+    that do not cover [0, n_centroids) (the review-round-6 class of bug,
+    re-found here in r8) — so an oracle can replay training, encoding and
     search exactly; production would swap in ``kmeans_lloyd`` per subspace
     without touching the search plan.
 
@@ -814,7 +844,7 @@ def pq_topk(
     sub_c = _pq_subvectors(emb, m, subdim, id_col, vec_col, "n_id")
     cent = (
         _pq_subvectors(
-            emb.filter(F.col(id_col) < n_centroids), m, subdim, id_col, vec_col, "cid"
+            emb.orderBy(id_col).limit(n_centroids), m, subdim, id_col, vec_col, "cid"
         )
         .select("cid", "s", F.col("sv").alias("cv"))
     )

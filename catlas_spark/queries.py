@@ -4390,7 +4390,7 @@ def _km_d2(v: str, c: str) -> str:
       SELECT vec_id AS vid, [CAST(x AS DOUBLE) for x in embedding] AS v
       FROM embeddings
     ),
-    c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM v ORDER BY vid LIMIT 8),
+    c0 AS (SELECT CAST(vid AS BIGINT) AS cid, v AS c FROM v ORDER BY vid LIMIT 8),
     s1 AS (
       SELECT v.vid, v.v, c0.cid, {_km_d2("v.v", "c0.c")} AS d2
       FROM v, c0
@@ -4444,7 +4444,7 @@ _SEMDEDUP_ORACLE = f"""
       SELECT vec_id AS vid, [CAST(x AS DOUBLE) for x in embedding] AS v
       FROM embeddings
     ),
-    c0 AS (SELECT CAST(vid AS INTEGER) AS cid, v AS c FROM v ORDER BY vid LIMIT 8),
+    c0 AS (SELECT CAST(vid AS BIGINT) AS cid, v AS c FROM v ORDER BY vid LIMIT 8),
     s AS (
       SELECT v.vid, v.v, c0.cid, {_km_d2("v.v", "c0.c")} AS d2
       FROM v, c0
@@ -6281,7 +6281,8 @@ _PQ_ORACLE = """
                             i -> CAST(embedding[t.s * 16 + i] AS DOUBLE)) AS sv
       FROM embeddings, range(0, 4) t(s)
     ),
-    cent AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 16),
+    cent AS (SELECT vec_id AS cid, s, sv AS cv FROM sub
+             WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
     enc AS (
       SELECT sub.vec_id AS n_id, sub.s, cent.cid,
              CAST(floor(list_sum(list_transform(generate_series(1, 16),

@@ -118,3 +118,77 @@ def test_misra_gries_reports_null_heavy_hitter(spark):
     assert None in got
     # MG guarantee: est <= true count, undercount <= N/(k+1)
     assert 40 - 100 // 16 <= got[None] <= 40
+
+
+def test_ann_family_survives_zero_norm_and_short_vectors(spark):
+    """Under Spark 4's ANSI default (this session's config), a zero-norm
+    vector used to DIVIDE_BY_ZERO-abort every cosine path and a short
+    vector used to INVALID_ARRAY_INDEX-abort the sign buckets (r8
+    review, reproduced live). Zero-norm pairs are NULL sims (ranked
+    last); missing components read as negative signs."""
+    from catlas_spark.operators.dedup import banded_embedding_pairs
+    from catlas_spark.operators.similarity import (
+        bucketed_ann,
+        cosine_topk,
+        quantized_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        (3, [0.9, 0.1, 0.0, 0.0]),
+        (4, [1.0, 0.5]),  # short/ragged
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 1)
+    top = cosine_topk(emb, q, k=2).collect()
+    assert [r.n_id for r in top][0] == 3  # real neighbor outranks NULLs
+    bucketed_ann(emb, q, k=2, n_bits=3).collect()  # 2-dim vector, no crash
+    quantized_topk(emb, q, k=2).collect()
+    # banded pairs over a blocked corpus with a zero-norm member
+    blocked = emb.withColumn("label", F.lit("b"))
+    banded_embedding_pairs(
+        blocked, "embedding", "vec_id", block_col="label", threshold=0.3
+    ).collect()
+
+
+def test_semantic_dedup_64bit_ids(spark):
+    """64-bit id spaces (hash-derived ids) used to CAST_OVERFLOW-abort
+    centroid seeding under ANSI; cid is long now, regimes still agree."""
+    from catlas_spark.operators.similarity import kmeans_lloyd, semantic_dedup
+
+    base = 1 << 40
+    rows = [(base + i, [float(i % 5), 1.0, float(i % 3)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, k=3, tau=0.95).collect()
+    assert len(out) > 0 and all(r.cluster_id >= base for r in out)
+    km = kmeans_lloyd(emb, k=3, iters=2).collect()
+    assert {r.cluster_id for r in km} <= {base, base + 1, base + 2}
+
+
+def test_pq_topk_nonzero_based_ids(spark):
+    """pq_topk's codebook is the n_centroids LOWEST-id rows (TakeOrdered)
+    — an id space starting above 0 used to silently yield an empty
+    result via filter(id < n_centroids)."""
+    from catlas_spark.operators.similarity import pq_topk
+
+    rows = [
+        (1000 + i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.limit(2)
+    got = pq_topk(emb, q, k=3, m=2, subdim=4, n_centroids=4).collect()
+    assert len(got) > 0  # silently-empty was the bug
+
+
+def test_minhash_band_misconfig_and_simhash_bits_guard(spark):
+    import pytest
+
+    from catlas_spark.operators.dedup import minhash_lsh_pairs, simhash
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], "doc long, text string")
+    with pytest.raises(ValueError, match="multiple of band_size"):
+        minhash_lsh_pairs(df, "text", "doc", n_perm=12, band_size=8)
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, "text", "doc", bits=64)
