@@ -2055,7 +2055,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+                # try_divide: zero-norm embedding -> NULL sim (fails the
+                # threshold), not an ANSI DIVIDE_BY_ZERO job abort (r8)
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+                ),
+                4,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.35)
@@ -3370,8 +3375,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _hash_uniform: the ONE definition of the hash->uniform transform
     # (duplicating its magic constant here once desynchronized from the
     # _HASH_U oracle string)
-    key = -F.log(_hash_uniform(F.col("doc_id"))) / F.col("n_chars")
-    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    # try_divide + NULLS LAST: a zero-length doc's weight key is NULL
+    # (DuckDB's x/0), ranked LAST like the oracle's default ASC NULLS
+    # LAST — Spark's NULLS-FIRST default would instead ALWAYS sample the
+    # empty doc (r8); plain / is an ANSI DIVIDE_BY_ZERO abort
+    key = F.try_divide(-F.log(_hash_uniform(F.col("doc_id"))), F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(key.asc_nulls_last(), "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
@@ -3725,8 +3734,12 @@ def q_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per PAIR would triple its array-fold work; norm(q)*norm(n)
     # multiplies the same doubles either way — values unchanged
     coarse = F.round(
-        dot(F.slice(F.col("q_vec"), 1, 16), F.slice(F.col("n_vec"), 1, 16))
-        / (F.col("q_nm16") * F.col("n_nm16")),
+        # try_divide: zero-norm 16-dim prefix -> NULL coarse sim (ranked
+        # last), not an ANSI DIVIDE_BY_ZERO job abort (r8)
+        F.try_divide(
+            dot(F.slice(F.col("q_vec"), 1, 16), F.slice(F.col("n_vec"), 1, 16)),
+            F.col("q_nm16") * F.col("n_nm16"),
+        ),
         4,
     )
     w1 = Window.partitionBy("q_id").orderBy(coarse.desc(), "n_id")
