@@ -250,7 +250,16 @@ def fit_parity_model(validation: DataFrame, frame: int = -1):
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
-    ml = F.element_at(F.col("ML_energy"), F.lit(frame))
+    # frame convention must MATCH parity_summary's (r8 review): negative
+    # frames via 1-based element_at (-1 = final), non-negative via
+    # 0-based indexing — the unconditional element_at trained on
+    # ML_energy[frame-1] for positive frames (off by one vs the
+    # closed-form slope it claims to mirror) and crashed on frame=0
+    ml = (
+        F.element_at(F.col("ML_energy"), F.lit(frame))
+        if frame < 0
+        else F.col("ML_energy")[frame]
+    )
     data = (
         validation.filter(F.col("good_trajectory"))
         .select(F.col("DFT_energy").alias("x"), ml.alias("y"))

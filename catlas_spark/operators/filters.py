@@ -98,8 +98,13 @@ def _num_elements(df, v, _):
 
 
 def _required_elements(df, v, _):
+    # array_except, not size(array_intersect) == size(req): intersect
+    # returns DISTINCT elements, so a duplicate in the config's required
+    # list made the size test unsatisfiable and the screen silently
+    # returned empty (r8 review); every required element present <=>
+    # req \ bulk_elements is empty, duplicates and all
     req = _lit_array(list(v))
-    return df.filter(F.size(F.array_intersect(F.col("bulk_elements"), req)) == F.size(req))
+    return df.filter(F.size(F.array_except(req, F.col("bulk_elements"))) == 0)
 
 
 def _bulk_object_size(df, v, _):
@@ -154,6 +159,16 @@ def _pourbaix_stability(df, v, ctx):
         cond = cond & F.col("pH").between(float(v["pH_lower"]), float(v["pH_upper"]))
         cond = cond & F.col("V").between(float(v["V_lower"]), float(v["V_upper"]))
     elif "conditions" in v:
+        if not v["conditions"]:
+            # an empty list passed validate_config (all() over [] is
+            # True) and built `cond & None` -> NULL predicate -> zero
+            # stable bulks -> the whole screen silently returned empty
+            # (r8 review). Misconfiguration must be loud.
+            raise ValueError(
+                "filter_by_pourbaix_stability: 'conditions' is empty — "
+                "provide at least one {pH, V} condition or use the "
+                "pH_lower/pH_upper window form"
+            )
         any_cond = None
         for c in v["conditions"]:
             this = (F.col("pH") == float(c["pH"])) & (F.col("V") == float(c["V"]))
@@ -172,8 +187,6 @@ def _band_gap(df, v, _):
     ``max_gap`` (`catlas/filters.py:116-129`); the legacy ``lower`` /
     ``upper`` spellings are accepted as aliases. A config with neither
     spelling warns and applies no filter (reference behavior)."""
-    import warnings
-
     lo = v.get("min_gap", v.get("lower"))
     hi = v.get("max_gap", v.get("upper"))
     if lo is None and hi is None:

@@ -77,7 +77,6 @@ def _nuclearity_one(elements: list[str], edges: list[list[int]]) -> dict:
     same growth signatures the real tiling produces."""
     n = len(elements)
     edge_arr = np.array(edges, dtype=np.int64).reshape(-1, 2) if edges else np.empty((0, 2), int)
-    labels1 = _components(n, edge_arr)
     # 2x2 grid of copies k=0..3 at node offsets k*n; grid adjacency:
     # x-pairs (0,1),(2,3); y-pairs (0,2),(1,3)
     parts = [edge_arr + k * n for k in range(4)] if len(edge_arr) else []
@@ -92,15 +91,32 @@ def _nuclearity_one(elements: list[str], edges: list[list[int]]) -> dict:
     ]
     wrap_arr = np.array(wrap, dtype=np.int64).reshape(-1, 2)
     all4 = np.concatenate(parts + [wrap_arr]) if parts else wrap_arr
-    labels4 = _components(4 * n, all4)
+
+    def _sub_components(n_nodes: int, e_arr, mask):
+        """Component sizes of the subgraph INDUCED by mask — the
+        reference slices the connectivity matrix to the element's atoms
+        (connectivity_matrix[mask,:][:,mask], catlas/nuclearity.py:77-79)
+        BEFORE labeling, so a Cu-Pt-Cu chain is two Cu monomers, never a
+        Cu 'dimer' bridged through the Pt atom (r8 review: the old
+        full-graph labeling inflated every multi-element structure's
+        per-element cluster sizes)."""
+        m = int(mask.sum())
+        remap = np.full(n_nodes, -1, dtype=np.int64)
+        remap[np.flatnonzero(mask)] = np.arange(m)
+        if len(e_arr):
+            keep = mask[e_arr[:, 0]] & mask[e_arr[:, 1]]
+            sub = remap[e_arr[keep]]
+        else:
+            sub = np.empty((0, 2), int)
+        return pd.Series(_components(m, sub)).value_counts().sort_values().tolist()
 
     out = {}
     el_arr = np.array(elements)
     for el in sorted(set(elements)):
         mask1 = el_arr == el
-        comp1 = pd.Series(labels1[mask1]).value_counts().sort_values().tolist()
+        comp1 = _sub_components(n, edge_arr, mask1)
         mask4 = np.concatenate([mask1] * 4)
-        comp4 = pd.Series(labels4[mask4]).value_counts().sort_values().tolist()
+        comp4 = _sub_components(4 * n, all4, mask4)
         max1, max4 = (max(comp1) if comp1 else 0), (max(comp4) if comp4 else 0)
         if max1 == max4:
             nuclearity = str(max1)
@@ -132,9 +148,12 @@ def add_nuclearity(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            # NULL cells on EITHER graph column degrade to the empty
+            # graph (r8 review: the edges guard existed but a NULL
+            # elements cell crashed list(None) inside the Arrow worker)
             pdf[out_col] = [
                 _nuclearity_one(
-                    list(els),
+                    list(els) if els is not None else [],
                     [list(e) for e in edges] if edges is not None else [],
                 )
                 for els, edges in zip(pdf[elements_col], pdf[edges_col])
@@ -151,10 +170,17 @@ def attach_surrogate_graph(slabs: DataFrame, n_nodes_mod: int = 12) -> DataFrame
     key = ["bulk_id", "slab_millers", "slab_shift", "slab_top"]
     n_nodes = 4 + F.pmod(F.xxhash64(*key, F.lit("n")), F.lit(n_nodes_mod))
     idx = F.sequence(F.lit(0), n_nodes - 1)
+    # greatest(size, 1): an EMPTY bulk_elements array (dirty upstream
+    # row) made pmod(i, 0) an ANSI DIVIDE_BY_ZERO job abort (r8 review);
+    # with the guard element_at probes index 1 of the empty array via
+    # try_element_at -> NULL element labels, a degenerate-but-alive row
     elements = F.transform(
         idx,
-        lambda i: F.element_at(
-            F.col("bulk_elements"), (F.pmod(i, F.size("bulk_elements")) + 1).cast("int")
+        lambda i: F.try_element_at(
+            F.col("bulk_elements"),
+            (
+                F.pmod(i, F.greatest(F.size("bulk_elements"), F.lit(1))) + 1
+            ).cast("int"),
         ),
     )
     # chain edges kept with prob 2/3, plus skip links every 4th node

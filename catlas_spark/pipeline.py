@@ -272,7 +272,14 @@ def memoized_energy_prediction(
         "adsorbate_smiles", "config_ids",
     ]
     version = f"{label}:{step.get('checkpoint', 'surrogate-v1')}:v1"
-    live_out = memoize(spark, live, key_cols, compute, step["memo_table"], version)
+    # pin_input=True: this input is exactly memoize's documented
+    # "expensive derived plan" case — in a multi-step cascade it carries
+    # the PREVIOUS step's Arrow inference lineage, which the memo's
+    # append action plus both serving joins would otherwise re-execute
+    # 3-4x per step (r8 review)
+    live_out = memoize(
+        spark, live, key_cols, compute, step["memo_table"], version, pin_input=True
+    )
     dead_out = (
         dead.withColumn(label, F.lit(None).cast("array<double>"))
         .withColumn(f"min_{label}", F.lit(None).cast("double"))
@@ -363,7 +370,7 @@ def run_screen(
                     > 0,
                 )
                 ads_nodes = F.sequence(
-                    F.lit(0), F.pmod(F.xxhash64("adsorbate_smiles"), F.lit(2)) + 0
+                    F.lit(0), F.pmod(F.xxhash64("adsorbate_smiles"), F.lit(2))
                 ).cast("array<int>")
                 adslabs = adslabs.withColumn(
                     f"anomaly_detection_{step['label']}",

@@ -192,3 +192,52 @@ def test_minhash_band_misconfig_and_simhash_bits_guard(spark):
         minhash_lsh_pairs(df, "text", "doc", n_perm=12, band_size=8)
     with pytest.raises(ValueError, match="bits"):
         simhash(df, "text", "doc", bits=64)
+
+
+def test_nuclearity_per_element_subgraph():
+    """The reference slices the connectivity matrix to the element's
+    atoms BEFORE labeling (catlas/nuclearity.py:77-79): a Cu-Pt-Cu chain
+    is two Cu monomers, never a Cu 'dimer' bridged through the Pt atom.
+    Pure driver-side check of the shared python body."""
+    from catlas_spark.operators.structure import _nuclearity_one
+
+    # Cu at nodes 1 and 3 — off the surrogate's periodic-boundary nodes
+    # (i%4==0 / i%4==2), so the replica adds no Cu-Cu wrap bonds and the
+    # verdict isolates the induced-subgraph semantics
+    out = _nuclearity_one(
+        ["Pt", "Cu", "Pt", "Cu", "Pt"], [[0, 1], [1, 2], [2, 3], [3, 4]]
+    )
+    assert out["Cu"]["nuclearities"] == [1, 1]  # full-graph labeling said [2]
+    assert out["Cu"]["nuclearity"] == "1"
+
+    # same-element chain still one cluster of 3
+    out2 = _nuclearity_one(["Cu", "Cu", "Cu"], [[0, 1], [1, 2]])
+    assert out2["Cu"]["nuclearities"] == [3]
+
+
+def test_required_elements_filter_tolerates_duplicates(spark):
+    """A duplicated element in the config's required list must not make
+    the filter unsatisfiable (array_intersect dedups; the old size test
+    silently matched zero rows)."""
+    from catlas_spark.operators.filters import BULK_FILTERS
+
+    df = spark.createDataFrame(
+        [(1, ["Cu", "Pt"]), (2, ["Pt", "Ni"])], "bulk_id long, bulk_elements array<string>"
+    )
+    fn = BULK_FILTERS["filter_by_required_elements"]
+    got = {r.bulk_id for r in fn(df, ["Cu", "Cu"], {}).collect()}
+    assert got == {1}
+
+
+def test_pourbaix_empty_conditions_is_loud(spark):
+    import pytest
+
+    from catlas_spark.operators.filters import BULK_FILTERS
+
+    df = spark.createDataFrame([(1,)], "bulk_id long")
+    pb = spark.createDataFrame(
+        [(1, 7.0, 0.0, 0.1)], "bulk_id long, pH double, V double, decomp_e double"
+    )
+    fn = BULK_FILTERS["filter_by_pourbaix_stability"]
+    with pytest.raises(ValueError, match="conditions"):
+        fn(df, {"conditions": []}, {"pourbaix": pb})
