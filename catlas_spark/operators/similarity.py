@@ -311,9 +311,9 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
     :func:`_jvm_assign` (regime-equality tested): the cross-join form is
     O(n*k) interpreted higher-order folds (407 s at 100x with k=800),
     so the collected centroid matrix (k x d — bounded by the caller's
-    k ~ n/target_cluster_size contract; ~50 MB at k=100k, beyond which a
-    two-level coarse-quantizer assignment is the documented next
-    regime) closes over one Arrow mapInPandas stage computing every
+    k ~ n/target_cluster_size contract; ~50 MB at k=100k, beyond which
+    :func:`two_level_assign` is the next regime — the fine table stays
+    distributed there) closes over one Arrow mapInPandas stage computing every
     distance as the SAME dim-sequential fold (``acc += (V[:,i]-C[:,i])^2``
     in dim order), the identical floor-snap, and an argmin whose
     first-match tie-break equals the window's ORDER BY d2, cid
@@ -400,6 +400,173 @@ def _arrow_assign(vecs: DataFrame, c_rows: list) -> DataFrame:
     return vecs.mapInPandas(_assign, f"vid {vt}, v array<double>, cid long, d2 double")
 
 
+def two_level_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    n_coarse: int,
+    probes: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment through a COARSE QUANTIZER — the
+    documented next regime past `_arrow_assign`'s k-bounded centroid
+    collect (~50 MB closure at k=100k; linear beyond). The fine centroid
+    table stays a DataFrame end to end — only ``n_coarse`` coarse rows
+    ever reach the driver, so k is unbounded.
+
+    Standard IVF two-level shape (same family as `ivf_search_pruned`,
+    applied to ASSIGNMENT):
+
+    1. coarse centroids = the ``n_coarse`` smallest cids' vectors
+       (`_seed_centroids` rule, deterministic);
+    2. route each FINE centroid to its nearest coarse centroid —
+       a k x m problem through the existing small-k dispatch
+       (`_jvm_assign` / `_arrow_assign`), m rows broadcast;
+    3. each corpus vector probes its ``probes`` nearest coarse buckets
+       — an Arrow map-side stage over the m collected coarse rows
+       (O(n*m) work, ZERO shuffle; the `_arrow_assign` shape emitting
+       a top-p list instead of an argmin);
+    4. exact fold distance against the fine centroids of the probed
+       buckets only: probe pairs hash-join the routing table on
+       coarse_id (the fine table's only appearance — k rows, never
+       collected, never broadcast), then a map-side-combinable min_by
+       per vid. Two corpus-keyed exchanges total (bucket join +
+       group-sized final agg) — the price of unbounded k, vs the flat
+       Arrow regime's zero-shuffle-but-k-bounded closure.
+
+    Contract: with ``probes = n_coarse`` every bucket is probed, the
+    candidate set is complete, and the result is EXACTLY `_jvm_assign`
+    (same nanvl + 1e-4 snap + NULLS-LAST-with-cid-tiebreak semantics;
+    regime-equality tested on the NULL/NaN/ragged parity zoo). With
+    ``probes < n_coarse`` the assignment is approximate in the standard
+    IVF sense — a vector whose true nearest fine centroid routes to an
+    unprobed bucket may assign one bucket over. Pick
+    ``n_coarse ~ sqrt(k)`` and ``probes`` by recall need, exactly as in
+    `ivf_search_pruned`. Default probes = n_coarse (exact).
+
+    Returns (vid, v, cid, d2) like the flat regimes.
+    """
+    if n_coarse < 1:
+        raise ValueError("two_level_assign needs n_coarse >= 1")
+    if probes is None:
+        probes = n_coarse
+    if probes < 1:
+        raise ValueError("two_level_assign needs probes >= 1")
+
+    coarse = (
+        _seed_centroids(centroids.select(F.col("cid").alias("vid"), F.col("c").alias("v")), n_coarse)
+        .select(F.col("cid").alias("coarse_id"), F.col("c").alias("cc"))
+    )
+
+    # fine -> coarse routing (k rows x m broadcast; distributed).
+    # A fine centroid with only NULL folds vs every coarse vector
+    # (NULL/ragged) routes to the smallest coarse_id — same default as
+    # the flat regimes' all-NULL-folds rule, so it stays reachable.
+    routing = _jvm_assign(
+        centroids.select(F.col("cid").alias("vid"), F.col("c").alias("v")),
+        coarse.select(F.col("coarse_id").alias("cid"), F.col("cc").alias("c")),
+    ).select(F.col("vid").alias("cid"), F.col("v").alias("c"), F.col("cid").alias("coarse_id"))
+
+    # corpus -> probed coarse buckets: an Arrow map-side stage over the
+    # collected coarse rows (m = n_coarse rows — the SMALL level; the
+    # fine table never collects). Probe order is (pd2 asc NULLS LAST,
+    # coarse_id) like the flat regimes' rank: NULL pd2 (NULL/ragged/NaN
+    # folds — Arrow hands NULL elements to numpy as NaN, masked below)
+    # sorts after every real distance, so a NULL vector still probes
+    # the `probes` smallest coarse_ids deterministically. Order only
+    # matters when probes < n_coarse (the approximate regime); at
+    # probes = n_coarse every bucket is probed regardless.
+    import numpy as np
+    import pandas as pd
+
+    c_rows = sorted(coarse.collect(), key=lambda r: r["coarse_id"])
+    if not c_rows:
+        return vecs.limit(0).select(
+            "vid", "v", F.lit(0).cast("long").alias("cid"), F.lit(0.0).alias("d2")
+        )
+    all_ids = np.array([int(r["coarse_id"]) for r in c_rows], dtype=np.int64)
+    probes = min(probes, len(all_ids))
+    coarse_by_len: dict = {}
+    for r in c_rows:
+        if r["cc"] is None:
+            continue
+        arr = np.asarray(r["cc"], dtype=np.float64)
+        coarse_by_len.setdefault(len(arr), ([], []))
+        coarse_by_len[len(arr)][0].append(int(r["coarse_id"]))
+        coarse_by_len[len(arr)][1].append(arr)
+    coarse_by_len = {
+        length: (np.array(ids, dtype=np.int64), np.stack(mats))
+        for length, (ids, mats) in coarse_by_len.items()
+    }
+    n_probes = probes
+
+    def _probe(batches):
+        for pdf in batches:
+            lens = pdf["v"].map(lambda x: -1 if x is None else len(x)).to_numpy()
+            # default = all folds NULL: the p smallest coarse_ids
+            out = [all_ids[:n_probes]] * len(pdf)
+            for length in np.unique(lens):
+                if length < 0 or length not in coarse_by_len:
+                    continue
+                ids, C = coarse_by_len[length]
+                idx = np.flatnonzero(lens == length)
+                V = np.stack(pdf["v"].iloc[idx].to_numpy())
+                acc = np.zeros((len(idx), len(ids)))
+                for i in range(V.shape[1]):
+                    diff = V[:, i][:, None] - C[:, i][None, :]
+                    acc += diff * diff
+                d2m = np.floor(acc * 10000 + 0.5) / 10000
+                # (pd2 asc, id asc) with NaN (the NULL class) last: ids
+                # are pre-sorted, stable argsort keeps id order within
+                # ties, NaN sorts last under numpy argsort — BUT only
+                # the valid prefix may displace the all-ids default's
+                # NULL-class tail (which is ordered by coarse_id over
+                # ALL ids, not just same-length ones)
+                order = np.argsort(d2m, axis=1, kind="stable")
+                for row_pos, j in enumerate(idx):
+                    valid = ~np.isnan(d2m[row_pos])
+                    ranked = ids[order[row_pos][valid[order[row_pos]]]]
+                    if len(ranked) >= n_probes:
+                        out[j] = ranked[:n_probes]
+                    else:
+                        tail = all_ids[~np.isin(all_ids, ranked)]
+                        out[j] = np.concatenate([ranked, tail[: n_probes - len(ranked)]])
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "v": pdf["v"], "probe_ids": [list(map(int, p)) for p in out]}
+            )
+
+    vt = vecs.schema["vid"].dataType.simpleString()
+    probed = (
+        vecs.mapInPandas(_probe, f"vid {vt}, v array<double>, probe_ids array<long>")
+        .select("vid", "v", F.explode("probe_ids").alias("coarse_id"))
+    )
+
+    # exact distance within probed buckets; the fine table arrives via a
+    # coarse_id-keyed join (never collected, never broadcast — k-sized).
+    cdiff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
+    craw = F.nanvl(
+        F.aggregate(cdiff2, F.lit(0.0), lambda a, x: a + x),
+        F.lit(None).cast("double"),
+    )
+    cand = (
+        probed.join(routing.select("cid", "c", "coarse_id"), "coarse_id")
+        .withColumn("d2", F.floor(craw * 10000 + F.lit(0.5)) / 10000)
+    )
+    # min per vid as a hash aggregate (map-side combinable; the flat
+    # regimes' window would sort-shuffle every candidate). Key encodes
+    # the same ordering: (d2 IS NULL) ASC puts real distances first
+    # (booleans order false < true == NULLS LAST), then d2, then cid.
+    key = F.struct(
+        F.col("d2").isNull().alias("__null"),
+        F.col("d2").alias("__d2"),
+        F.col("cid").alias("__cid"),
+    )
+    row = F.struct(F.col("v").alias("v"), F.col("cid").alias("cid"), F.col("d2").alias("d2"))
+    return (
+        cand.groupBy("vid")
+        .agg(F.min_by(row, key).alias("__m"))
+        .select("vid", F.col("__m.v").alias("v"), F.col("__m.cid").alias("cid"), F.col("__m.d2").alias("d2"))
+    )
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -438,7 +605,10 @@ def kmeans_lloyd(
     # interpreted-fold cliff `semantic_dedup` hit at 100x — dispatch to
     # the bit-identical Arrow map-side assignment (_arrow_assign); the
     # price is one k-bounded centroid collect per iteration (the small-k
-    # path stays one fully-lazy composed plan)
+    # path stays one fully-lazy composed plan). Past the collect's
+    # practical bound (k ~ 100k), `two_level_assign` is the third
+    # regime: fine centroids stay a DataFrame, exact at
+    # probes=n_coarse, standard IVF-approximate below it
     arrow = k >= arrow_assign_from
 
     assigned = None

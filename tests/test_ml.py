@@ -583,3 +583,97 @@ def test_assignment_regimes_agree_on_nan_components(spark):
 
     km_jvm, km_arrow = run_km(10**9), run_km(1)
     assert km_jvm == km_arrow and len(km_jvm) > 0
+
+
+def test_two_level_assign_exact_parity_with_flat(spark):
+    """The k>~100k regime: `two_level_assign` with probes = n_coarse
+    probes every bucket, so the candidate set is complete and the
+    result must EXACTLY equal `_jvm_assign` — including the parity zoo
+    (NULL vector, NULL/NaN components, ragged lengths, a NULL seed and
+    a ragged seed in the centroid table). The fine centroid table is
+    never collected; only n_coarse coarse rows reach the driver."""
+    from catlas_spark.operators.similarity import (
+        _jvm_assign,
+        _seed_centroids,
+        two_level_assign,
+    )
+
+    nan = float("nan")
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.1, 0.2, 0.3]),
+            (11, [5.0, 5.0, 5.0]),
+            (12, [9.9, 9.0, 8.0]),
+            (13, None),  # NULL vector -> smallest cid, NULL d2
+            (14, [1.0, 2.0]),  # ragged -> competes only among 2-dim centroids
+            (15, [nan, 1.0, 1.0]),  # NaN component -> all-NULL-folds default
+            (16, [1.0, None, 1.0]),  # NULL component -> same
+            (17, [4.9, 5.2, 5.1]),
+        ],
+        "vid long, v array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),
+            (1, [5.0, 5.0, 5.0]),
+            (2, [10.0, 9.0, 8.0]),
+            (3, None),  # NULL seed: never wins
+            (4, [1.0, 2.0]),  # ragged seed: only 2-dim vectors reach it
+            (5, [0.5, 0.5, nan]),  # poisoned seed: never wins
+        ],
+        "vid long, v array<double>",
+    )
+    centroids = _seed_centroids(seeds, 6)
+
+    def norm(df):
+        return sorted(
+            (r.vid, r.cid, None if r.d2 is None else round(r.d2, 6))
+            for r in df.select("vid", "cid", "d2").collect()
+        )
+
+    flat = norm(_jvm_assign(corpus, centroids))
+    for n_coarse in (1, 2, 3, 6):
+        two = norm(two_level_assign(corpus, centroids, n_coarse=n_coarse))
+        assert two == flat, f"n_coarse={n_coarse}"
+    # probes beyond n_coarse clamps (still exact)
+    assert norm(two_level_assign(corpus, centroids, n_coarse=2, probes=99)) == flat
+
+
+def test_two_level_assign_probe_pruning_on_separated_clusters(spark):
+    """probes < n_coarse is the approximate scale regime: on
+    well-separated data the nearest fine centroid lives in the nearest
+    coarse bucket, so probes=1 already reproduces the exact assignment
+    while scanning 1/n_coarse of the fine table per vector."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from catlas_spark.operators.similarity import (
+        _jvm_assign,
+        two_level_assign,
+    )
+
+    # 4 tight clusters at corners; fine centroids = 2 per cluster, and
+    # the coarse level (4 smallest cids = one per cluster by
+    # construction) routes each pair to its own bucket
+    base = {0: (0.0, 0.0), 1: (100.0, 0.0), 2: (0.0, 100.0), 3: (100.0, 100.0)}
+    cent_rows = []
+    for g, (x, y) in base.items():
+        cent_rows.append((g, [x, y]))  # cids 0..3 become the coarse level
+        cent_rows.append((4 + g, [x + 1.0, y + 1.0]))
+    centroids = spark.createDataFrame(cent_rows, "cid long, c array<double>")
+    corpus = spark.createDataFrame(
+        [(i, [bx + 0.1 * i, by + 0.2]) for i, (bx, by) in enumerate(base.values())]
+        + [(9, [101.2, 101.3])],
+        "vid long, v array<double>",
+    )
+
+    def norm(df):
+        return sorted((r.vid, r.cid) for r in df.select("vid", "cid").collect())
+
+    flat = norm(_jvm_assign(corpus, centroids))
+    pruned = norm(two_level_assign(corpus, centroids, n_coarse=4, probes=1))
+    assert pruned == flat
+    with pytest.raises(ValueError, match="probes"):
+        two_level_assign(corpus, centroids, n_coarse=4, probes=0)
+    with pytest.raises(ValueError, match="n_coarse"):
+        two_level_assign(corpus, centroids, n_coarse=0)
