@@ -131,7 +131,18 @@ def materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
     if not _MATERIALIZE:
         return out
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    try:
+        out.count()
+    except Exception:
+        # release-on-error (r8 review): a failed materializing count
+        # (bad plan, executor loss, ANSI abort in the subtree) must not
+        # leave `out` registered in the CacheManager with no finalizer
+        # — the stale-canonicalized-plan hazard this module documents —
+        # nor keep the upstream caches pinned for the session
+        out.unpersist(blocking=False)
+        for c in caches:
+            c.unpersist(blocking=False)
+        raise
     weakref.finalize(out, _release_on_gc, out._jdf)
     for c in caches:
         c.unpersist(blocking=False)
@@ -201,5 +212,28 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(ckpt_dir)
+            # lifetime discipline for the reliable branch (r8 review):
+            # checkpoint files are deleted on RDD GC only when
+            # spark.cleaner.referenceTracking.cleanCheckpoints=true,
+            # which is STATIC (ContextCleaner captures it at context
+            # create — session.get_session sets it; a driver-owned
+            # session must set it itself). Warn once if the cleaner
+            # won't collect, so iterative per-round pins don't grow the
+            # shared store unboundedly and silently.
+            if (
+                sc.getConf().get(
+                    "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+                )
+                != "true"
+            ):
+                import warnings
+
+                warnings.warn(
+                    "SPARK_GRAFT_CHECKPOINT_DIR is set but spark.cleaner."
+                    "referenceTracking.cleanCheckpoints is false: reliable "
+                    "checkpoints will accumulate until the path is purged "
+                    "manually. Set the conf at session create.",
+                    stacklevel=2,
+                )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -135,14 +135,64 @@ def _memo_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _split_layout(files: list[str]) -> tuple[list[str], list[str]]:
+    """Partition a memo file list into (flat, sharded) groups by whether
+    the path carries a ``memo_shard=K/`` hive segment."""
+    sharded = [f for f in files if re.search(rf"{SHARD_COL}=\d+/", f)]
+    ss = set(sharded)
+    return [f for f in files if f not in ss], sharded
+
+
+def _guard_layout(files: list[str], n_shards: int | None) -> None:
+    """Refuse layout/shard-setting mismatches LOUDLY (r8 review): Spark's
+    partition discovery over a mixed flat+sharded file list silently
+    DROPS the flat files' rows (confirmed: 3 of 6 rows returned), so the
+    old "flat files carry every shard: always read them" branch never
+    worked — a table toggled between n_shards settings lost its
+    pre-toggle entries to silent recompute, and compact() on the mix
+    permanently deleted them. The docstring contract (n_shards stable
+    per table) is now enforced, with compact(n_shards=...) as the
+    migration path."""
+    flat, sharded = _split_layout(files)
+    if flat and sharded:
+        raise ValueError(
+            "memo table mixes flat and memo_shard=K/ parquet files — a mixed "
+            "read silently drops the flat rows. Repair with "
+            "compact(spark, table_path, n_shards=N) (re-shards every row) or "
+            "compact(spark, table_path, n_shards=None) (flattens)."
+        )
+    if flat and n_shards:
+        raise ValueError(
+            "memo table was written flat but n_shards is set — the setting "
+            "must be stable per table (appending sharded files next to flat "
+            "ones makes the flat rows unreadable). Migrate with "
+            f"compact(spark, table_path, n_shards={n_shards}) first."
+        )
+    if sharded and not n_shards:
+        raise ValueError(
+            "memo table is hive-sharded but n_shards is not set — a flat "
+            "append would make the existing sharded rows' table mixed and "
+            "the flat rows unreadable. Pass the table's n_shards, or "
+            "flatten with compact(spark, table_path, n_shards=None)."
+        )
+
+
 def _read_memo(spark: SparkSession, files: list[str], base_path: str) -> DataFrame | None:
     if not files:
         return None
     # basePath recovers hive partition columns (the shard) from dir names
     # even though the scan is pinned to explicit leaf files
     memo = spark.read.option("basePath", base_path).parquet(*files)
-    # idempotent reads: keep one row per key (appends may duplicate on retry)
-    w = Window.partitionBy(KEY_COL).orderBy(F.col(KEY_COL))
+    # idempotent reads: keep one row per key (appends may duplicate on
+    # retry). Winner ordered by source FILE (r8 review): orderBy(KEY_COL)
+    # — the partition key itself — was a no-op ordering, so concurrent
+    # duplicate appends could serve DIFFERENT rows for the same key
+    # across reads of the same snapshot (hit-join vs read-back). The
+    # file list is pinned and sorted, so file-name order makes every
+    # read of a snapshot deterministic (not first-write-wins — parquet
+    # part names are not write-ordered — but stable, which is what the
+    # "cannot poison results" claim needs).
+    w = Window.partitionBy(KEY_COL).orderBy(F.input_file_name())
     return memo.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
         "__rn"
     )
@@ -204,11 +254,20 @@ def memoize(
         from .caching import pin
 
         keyed = pin(keyed)
+    files_before = _memo_files(table_path)
+    _guard_layout(files_before, n_shards)
     input_shards: set[int] | None = None
     if n_shards:
         keyed = keyed.withColumn(SHARD_COL, F.pmod(F.col(KEY_COL), F.lit(n_shards)))
-        # the input's shard footprint: ≤ n_shards values, map-side combinable
-        input_shards = {r[0] for r in keyed.select(SHARD_COL).distinct().collect()}
+        # the input's shard footprint: ≤ n_shards values, map-side
+        # combinable. Probed ONLY when there are files to prune (r8
+        # review): on a fresh table the probe is a full execution of
+        # df's lineage spent pruning an empty list — and the post-append
+        # read needs no pruning either, since fresh files land in input
+        # shards by construction (an unpruned read of them is a superset
+        # that the key join filters identically).
+        if files_before:
+            input_shards = {r[0] for r in keyed.select(SHARD_COL).distinct().collect()}
 
     def _shard_prune(files: list[str]) -> list[str]:
         if input_shards is None:
@@ -216,12 +275,12 @@ def memoize(
         kept = []
         for f in files:
             m = re.search(rf"{SHARD_COL}=(\d+)/", f)
-            # flat (pre-sharding) files carry every shard: always read them
+            # layout is guarded sharded-only here; keep matching shards
             if m is None or int(m.group(1)) in input_shards:
                 kept.append(f)
         return kept
 
-    memo = _read_memo(spark, _shard_prune(_memo_files(table_path)), table_path)
+    memo = _read_memo(spark, _shard_prune(files_before), table_path)
 
     if memo is None:
         hits = None
@@ -260,15 +319,57 @@ def memoize(
     return hits.drop(KEY_COL, SHARD_COL).unionByName(miss_rows.drop(KEY_COL, SHARD_COL))
 
 
-def compact(spark: SparkSession, table_path: str) -> int:
+_PRESERVE = "preserve"
+
+
+def compact(
+    spark: SparkSession, table_path: str, n_shards: int | None | str = _PRESERVE
+) -> int:
     """Rewrite the memo table with one row per key (reclaims duplicate
     appends left by task retries / concurrent runs — the maintenance
-    counterpart of the read-side dedup). Preserves a sharded table's
-    hive layout. Returns the compacted row count."""
-    memo = _read_memo(spark, _memo_files(table_path), table_path)
-    if memo is None:
+    counterpart of the read-side dedup). By default preserves the
+    table's layout; it is also the LAYOUT MIGRATION path (r8 review):
+    pass ``n_shards=N`` to re-shard every row (``pmod(key, N)`` is a
+    pure function of the key, so legacy flat rows shard correctly) or
+    ``n_shards=None`` to flatten. Flat and sharded file groups are read
+    SEPARATELY — one mixed read silently drops the flat rows (the
+    defect that made mixed tables lose data on compact). A mixed table
+    with the default layout raises: the target layout is ambiguous,
+    pass n_shards explicitly. Returns the compacted row count."""
+    files = _memo_files(table_path)
+    flat_files, sharded_files = _split_layout(files)
+    if n_shards == _PRESERVE:
+        if flat_files and sharded_files:
+            raise ValueError(
+                "mixed flat+sharded memo table: pass n_shards=N to re-shard "
+                "or n_shards=None to flatten (the pre-mix setting cannot be "
+                "inferred from the files)"
+            )
+        n_shards = None if flat_files else True  # True = keep existing SHARD_COL
+    parts = []
+    flat_part = _read_memo(spark, flat_files, table_path)
+    if flat_part is not None:
+        parts.append(flat_part)
+    sharded_part = _read_memo(spark, sharded_files, table_path)
+    if sharded_part is not None:
+        # drop the recovered partition column unless we are preserving it
+        if n_shards is not True:
+            sharded_part = sharded_part.drop(SHARD_COL)
+        parts.append(sharded_part)
+    if not parts:
         return 0
-    sharded = SHARD_COL in memo.columns
+    if len(parts) == 2:
+        # re-dedup across the two groups (file-name order within the
+        # whole pinned list == flat-vs-sharded union order is ambiguous;
+        # prefer the sharded group's rows, matching what the old mixed
+        # read served)
+        flat_only = parts[0].join(parts[1].select(KEY_COL), KEY_COL, "left_anti")
+        memo = parts[1].unionByName(flat_only, allowMissingColumns=False)
+    else:
+        memo = parts[0]
+    if isinstance(n_shards, int) and not isinstance(n_shards, bool):
+        memo = memo.withColumn(SHARD_COL, F.pmod(F.col(KEY_COL), F.lit(n_shards)))
+    sharded = n_shards is True or (isinstance(n_shards, int) and not isinstance(n_shards, bool))
     # the overwrite below clears the directory — carry the key-schema
     # marker across (the compacted rows keep whatever era they were
     # written under; compact cannot re-derive keys)

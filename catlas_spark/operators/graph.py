@@ -55,7 +55,13 @@ def pagerank(
     for _ in range(iterations):
         contribs = (
             edges.join(ranks.withColumnRenamed("v", "src"), "src")
-            .join(F.broadcast(deg), "src")
+            # deg is NODE-sized: no forced broadcast hint (r8 review) —
+            # on a billion-node graph it exceeds the 8 GB broadcast hard
+            # limit and this is the documented high-degree/general path.
+            # AQE still broadcast-converts it at runtime when it IS
+            # small; when it isn't, the edge join is already shuffled on
+            # src, so the degree join co-locates for free
+            .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("d")).alias("m"))
         )
@@ -182,10 +188,15 @@ def triangle_participation(
     # self-loops and NULL endpoints carry no triangle information and
     # would diverge the regimes (a self-loop closes fake wedges in the
     # naive join; least/greatest collapse a NULL endpoint into a fake
-    # self-loop) — drop them up front so both regimes see the same graph
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+    # self-loop) — drop them up front so both regimes see the same
+    # graph. Filter BEFORE the alias: filtering after it resolves
+    # F.col(src) against the ALIASED output when a caller column is
+    # itself named "u"/"v" (non-identity mapping), comparing a column
+    # to itself and silently dropping every edge (r8 review, confirmed
+    # empty result for src="v").
+    e = edges.filter(
         F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
-    )
+    ).select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # canonical min<max edge form: the naive regime's join key order and
     # the undirected expansion's input. Persisted because BOTH regimes
     # read it 3+ times and the dispatch count materializes it anyway

@@ -73,6 +73,12 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # reliable checkpoints (caching.pin under SPARK_GRAFT_CHECKPOINT_DIR)
+        # are never deleted by default; iterative operators pin per round,
+        # so a long session accumulates unbounded checkpoint data on the
+        # shared store without this. Static core conf — must be set at
+        # context create (ContextCleaner captures it at construction)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(AUTOBROADCAST_BYTES))
         # static conf, must be set at session create: the generated-class
         # cache defaults to 100 entries, and a many-query session (171

@@ -213,3 +213,20 @@ def test_triangle_participation_regime_equality(spark):
     degree = run(driver_max_edges=0, naive_max_edges=n - 1)
     assert driver == naive == degree
     assert sum(driver.values()) % 3 == 0 and sum(driver.values()) > 0
+
+
+def test_triangle_participation_nonidentity_column_names(spark):
+    """Filtering after the u/v alias resolved F.col(src) against the
+    ALIASED output when a caller column was itself named 'u' or 'v',
+    comparing a column to itself and silently dropping every edge (r8
+    review, confirmed empty). The filter now runs before the alias."""
+    from catlas_spark.operators.graph import triangle_participation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "v long, w long"
+    )
+    got = {
+        (r.node, r.n_triangles)
+        for r in triangle_participation(edges, src="v", dst="w").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}

@@ -939,3 +939,55 @@ def test_memo_key_schema_marker(spark, tmp_path):
         out = memoize(spark, df, ["x"], _expensive, table)
         assert {r.result for r in out.collect()} == {i * 10 for i in range(10)}
     assert any("key schema" in str(w.message) for w in got)
+
+
+def test_memo_layout_guard_and_migration(spark, tmp_path):
+    """n_shards must be stable per table — ENFORCED (r8 review): Spark's
+    partition discovery over a mixed flat+sharded file list silently
+    drops the flat rows (confirmed 3-of-6), so toggling the setting used
+    to turn all pre-toggle entries into dead storage and compact() on
+    the mix permanently deleted them. Both toggle directions now raise
+    up front, and compact(n_shards=...) is the migration path that reads
+    the layout groups separately (no row loss)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from catlas_spark.memo import compact, memoize
+
+    table = str(tmp_path / "memo_guard")
+    df = spark.range(0, 20).select(F.col("id").alias("x"))
+    memoize(spark, df, ["x"], _expensive, table)  # flat table
+
+    with pytest.raises(ValueError, match="written flat"):
+        memoize(spark, df, ["x"], _expensive, table, n_shards=4)
+
+    # migration: re-shard every row, then the sharded setting serves the
+    # pre-migration entries as HITS (compute must not run again)
+    assert compact(spark, table, n_shards=4) == 20
+
+    def _poison(miss_df):
+        # compute is always CALLED (lazily) — a migrated table shows up
+        # as zero misses, i.e. zero poison rows in the output
+        return miss_df.withColumn("result", F.lit(-1).cast("bigint"))
+
+    out = memoize(spark, df, ["x"], _poison, table, n_shards=4)
+    assert {r.result for r in out.collect()} == {i * 10 for i in range(20)}
+
+    # the reverse toggle also raises...
+    with pytest.raises(ValueError, match="hive-sharded"):
+        memoize(spark, df, ["x"], _expensive, table)
+    # ...and flattening migrates back
+    assert compact(spark, table, n_shards=None) == 20
+    out = memoize(spark, df, ["x"], _poison, table)
+    assert {r.result for r in out.collect()} == {i * 10 for i in range(20)}
+
+    # a mixed table (simulated corruption) raises on preserve-compact
+    spark.range(0, 1).select(
+        F.lit(123456789).alias("__memo_key"),
+        F.lit(0).alias("memo_shard"),
+        F.lit(0.0).alias("result"),
+    ).write.mode("append").partitionBy("memo_shard").parquet(table)
+    with pytest.raises(ValueError, match="mixed"):
+        compact(spark, table)
+    with pytest.raises(ValueError, match="mixes"):
+        memoize(spark, df, ["x"], _expensive, table)

@@ -390,7 +390,14 @@ def test_zorder_write_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     sx, sx_tot = hits(xp, "l_orderkey", *x_rng)
     sy, sy_tot = hits(xp, "l_partkey", *y_rng)
     assert zx_tot >= 20 and sx_tot >= 20  # enough groups for the claim
-    assert sy == sy_tot  # 1-D layout: y filter overlaps every group
+    # 1-D layout: the y filter overlaps essentially every group. Not an
+    # exact equality (r8 flake): row_group_bytes=4KB makes tiny groups,
+    # and a small TAIL group of n random partkeys misses the eighth-range
+    # with probability 0.875^n — repartitionByRange's per-RDD sampling
+    # seed shifts group sizes between sessions, so one stray skipped
+    # group is luck, not layout. The contrast claim (≈100% vs <=50%)
+    # survives a 5% allowance.
+    assert sy >= sy_tot - max(1, sy_tot // 20), (sy, sy_tot)
     assert sx <= sx_tot // 4  # ...but is best-in-class on its own column
     assert zx <= zx_tot // 2 and zy <= zy_tot // 2  # zorder skips on BOTH
     # layout never changes answers: box-filter counts agree
@@ -459,3 +466,26 @@ def test_keep_alive_prevents_premature_cache_release(spark):
     del d
     gc.collect()
     assert cm.isEmpty(), "cache must still release once the derived frame dies"
+
+
+def test_materialize_and_release_releases_on_error(spark):
+    """r8 review: a failed materializing count must not leave the output
+    persisted with no finalizer (the stale-canonicalized-plan hazard)
+    nor keep the upstream caches pinned — both unpersist on the error
+    path, and the error propagates."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from catlas_spark.caching import materialize_and_release, maybe_persist
+
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "test needs a clean CacheManager"
+
+    upstream = maybe_persist(spark.range(5).select(F.col("id").alias("x")))
+    bad = upstream.select(
+        F.raise_error(F.lit("boom")).alias("y")
+    )
+    with pytest.raises(Exception, match="boom"):
+        materialize_and_release(bad, upstream)
+    assert jcache.isEmpty(), "error path must unpersist output AND caches"
