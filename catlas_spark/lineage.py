@@ -47,7 +47,12 @@ class Lineage:
             {
                 "source": i,
                 "target": i + 1,
-                "value": summ[i + 1].get("rows", 0),
+                # live_rows when the stage is soft-delete aware (r8
+                # review): group_exists_mark sets filter_reason without
+                # dropping rows, so raw `rows` stays constant through
+                # screening stages and the diagram showed no attrition —
+                # the reference Sankey's whole purpose
+                "value": summ[i + 1].get("live_rows", summ[i + 1].get("rows", 0)),
             }
             for i in range(len(summ) - 1)
         ]

@@ -27,7 +27,13 @@ def load_config(path: str) -> dict:
 
     with open(path) as f:
         raw = f.read()
-    rendered = jinja2.Template(raw).render(**os.environ)
+    # StrictUndefined (r8 review): the default lenient Undefined renders
+    # a missing/misspelled env var as an EMPTY STRING — `{{ DATA_DIR }}/x`
+    # silently becomes `/x` and the run proceeds against the wrong path.
+    # Defaults are the opt-in mechanism (`{{ VAR | default(2) }}`).
+    rendered = jinja2.Template(raw, undefined=jinja2.StrictUndefined).render(
+        **os.environ
+    )
     return validate_config(yaml.safe_load(rendered))
 
 
@@ -82,8 +88,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.adsorbates
         else fixtures.make_adsorbates(spark)
     )
+    from .plans.config import _active
+
     context = {}
-    if config.get("bulk_filters", {}).get("filter_by_pourbaix_stability"):
+    # _active, not truthiness (r8 review): a filter disabled with the
+    # string "None" is skipped by apply_filters but was truthy here,
+    # triggering a full driver-side collect of every bulk_id for a
+    # pourbaix table that is never used
+    if _active(config.get("bulk_filters", {}).get("filter_by_pourbaix_stability")):
         ids = [r.bulk_id for r in bulks.select("bulk_id").collect()]
         context["pourbaix"] = fixtures.make_pourbaix(spark, ids)
 
@@ -95,12 +107,23 @@ def main(argv: list[str] | None = None) -> int:
     snapshot_config(config, args.output)
     render_sankey(lineage, args.output)
     if args.preview:
-        label_cols = [c for c in result.columns if c.startswith("min_")]
-        console_preview(
-            result.filter("filter_reason IS NULL"),
-            ["bulk_id", "slab_millers", "adsorbate_smiles", *label_cols],
-            args.preview,
-        )
+        # preview from the parquet just written, not the live plan (r8
+        # review): a second action on the unpersisted `result` re-ran
+        # the whole cascade — including Arrow inference — and every
+        # preview column survives the sink's binary drop
+        written = spark.read.parquet(os.path.join(args.output, "results"))
+        label_cols = [c for c in written.columns if c.startswith("min_")]
+        # filter_reason only exists when the config ran an inference /
+        # soft-delete step (r8 review: step-less configs crashed with
+        # UNRESOLVED_COLUMN after the results were already written)
+        if "filter_reason" in written.columns:
+            written = written.filter("filter_reason IS NULL")
+        preview_cols = [
+            c
+            for c in ["bulk_id", "slab_millers", "adsorbate_smiles", *label_cols]
+            if c in written.columns
+        ]
+        console_preview(written, preview_cols, args.preview)
     print(json.dumps({"stages": lineage.summary()}))
     return 0
 

@@ -61,10 +61,19 @@ def _int64_unit_from_stats(f: str, col: str) -> str:
             if c.path_in_schema == col and c.statistics and c.statistics.has_min_max:
                 v = c.statistics.max
                 mx = v if mx is None else max(mx, v)
-    if mx is None:  # no stats: read the first row group's column
-        tbl = pq.ParquetFile(f).read_row_group(0, columns=[col])
-        vals = [v for v in tbl.column(0).to_pylist() if v is not None]
-        mx = max(vals) if vals else 0  # all-null group: fall through to micros
+    if mx is None:  # no stats: read row groups until one has a value
+        # (r8 review: sampling ONLY group 0 classified a nanos column as
+        # micros when group 0 happened to be all null — every timestamp
+        # then read ~1000x too large with no error)
+        pf = pq.ParquetFile(f)
+        for rg in range(meta.num_row_groups):
+            tbl = pf.read_row_group(rg, columns=[col])
+            vals = [v for v in tbl.column(0).to_pylist() if v is not None]
+            if vals:
+                mx = max(vals)
+                break
+        else:
+            mx = 0  # every group all-null: unit is moot, micros
     return TS_INT64_NANOS if mx > 10**17 else TS_INT64_MICROS
 
 
@@ -102,8 +111,19 @@ def normalize_ts(df: DataFrame, flavor: str, col: str = "ts") -> DataFrame:
     if flavor in (TS_NANOS, TS_INT64_NANOS):
         # INTEGER division: `/` promotes the long to double, whose ULP at
         # modern ns epochs (~1.7e18) is 256 ns — the float quotient then
-        # truncates to the wrong microsecond for ~12% of values
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        # truncates to the wrong microsecond for ~12% of values.
+        # FLOOR, not truncation (r8 review): `div` truncates toward
+        # zero, so a pre-epoch ns value with a nonzero remainder landed
+        # one microsecond LATE (-1500 div 1000 = -1; the instant is
+        # -2 µs + 500 ns). pmod's non-negative remainder makes the
+        # subtraction an exact multiple, so the div is exact floor for
+        # the full long range (no double round-trip).
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
+            ),
+        )
     if flavor == TS_INT64_MICROS:
         return df.withColumn(col, F.timestamp_micros(c))
     if flavor == TS_NTZ_MICROS:

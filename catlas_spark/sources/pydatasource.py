@@ -46,7 +46,14 @@ from pyspark.sql.types import StructType
 
 def _expand(path: str, suffix: str) -> list[str]:
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, f"*{suffix}")))
+        files = sorted(glob.glob(os.path.join(path, f"*{suffix}")))
+        if not files:
+            # schema inference reads paths[0]; a bare IndexError there
+            # names neither the path nor the problem (r8 review)
+            raise FileNotFoundError(
+                f"no *{suffix} files under directory {path!r}"
+            )
+        return files
     return sorted(glob.glob(path)) or [path]
 
 
@@ -95,20 +102,34 @@ class _FilteredReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(p) for p in self.paths]
 
+    @staticmethod
+    def _ord(v):
+        """Spark SQL comparison key (r8 review): Spark orders NaN GREATER
+        than every double and equal to itself (NaN > 5.0 is TRUE,
+        NaN = NaN is TRUE), while Python's nan compares False to
+        everything — a pushed filter claimed as handled (never
+        re-applied by Spark) must match Spark's semantics or NaN rows
+        silently vanish. Mapping nan to (1, 0) above every real value
+        (0, v) reproduces Spark's total order for =, >, >=, <, <=."""
+        if isinstance(v, float) and v != v:
+            return (1, 0.0)
+        return (0, v)
+
     def _keep(self, row: dict) -> bool:
         for f in self.filters:
             v = row[f.attribute[0]]
             if v is None:
                 return False
-            if isinstance(f, EqualTo) and not v == f.value:
+            v, fv = self._ord(v), self._ord(f.value)
+            if isinstance(f, EqualTo) and not v == fv:
                 return False
-            if isinstance(f, GreaterThan) and not v > f.value:
+            if isinstance(f, GreaterThan) and not v > fv:
                 return False
-            if isinstance(f, GreaterThanOrEqual) and not v >= f.value:
+            if isinstance(f, GreaterThanOrEqual) and not v >= fv:
                 return False
-            if isinstance(f, LessThan) and not v < f.value:
+            if isinstance(f, LessThan) and not v < fv:
                 return False
-            if isinstance(f, LessThanOrEqual) and not v <= f.value:
+            if isinstance(f, LessThanOrEqual) and not v <= fv:
                 return False
         return True
 

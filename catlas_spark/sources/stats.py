@@ -55,9 +55,18 @@ def parquet_column_bounds(path_or_glob: str, col: str):
         t = schema.field(idx).type
         import pyarrow as pa
 
-        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
-            t
-        ) or pa.types.is_large_binary(t):
+        # dictionary-encoded columns hide their value type one level
+        # down (pandas categorical writers) — unwrap before the gate, or
+        # a dictionary<values=string> column slips past it (r8 review)
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)
+        ):
             return None
     mn = mx = None
     for f in files:

@@ -103,6 +103,11 @@ def test_nanos_to_micros_conversion_is_integer_exact(spark, tmp_path):
 
     base = 1_700_000_000_000_816_816  # odd-microsecond modern ns epoch
     vals = [base + i * 1_001 for i in range(3000)]
+    # pre-epoch values with nonzero ns remainders (r8 review): `div`
+    # truncates toward zero, so -1500 div 1000 = -1 where the instant
+    # floors to -2 µs — every pre-1970 value with a remainder read one
+    # microsecond late. Python's // IS floor, so the same oracle covers it.
+    vals += [-1_500, -1, -999_999_999_501] + [-base - i * 1_001 for i in range(50)]
     f = str(tmp_path / "ns_exact.parquet")
     _write_events(f, pa.int64(), vals)
     df = events_io.normalize_ts(
@@ -135,3 +140,23 @@ def test_int64_stats_fallback_tolerates_all_null_first_group(spark, tmp_path):
     )
     pq.write_table(table, f, version="2.6", write_statistics=False)
     assert events_io.probe_ts_flavor(f) == events_io.TS_INT64_MICROS
+
+    # all-null FIRST group but nanos in a later one (r8 review): sampling
+    # only group 0 classified this file as micros — every timestamp then
+    # ~1000x too large. The fallback must scan until a value appears.
+    f2 = str(tmp_path / "nullfirst_nanos.parquet")
+    ns = 1_700_000_000_000_000_000
+    table2 = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array([None, None, ns, ns + 1000], pa.int64()),
+            "user_id": pa.array([7] * 4, pa.int64()),
+            "event_type": pa.array(["click"] * 4),
+            "value": pa.array([1.0] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(
+        table2, f2, version="2.6", write_statistics=False, row_group_size=2
+    )
+    assert events_io.probe_ts_flavor(f2) == events_io.TS_INT64_NANOS

@@ -131,3 +131,58 @@ def test_np_field_maps_bool_to_boolean():
     assert _np_field("flag", np.array([True, False])) == "flag boolean"
     assert _np_field("x", np.array([1.5])) == "x double"
     assert _np_field("n", np.array([1])) == "n long"
+
+
+def test_pushed_filters_match_spark_nan_semantics(spark, tmp_path):
+    """Pushed comparison filters are CLAIMED (Spark never re-applies
+    them), so they must use Spark's ordering — NaN is GREATER than every
+    double and equal to itself — not Python's always-False NaN
+    comparisons (r8 review: `energy > 0` silently dropped NaN rows
+    relative to the same filter above an unpushed scan)."""
+    import math
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"sid": [0, 1, 2, 3], "energy": [1.5, -2.0, float("nan"), 0.0]}
+    )
+    p = str(tmp_path / "nan.pkl")
+    pdf.to_pickle(p)
+    register_python_sources(spark)
+    pushed = (
+        spark.read.format("catlas_pickledf").load(p).filter("energy > 0").collect()
+    )
+    # reference semantics: the same rows/filter with no pushdown. NOT
+    # createDataFrame(pdf) — pandas conversion maps NaN to NULL, which
+    # Spark's filter drops; the pickle reader hands a true NaN through
+    want = sorted(
+        r.sid
+        for r in spark.sql(
+            "SELECT * FROM VALUES (0, 1.5D), (1, -2.0D), "
+            "(2, cast('nan' as double)), (3, 0.0D) AS t(sid, energy)"
+        )
+        .filter("energy > 0")
+        .collect()
+    )
+    assert sorted(r.sid for r in pushed) == want
+    assert 2 in {r.sid for r in pushed}  # the NaN row survives, like Spark
+    # equality: NaN = NaN is TRUE in Spark
+    eq = (
+        spark.read.format("catlas_pickledf")
+        .load(p)
+        .filter("energy = cast('nan' as double)")
+        .collect()
+    )
+    assert {r.sid for r in eq} == {2}
+
+
+def test_empty_source_dir_raises_descriptive_error(spark, tmp_path):
+    """Schema inference on an empty directory used to die with a bare
+    IndexError naming neither the path nor the problem (r8 review)."""
+    import pytest
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    register_python_sources(spark)
+    with pytest.raises(Exception, match="no .*files under directory"):
+        spark.read.format("catlas_npz").load(str(empty)).schema

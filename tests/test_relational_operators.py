@@ -988,3 +988,28 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=3, driver_max_edges=0)
+
+
+def test_parquet_column_bounds_refuses_dictionary_string(tmp_path):
+    """Dictionary-encoded string columns (pandas categorical writers)
+    hide the string type one level down; the truncated-stats refusal
+    must unwrap them or a BYTE_ARRAY column's writer-truncatable footer
+    min/max leaks out as 'exact' bounds (r8 review)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catlas_spark.sources.stats import parquet_column_bounds
+
+    p = str(tmp_path / "cat.parquet")
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "cat": pa.array(["a", "b", "a"]).dictionary_encode(),
+            "fsb": pa.array([b"xx", b"yy", b"zz"], pa.binary(2)),
+        }
+    )
+    pq.write_table(tbl, p)
+    assert parquet_column_bounds(p, "cat") is None  # dictionary<string>
+    assert parquet_column_bounds(p, "fsb") is None  # fixed_size_binary
+    assert parquet_column_bounds(p, "k") == (1, 3)  # numeric unaffected

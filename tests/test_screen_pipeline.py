@@ -397,3 +397,55 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     finally:
         for c, v in old.items():
             spark.conf.set(c, v)
+
+
+def test_cli_preview_on_stepless_config(spark, tmp_path, monkeypatch):
+    """--preview on an enumeration-only config (no inference steps, so
+    no filter_reason column) crashed with UNRESOLVED_COLUMN after the
+    results were already written (r8 review); the preview also now reads
+    the written parquet back instead of re-executing the cascade."""
+    from catlas_spark.run import main
+
+    out = str(tmp_path / "stepless")
+    rc = main(["configs/test_enumeration_only.yml", "--output", out, "--preview", "3"])
+    assert rc == 0
+
+
+def test_load_config_rejects_missing_env_var(tmp_path):
+    """The lenient Jinja2 default rendered a missing env var as an empty
+    string — `{{ DATA_DIR }}/bulks` silently became `/bulks` (r8
+    review). Non-defaulted lookups now fail loudly; `| default(...)`
+    stays the opt-in."""
+    import jinja2
+    import pytest
+
+    from catlas_spark.run import load_config
+
+    cfg = tmp_path / "bad.yml"
+    cfg.write_text(
+        "bulk_filters:\n  filter_by_num_elements: [{{ NOT_A_REAL_ENV_VAR_XYZ }}]\n"
+    )
+    with pytest.raises(jinja2.UndefinedError):
+        load_config(str(cfg))
+    ok = tmp_path / "ok.yml"
+    ok.write_text(
+        "bulk_filters:\n"
+        "  filter_by_num_elements: [{{ NOT_A_REAL_ENV_VAR_XYZ | default(2) }}]\n"
+    )
+    assert load_config(str(ok))["bulk_filters"]["filter_by_num_elements"] == [2]
+
+
+def test_sankey_links_use_live_rows(spark):
+    """Soft-delete stages keep `rows` constant (group_exists_mark sets
+    filter_reason without dropping), so links must prefer live_rows or
+    screening attrition is invisible (r8 review)."""
+    from catlas_spark.lineage import Lineage
+
+    lin = Lineage()
+    lin.summary = lambda: [
+        {"stage": "in", "rows": 100},
+        {"stage": "marked", "rows": 100, "live_rows": 40},
+        {"stage": "out", "rows": 100, "live_rows": 10},
+    ]
+    links = lin.sankey()["links"]
+    assert [l["value"] for l in links] == [40, 10]
