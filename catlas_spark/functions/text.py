@@ -11,6 +11,26 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# THE whitespace definition (r8 review): one EXPLICIT ASCII class shared
+# by every normalizer here and every DuckDB oracle. A bare \s diverges
+# the engines — Java's \s is [ \t\n\x0B\f\r] but RE2's lacks \x0B, so a
+# vertical-tab document normalized differently on the two sides broke
+# fingerprint/token-count/minhash parity. The same class string parses
+# identically in Java regex and RE2 (never use \v: Java reads it as
+# "vertical whitespace" incl. U+2028, RE2 as the single 0x0B char).
+WS_CHARS = " \\t\\n\\x0B\\f\\r"
+WS = f"[{WS_CHARS}]"
+
+
+def ws_strip(col: Column) -> Column:
+    """Engine-portable whitespace trim. ``F.trim``/SQL ``trim`` strip
+    ONLY U+0020, so a leading tab or trailing newline survived into the
+    split and minted a phantom '' token — inflating token_count and
+    diluting every ratio built on it for newline-terminated documents
+    (r8 review). The oracle-side twin is
+    ``regexp_replace(text, '^{WS}+|{WS}+$', '', 'g')``."""
+    return F.regexp_replace(col, f"^{WS}+|{WS}+$", "")
+
 # Tiny in-expression stopword lists (per-language); used by both quality
 # scoring and the n-gram language-ID heuristic. Kept small deliberately —
 # they are broadcast as literals inside the plan, no side table needed.
@@ -32,7 +52,7 @@ def tokens(col: Column) -> Column:
     summing corpus token counts over possibly-empty documents should
     pre-filter ``length(trim(text)) > 0``; changing the convention here
     would silently diverge every oracle that replays ``len(toks)``."""
-    return F.split(F.trim(col), r"\s+")
+    return F.split(ws_strip(col), WS + "+")
 
 
 def token_count(col: Column) -> Column:
@@ -42,7 +62,14 @@ def token_count(col: Column) -> Column:
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish subword proxy: alpha runs, digit runs, and single
     non-space symbols each count as one token."""
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    # the symbol alternative excludes ALL whitespace, not just the
+    # space character (r8 review: 'foo\nbar' counted the newline as a
+    # third token); the oracle carries the same explicit class
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(col), F.lit(f"[a-z]+|[0-9]+|[^a-z0-9{WS_CHARS}]"), 0
+        )
+    )
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
@@ -127,7 +154,7 @@ def lang_guess(col: Column) -> Column:
 def fingerprint(col: Column, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text, truncated. Cross-engine stable (md5 is md5)."""
-    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(ws_strip(col)), WS + "+", " ")
     return F.substring(F.md5(normalized), 1, length)
 
 
@@ -139,9 +166,15 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     faster than a transform() over substring indices). Texts shorter
     than ``n`` yield an empty array.
     """
-    lowered = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    lowered = F.regexp_replace(F.lower(ws_strip(col)), WS + "+", " ")
+    # (?s) — DOTALL (r8 review): Java '.' excludes the Unicode line
+    # terminators U+2028/U+2029/U+0085, which no ASCII normalizer
+    # removes, so every n-gram crossing one silently vanished (RE2's
+    # '.' matches them — a cross-engine shingle divergence). Post-
+    # normalization text contains no \n, so DOTALL only widens '.' to
+    # exactly the characters RE2 already accepted.
     return F.array_distinct(
-        F.regexp_extract_all(lowered, F.lit(f"(?=(.{{{n}}}))."), 1)
+        F.regexp_extract_all(lowered, F.lit(f"(?s)(?=(.{{{n}}}))."), 1)
     )
 
 
@@ -153,6 +186,8 @@ def token_shingles(col: Column, n: int = 2) -> Column:
     no transform()/slice() interpretation. Texts with fewer than ``n``
     tokens yield an empty array.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-    pattern = r"(?=(\S+" + r" \S+" * (n - 1) + r"))\S+"
+    normalized = F.regexp_replace(F.lower(ws_strip(col)), WS + "+", " ")
+    # post-normalization the only whitespace is ' ', so the explicit
+    # negated class replaces \S (same Java/RE2 ambiguity as \s)
+    pattern = "(?=([^ ]+" + " [^ ]+" * (n - 1) + "))[^ ]+"
     return F.array_distinct(F.regexp_extract_all(normalized, F.lit(pattern), 1))

@@ -64,18 +64,12 @@ def band_sign_bucket(a: Column, band: int, band_bits: int = 4) -> Column:
 def sign_bucket(a: Column, n_bits: int = 3) -> Column:
     """Random-hyperplane-style coarse LSH bucket from the signs of the
     first ``n_bits`` components (deterministic; the scale path partitions
-    candidate generation so ANN never does a full cross join)."""
-    # try_element_at, same short-vector rationale as band_sign_bucket
-    bits = [
-        F.when(
-            F.try_element_at(as_double(a), F.lit(i + 1)) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        for i in range(n_bits)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    candidate generation so ANN never does a full cross join).
+
+    Exactly band 0 of :func:`band_sign_bucket` — delegated (r8 review)
+    so a future change to the sign/NULL disposition cannot desynchronize
+    similarity.py's ANN bucketing from dedup.py's LSH bands."""
+    return band_sign_bucket(a, 0, n_bits)
 
 
 def jl_project(a: Column, out_dim: int, seed: int = 17) -> list[Column]:

@@ -736,9 +736,13 @@ def containment_pairs(
 
 
 def _norm_tokens(text: Column) -> Column:
-    """Whitespace tokens of the lowercased, trimmed text (the corpus-wide
-    normalization every cross-engine hash in this module builds on)."""
-    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    """Whitespace tokens of the lowercased, whitespace-stripped text (the
+    corpus-wide normalization every cross-engine hash in this module
+    builds on — functions.text's explicit-class convention; trim()/\\s+
+    diverged from the RE2 oracles on tab-fringed and \\x0B text)."""
+    from ..functions.text import WS, ws_strip
+
+    return F.split(F.regexp_replace(F.lower(ws_strip(text)), WS + "+", " "), " ")
 
 
 def chunk_dedup_stats(

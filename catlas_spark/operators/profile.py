@@ -52,11 +52,20 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     min_num, max_num, min_str, max_str).
     """
     dtypes = dict(df.dtypes)
-    if columns is None:
-        columns = [c for c, t in df.dtypes if t in _NUMERIC or t == "string"]
 
     def _is_num(c: str) -> bool:
         return dtypes[c] in _NUMERIC or dtypes[c].startswith("decimal")
+
+    if columns is None:
+        # _is_num, not the _NUMERIC string set (r8 review): decimal
+        # dtypes render as 'decimal(p,s)' and were silently omitted
+        # from the default profile despite being supported
+        columns = [c for c, t in df.dtypes if _is_num(c) or t == "string"]
+    if not columns:
+        raise ValueError(
+            "profile_table: no profileable columns (numeric/decimal/"
+            f"string) among {list(dtypes)}; pass columns= explicitly"
+        )
 
     branches = []
     for c in columns:

@@ -26,12 +26,15 @@ class RunLengthTokens:
     compression-shaped repetition signal; single-token runs are
     suppressed at the source to keep the Python→JVM transfer
     output-sized, but `run_idx` still counts ALL runs so positions are
-    stable). Tokenization matches the corpus-wide convention —
-    lowercase, trim, whitespace-split — with Python's Unicode notions
-    pinned back to the engines': ASCII-only \\s (Java/RE2 \\s does not
-    include NBSP/U+2028/ideographic space) and an ASCII strip (Python
-    str.strip() eats Unicode whitespace, Java trim() stops at
-    U+0020)."""
+    stable). Tokenization matches the corpus-wide convention
+    (functions.text r8: lowercase, ASCII-whitespace STRIP, explicit
+    [ \\t\\n\\x0B\\f\\r]+ split) with Python's Unicode notions pinned
+    back to it: re.ASCII \\s is exactly that class, and the explicit
+    ``_WS`` strip avoids Python str.strip()'s Unicode whitespace (NBSP,
+    U+2028, ideographic space — which neither engine strips). NOTE the
+    old oracle used SQL ``trim`` (U+0020 only), which KEPT the phantom
+    empty token a leading tab mints — the r8 unification moved BOTH
+    sides to the full ASCII strip."""
 
     _WS = " \t\n\r\f\v"
 

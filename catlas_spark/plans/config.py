@@ -147,10 +147,20 @@ def validate_config(config: dict[str, Any]) -> dict[str, Any]:
                 "dependency group per reference grammar",
             )
         elif "conditions" in pb:
+            # non-empty + mappings only (r8 review): `all()` over an
+            # empty list is True, so conditions: [] passed validation
+            # and died as a runtime ValueError mid-pipeline — violating
+            # the module's validator-errors/executor-warns contract; a
+            # non-iterable entry made set(c) raise TypeError, not
+            # ConfigError
             _require(
                 isinstance(pb["conditions"], list)
-                and all({"pH", "V"} <= set(c) for c in pb["conditions"]),
-                "pourbaix conditions must be a list of {pH, V} mappings",
+                and len(pb["conditions"]) > 0
+                and all(
+                    isinstance(c, dict) and {"pH", "V"} <= set(c)
+                    for c in pb["conditions"]
+                ),
+                "pourbaix conditions must be a NON-EMPTY list of {pH, V} mappings",
             )
 
     sf = config.get("slab_filters", {})

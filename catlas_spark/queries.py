@@ -122,9 +122,33 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def _norm_text() -> Column:
     """The canonical text normalization (lower, trim, collapse runs of
     whitespace) — the ONE definition that must stay expression-identical
-    to the oracle-side ``regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')``
+    to the oracle-side ``regexp_replace(lower(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')``
     string; 14 query sites share it."""
-    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    from .functions.text import WS, ws_strip
+
+    return F.regexp_replace(F.lower(ws_strip(F.col("text"))), WS + "+", " ")
+
+
+# SQL-text spellings of the shared whitespace convention (functions.text
+# r8 unification): the explicit class matches the same set in Java regex
+# and RE2 — a bare \s does not (\x0B). TWO spellings because the STRING
+# PARSERS differ (measured): DuckDB standard strings pass backslashes
+# through to RE2 untouched, while Spark SQL string literals process \t
+# but silently turn the unknown escape '\x0B' into the THREE literal
+# chars 'x0B' — a class that then eats x/0/B. F.expr sites must double
+# the backslashes so the REGEX engine, not the SQL parser, interprets.
+_SQL_WS = "[ \\t\\n\\x0B\\f\\r]"  # DuckDB oracle spelling
+_EXPR_WS = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]"  # Spark F.expr spelling
+_EXPR_STRIP = f"regexp_replace(text, '^{_EXPR_WS}+|{_EXPR_WS}+$', '')"
+
+
+def _text_tokens() -> Column:
+    """Spark twin of the oracles' ``string_split(<norm>, ' ')`` length
+    semantics: whitespace-strip + explicit-class split (functions.text
+    convention; trim()/\\s+ diverged on tab-fringed and \\x0B text)."""
+    from .functions.text import tokens
+
+    return tokens(F.col("text"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1145,7 +1169,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    expressions so the oracle can verify them end-to-end.
 # ---------------------------------------------------------------------------
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "regexp_replace(lower(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
 _SHINGLES = (
     "list_distinct([t[i] || ' ' || t[i + 1] "
     "for i in generate_series(1, len(t) - 1)])"
@@ -1256,7 +1280,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
 
     corpus = _mutated_corpus(spark, sf_dir).filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+        F.size(_text_tokens()) >= 2
     )
     return minhash_lsh_pairs(corpus, "text", "doc", n_perm=12, band_size=4, threshold=0.5)
 
@@ -1343,7 +1367,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     corpus = d.select("doc_id", "text", "lang", "source").unionByName(mutated).filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+        F.size(_text_tokens()) >= 2
     )
     return jaccard_pairs(corpus, "text", "doc_id", ["lang", "source"], 0.5)
 
@@ -1397,7 +1421,7 @@ _LANGID_ORACLE = """
              len(list_filter(t, x -> list_contains(['der','die','das','und','ein','ist'], x))) AS h_de,
              len(list_filter(t, x -> list_contains(['el','la','de','y','un','una','es'], x))) AS h_es
       FROM (SELECT doc_id, lang,
-                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+                   string_split(regexp_replace(lower(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS t
             FROM documents)
     )
     SELECT doc_id, actual_lang,
@@ -1650,7 +1674,7 @@ def q_ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_shingles
 
     d = _t(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+        F.size(_text_tokens()) >= 2
     )
     return (
         d.select(F.explode(token_shingles(F.col("text"), 2)).alias("gram"))
@@ -3291,7 +3315,7 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per the array-column cache-build note in minhash_lsh_pairs)
     corpus = (
         _mutated_corpus(spark, sf_dir)
-        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2)
+        .filter(F.size(_text_tokens()) >= 2)
         .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
     pairs = minhash_lsh_pairs(corpus, "text", "doc", n_perm=12, band_size=4, threshold=0.5)
@@ -3803,8 +3827,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     excerpt = d.select(
         (F.col("doc_id") + 100000).alias("doc"),
         F.expr(
-            "array_join(slice(split(trim(text), '\\\\s+'), 1,"
-            " CAST(floor(size(split(trim(text), '\\\\s+')) / 2) AS INT)), ' ')"
+            "array_join(slice(split(" + _EXPR_STRIP + ", '" + _EXPR_WS + "+'), 1,"
+            " CAST(floor(size(split(" + _EXPR_STRIP + ", '" + _EXPR_WS + "+')) / 2) AS INT)), ' ')"
         ).alias("text"),
     )
     corpus = d.select(F.col("doc_id").alias("doc"), "text").unionByName(excerpt)
@@ -4868,7 +4892,7 @@ def q_boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_shingles
 
     d = _t(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+        F.size(_text_tokens()) >= 2
     )
     sh = d.select("doc_id", F.explode(token_shingles(F.col("text"), 2)).alias("gram"))
     # token_shingles is per-doc DISTINCT, so each (doc, gram) pair occurs
@@ -8026,7 +8050,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(CAST(sum(h.n_hits) AS BIGINT), 0) AS total_hits
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     GROUP BY d.source
-    """.replace("{norm}", "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"),
+    """.replace("{norm}", "regexp_replace(lower(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"),
 )
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist screening (the C4 badwords-filter shape): per source,

@@ -489,3 +489,40 @@ def test_materialize_and_release_releases_on_error(spark):
     with pytest.raises(Exception, match="boom"):
         materialize_and_release(bad, upstream)
     assert jcache.isEmpty(), "error path must unpersist output AND caches"
+
+
+def test_rle_udtf_tokenization_matches_oracle_on_fringed_text():
+    """r8 unification: the UDTF's ASCII strip now matches the ORACLE's
+    regex strip (the old oracle used SQL trim — U+0020 only — so a
+    leading tab shifted every run_idx vs the UDTF)."""
+    import duckdb
+    import pandas as pd
+
+    from catlas_spark.operators.udtfs import RunLengthTokens
+
+    zoo = ["\tfoo foo bar", "x y y\n", "a\x0Ba a", "  b  b  "]
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": range(len(zoo)), "text": zoo}))
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    norm = (
+        f"regexp_replace(lower(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g')), "
+        f"'{ws}+', ' ', 'g')"
+    )
+    want = {}
+    for doc_id, toks in con.execute(
+        f"SELECT doc_id, string_split({norm}, ' ') FROM docs"
+    ).fetchall():
+        runs, i, idx = [], 0, 0
+        while i < len(toks):
+            j = i
+            while j < len(toks) and toks[j] == toks[i]:
+                j += 1
+            if j - i >= 2:
+                runs.append((idx, toks[i], j - i))
+            idx += 1
+            i = j
+        want[doc_id] = runs
+    # @udtf wraps the class; the raw implementation is .func
+    impl = RunLengthTokens.func
+    got = {i: list(impl().eval(t)) for i, t in enumerate(zoo)}
+    assert got == want

@@ -142,3 +142,75 @@ def test_connected_components_regimes_agree(spark, edges):
         for r in connected_components(df, driver_max_edges=0).collect()
     }
     assert uf == dist
+
+
+def test_whitespace_convention_matches_duckdb_on_exotic_text(spark):
+    """The r8 whitespace unification: one explicit ASCII class
+    [ \\t\\n\\x0B\\f\\r] + regex-strip on BOTH engines. A bare \\s
+    diverged them (Java's includes \\x0B, RE2's does not), SQL/F.trim
+    strip only U+0020 (phantom '' token for tab/newline-fringed text),
+    and Java '.' silently dropped char shingles crossing U+2028. Every
+    normalized artifact must now agree cross-engine on the exotic zoo."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from catlas_spark.functions.text import (
+        char_shingles,
+        fingerprint,
+        token_count,
+        bpe_ish_token_count,
+    )
+
+    zoo = [
+        (0, "plain text here"),
+        (1, "\tleading tab"),
+        (2, "trailing newline\n"),
+        (3, "vertical\x0Btab"),
+        (4, "line separator ab"),
+        (5, "  multi   space  "),
+        (6, ""),
+        (7, "\x0b\x0b"),
+        (8, "a bcdefg"),
+    ]
+    df = spark.createDataFrame(zoo, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.fp, r.n_tok, r.n_bpe, sorted(r.sh))
+        for r in df.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            token_count(F.col("text")).alias("n_tok"),
+            bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+            char_shingles(F.col("text"), 3).alias("sh"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(zoo, columns=["doc_id", "text"]))
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    norm = (
+        f"regexp_replace(lower(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g')), "
+        f"'{ws}+', ' ', 'g')"
+    )
+    rows = con.execute(
+        f"""
+        SELECT doc_id,
+               substring(md5({norm}), 1, 16) AS fp,
+               len(string_split({norm}, ' ')) AS n_tok,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9{ws[1:-1]}]')) AS n_bpe,
+               1 AS _pad
+        FROM docs
+        """
+    ).fetchall()
+
+    # shingles: RE2 has no lookahead, so the DuckDB oracles never use
+    # this form — check Spark against a plain-Python reference of the
+    # convention instead (normalize with the explicit class, all
+    # overlapping 3-grams incl. across U+2028, distinct)
+    import re as _re
+
+    def _py_sh(text):
+        t = _re.sub("[ \t\n\x0B\f\r]+", " ", _re.sub("^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", "", text.lower()))
+        return sorted({t[i : i + 3] for i in range(len(t) - 2)})
+
+    want = {r[0]: (r[1], r[2], r[3], _py_sh(dict(zoo)[r[0]])) for r in rows}
+    assert got == want

@@ -1013,3 +1013,23 @@ def test_parquet_column_bounds_refuses_dictionary_string(tmp_path):
     assert parquet_column_bounds(p, "cat") is None  # dictionary<string>
     assert parquet_column_bounds(p, "fsb") is None  # fixed_size_binary
     assert parquet_column_bounds(p, "k") == (1, 3)  # numeric unaffected
+
+
+def test_profile_table_decimals_and_empty_selection(spark):
+    """r8 review: decimal columns were silently omitted from the default
+    profile (dtype string 'decimal(p,s)' not in the _NUMERIC set even
+    though _is_num supports it), and an empty selection crashed with a
+    bare IndexError instead of a descriptive error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from catlas_spark.operators.profile import profile_table
+
+    df = spark.range(3).select(
+        F.col("id").cast("decimal(12,2)").alias("amount"),
+        F.current_date().alias("d"),
+    )
+    prof = {r.column for r in profile_table(df).collect()}
+    assert "amount" in prof  # decimal profiled by default
+    with pytest.raises(ValueError, match="no profileable columns"):
+        profile_table(df.select("d"))

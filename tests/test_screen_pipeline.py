@@ -449,3 +449,19 @@ def test_sankey_links_use_live_rows(spark):
     ]
     links = lin.sankey()["links"]
     assert [l["value"] for l in links] == [40, 10]
+
+
+def test_validate_config_rejects_degenerate_pourbaix_conditions():
+    """r8 review: conditions: [] passed validation (all() over empty is
+    True) and died as a runtime ValueError mid-pipeline; a non-mapping
+    entry raised TypeError instead of ConfigError."""
+    import pytest
+
+    from catlas_spark.plans.config import ConfigError, validate_config
+
+    base = {"bulk_filters": {"filter_by_pourbaix_stability": {"conditions": []}}}
+    with pytest.raises(ConfigError, match="NON-EMPTY"):
+        validate_config(base)
+    base["bulk_filters"]["filter_by_pourbaix_stability"]["conditions"] = [3]
+    with pytest.raises(ConfigError, match="NON-EMPTY"):
+        validate_config(base)
