@@ -539,29 +539,86 @@ def two_level_assign(
         .select("vid", "v", F.explode("probe_ids").alias("coarse_id"))
     )
 
-    # exact distance within probed buckets; the fine table arrives via a
-    # coarse_id-keyed join (never collected, never broadcast — k-sized).
-    cdiff2 = F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
-    craw = F.nanvl(
-        F.aggregate(cdiff2, F.lit(0.0), lambda a, x: a + x),
-        F.lit(None).cast("double"),
+    # exact distance within probed buckets — a COGROUPED Arrow stage per
+    # bucket (probed rows cogrouped with the bucket's fine centroids on
+    # coarse_id; the fine table is never collected or broadcast): the
+    # first cut computed per-candidate distances with interpreted
+    # zip_with/aggregate folds, the exact O(n*k)-interpreted cliff
+    # `_arrow_assign` exists to avoid — measured 248 s vs 20.8 s flat at
+    # n=20k, k=800. The numpy body below is the same dim-sequential fold
+    # + floor-snap + masked first-valid argmin as `_arrow_assign`, so
+    # bit-parity with the flat regimes holds. Each bucket emits ONE
+    # per-vid best; the cross-bucket min_by key (d2 IS NULL, d2, cid)
+    # reproduces the flat NULLS-LAST-cid-tiebreak window because a
+    # lexicographic min over per-group lexicographic minima is the
+    # global lexicographic min. A vid with no valid candidate in a
+    # bucket emits (global smallest cid, NULL d2) — the all-NULL-folds
+    # default — which loses to any real distance and ties to the right
+    # cid otherwise.
+    global_min_cid = centroids.agg(F.min("cid")).first()[0]
+
+    def _bucket_assign(left_iter_df, right_df):
+        # left: probed (vid, v, coarse_id) rows of ONE bucket;
+        # right: routing rows (cid, c, coarse_id) of the same bucket
+        pdf, rdf = left_iter_df, right_df
+        if len(pdf) == 0:
+            return pd.DataFrame({"vid": [], "v": [], "cid": [], "d2": []})
+        cents_by_len = {}
+        for cid, c in zip(rdf["cid"], rdf["c"]):
+            if c is None:
+                continue
+            arr = np.asarray(c, dtype=np.float64)
+            cents_by_len.setdefault(len(arr), ([], []))
+            cents_by_len[len(arr)][0].append(int(cid))
+            cents_by_len[len(arr)][1].append(arr)
+        cents_by_len = {
+            length: (np.array(ids, dtype=np.int64), np.stack(mats))
+            for length, (ids, mats) in cents_by_len.items()
+        }
+        lens = pdf["v"].map(lambda x: -1 if x is None else len(x)).to_numpy()
+        out_cid = np.full(len(pdf), global_min_cid, dtype=np.int64)
+        out_d2 = np.full(len(pdf), np.nan)
+        for length in np.unique(lens):
+            if length < 0 or length not in cents_by_len:
+                continue
+            cid_arr, C = cents_by_len[length]
+            idx = np.flatnonzero(lens == length)
+            V = np.stack(pdf["v"].iloc[idx].to_numpy())
+            acc = np.zeros((len(idx), len(cid_arr)))
+            for i in range(V.shape[1]):
+                diff = V[:, i][:, None] - C[:, i][None, :]
+                acc += diff * diff  # JVM fold order per (row, centroid)
+            d2m = np.floor(acc * 10000 + 0.5) / 10000
+            valid = ~np.isnan(d2m)
+            has_valid = valid.any(axis=1)
+            masked = np.where(valid, d2m, np.inf)
+            row_min = masked.min(axis=1)
+            best = (valid & (masked == row_min[:, None])).argmax(axis=1)
+            sel = np.flatnonzero(has_valid)
+            out_cid[idx[sel]] = cid_arr[best[sel]]
+            out_d2[idx[sel]] = d2m[sel, best[sel]]
+        return pd.DataFrame(
+            {"vid": pdf["vid"], "v": pdf["v"], "cid": out_cid, "d2": out_d2}
+        )
+
+    vt = vecs.schema["vid"].dataType.simpleString()
+    per_bucket = (
+        probed.groupBy("coarse_id")
+        .cogroup(routing.select("cid", "c", "coarse_id").groupBy("coarse_id"))
+        .applyInPandas(
+            _bucket_assign, f"vid {vt}, v array<double>, cid long, d2 double"
+        )
     )
-    cand = (
-        probed.join(routing.select("cid", "c", "coarse_id"), "coarse_id")
-        .withColumn("d2", F.floor(craw * 10000 + F.lit(0.5)) / 10000)
-    )
-    # min per vid as a hash aggregate (map-side combinable; the flat
-    # regimes' window would sort-shuffle every candidate). Key encodes
-    # the same ordering: (d2 IS NULL) ASC puts real distances first
-    # (booleans order false < true == NULLS LAST), then d2, then cid.
     key = F.struct(
         F.col("d2").isNull().alias("__null"),
         F.col("d2").alias("__d2"),
         F.col("cid").alias("__cid"),
     )
     row = F.struct(F.col("v").alias("v"), F.col("cid").alias("cid"), F.col("d2").alias("d2"))
+    # map-side-combinable final min (the flat regimes' window would
+    # sort-shuffle every candidate); at probes=1 this is a near-no-op
     return (
-        cand.groupBy("vid")
+        per_bucket.groupBy("vid")
         .agg(F.min_by(row, key).alias("__m"))
         .select("vid", F.col("__m.v").alias("v"), F.col("__m.cid").alias("cid"), F.col("__m.d2").alias("d2"))
     )
