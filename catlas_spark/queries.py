@@ -37,6 +37,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # duplicate guard (r8 review): a copy-pasted name silently
+        # REPLACED the old query+oracle pair — both vanish together, so
+        # the oracle gate still passes and only a manual count reveals it
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate registry query name: {name!r}")
         _REGISTRY[name] = (fn, oracle)
         return fn
 
@@ -69,6 +74,12 @@ def _correctness_history() -> dict[str, tuple[int, bool]]:
             ok = (
                 bool(row.get("rows_match"))
                 and bool(row.get("hash_match"))
+                # schema_match too (r8 review): a renamed output column
+                # passes rows+hash (the value hash ignores names) but
+                # FAILS the driver — ranking it green rotated it to the
+                # BACK of the window, deprioritizing exactly the failing
+                # query. Missing field (old artifacts) counts as true.
+                and bool(row.get("schema_match", True))
                 and row.get("err") is None
             )
             # MAX parsed round wins — lexicographic file order would let
@@ -78,6 +89,9 @@ def _correctness_history() -> dict[str, tuple[int, bool]]:
     return hist
 
 
+_ORDERED_CACHE: tuple[tuple[float, ...], dict] | None = None
+
+
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
     """Registry in least-recently-verified-first order. The driver's
     correctness window covers the first 50 entries, so: queries whose last
@@ -85,7 +99,24 @@ def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
     then green ones ordered by how long ago they were verified. Every
     query therefore re-enters the window periodically (LRU rotation) —
     nothing is permanently exempt from re-verification, and regressions in
-    previously-green queries surface within a couple of rounds."""
+    previously-green queries surface within a couple of rounds.
+
+    Memoized per (artifact mtimes, registry size): every call used to
+    re-glob and re-parse EVERY round's CORRECTNESS artifact — stress.py
+    calls queries() inside its per-query loop, and the artifact set grows
+    one file per round (r8 review)."""
+    global _ORDERED_CACHE
+    import glob
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = tuple(
+        sorted(
+            (p, os.path.getmtime(p))
+            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        )
+    ) + (len(_REGISTRY),)
+    if _ORDERED_CACHE is not None and _ORDERED_CACHE[0] == key:
+        return _ORDERED_CACHE[1]
     hist = _correctness_history()
 
     def rank(item: tuple[int, str]) -> tuple[int, int]:
@@ -94,7 +125,9 @@ def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
         return ((last_round if ok else -1), idx)
 
     order = sorted(enumerate(_REGISTRY), key=rank)
-    return {name: _REGISTRY[name] for _, name in order}
+    out = {name: _REGISTRY[name] for _, name in order}
+    _ORDERED_CACHE = (key, out)
+    return out
 
 
 def queries() -> dict[str, QueryFn]:
@@ -151,7 +184,7 @@ def _text_tokens() -> Column:
     return tokens(F.col("text"))
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _session_tune(spark: SparkSession) -> None:
     # Session hardening for driver-owned sessions (all runtime-settable
     # and cheap — ~0.5 ms total, so applied unconditionally):
     # - split small single-file tables across cores
@@ -176,12 +209,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session tuning live if that constant is ever retuned. The bloom
     # scan-size threshold restores to Spark's 10GB default (previously
     # it leaked at 1KB for the rest of the session, injecting runtime
-    # bloom filters into every later shuffle-join plan).
+    # bloom filters into every later shuffle-join plan). Shared by _t()
+    # AND _events() (r8 review: ~27 events-only queries restored neither,
+    # so bloom_pruned_join's overrides leaked into whatever events query
+    # the LRU window put after it — identical results, drifted timings).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(AUTOBROADCAST_BYTES))
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         "10GB",
     )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _session_tune(spark)
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
@@ -205,7 +245,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed between rounds before."""
     from catlas_spark.sources.events_io import normalize_ts, probe_ts_flavor
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _session_tune(spark)
     # harmless for micros files; lets a NANOS file read as bigint instead of failing
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = (spark.sparkContext.applicationId, sf_dir, "events__normalized")

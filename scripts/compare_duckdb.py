@@ -53,6 +53,9 @@ def main() -> None:
         if n_passes < 1:
             raise SystemExit("--passes must be >= 1")
         del argv[i : i + 2]  # the VALUE must not leak into positionals
+    bad = [a for a in argv if a.startswith("--") and a != "--commit-detail"]
+    if bad:
+        raise SystemExit(f"unknown flags: {bad} (supported: --passes N, --commit-detail)")
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -167,8 +170,14 @@ def main() -> None:
     duck_common = round(sum(duck[n] for n in spark_common), 3)
     ratio = round(spark_total / duck_common, 2) if duck_common and spark_common else None
     floor_est = round(0.2 * len(spark_common), 1)  # ~0.2 s/query scheduling+codegen
+    # a 0.0 DuckDB median (sub-ms oracle rounded away) means Spark is
+    # MAXIMALLY slower relative to it — inf ranks it first; the old 0
+    # buried exactly the floor-dominated cases this table surfaces (r8)
     worst = sorted(
-        ((s / duck[n] if duck[n] > 0 else 0, n, duck[n], s) for n, s in spark_common.items()),
+        (
+            (s / duck[n] if duck[n] > 0 else float("inf"), n, duck[n], s)
+            for n, s in spark_common.items()
+        ),
         reverse=True,
     )[:10]
     print(
@@ -182,7 +191,14 @@ def main() -> None:
                 "ratio_spark_over_duckdb": ratio,
                 "spark_floor_estimate_sec": floor_est,
                 "worst_ratios": [
-                    {"query": n, "ratio": round(r, 1), "duck": d, "spark": s}
+                    # math.isinf guard: json.dumps would emit the
+                    # non-standard Infinity literal strict parsers reject
+                    {
+                        "query": n,
+                        "ratio": None if r == float("inf") else round(r, 1),
+                        "duck": d,
+                        "spark": s,
+                    }
                     for r, n, d, s in worst
                 ],
                 "note": f"spark side read from {spark_src} - run bench.py back-to-back on an idle box",

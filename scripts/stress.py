@@ -127,7 +127,11 @@ def skew_stress(spark) -> float:
         ).collect()
     }
     t_salted = time.perf_counter() - t0
-    assert {k: v[1] for k, v in two.items()} == {k: v[1] for k, v in plain.items()}
+    # FULL tuples (r8 review): comparing only counts let a value-path
+    # regression in the salted two-phase composition pass the stress
+    # harness silently — the 5M-row hot-key path the sf0.01 oracle
+    # cannot exercise
+    assert two == plain
     print(f"skew: plain={t_plain:.2f}s salted={t_salted:.2f}s", file=sys.stderr)
     return t_salted
 
@@ -185,7 +189,12 @@ def main() -> None:
         "kmeans_ivf_train": kmeans_scaled,
     }
     timings = {}
-    names = [n for n in HEADLINE if only is None or n in only]
+    # override-bearing names join the default sweep even when absent
+    # from HEADLINE (r8 review: the kmeans_ivf_train scaled override was
+    # dead code in a default run — the shared assignment dispatch's
+    # second consumer was silently skipped)
+    sweep = HEADLINE + [n for n in overrides if n not in HEADLINE]
+    names = [n for n in sweep if only is None or n in only]
     if only:
         # an explicitly requested registry query that is not in HEADLINE
         # runs too (unknown names error instead of silently vanishing)

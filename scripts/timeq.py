@@ -33,10 +33,19 @@ def main() -> None:
         n_passes = int(args[i + 1])
         del args[i : i + 2]
     explain = "--explain" in args
-    args = [a for a in args if not a.startswith("--")]
+    if explain:
+        args.remove("--explain")
+    # unknown flags error (r8 review): '--pases 7' used to be silently
+    # dropped, timing under defaults the user did not ask for
+    bad = [a for a in args if a.startswith("--")]
+    if bad:
+        raise SystemExit(f"unknown flags: {bad} (supported: --passes N, --explain)")
 
     spark = get_spark("timeq")
     qs = Q.queries()
+    unknown = [n for n in args if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     for name in args:
         fn = qs[name]
         if explain:

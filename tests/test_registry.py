@@ -39,3 +39,46 @@ def test_verified_queries_rotate_least_recent_first():
     # green queries appear in non-decreasing last-verified-round order,
     # so the oldest verification is always re-checked soonest
     assert rounds == sorted(rounds)
+
+
+def test_register_rejects_duplicate_names():
+    """r8 review: a copy-pasted @register name silently replaced the old
+    query+oracle pair — both vanish together, so the oracle gate still
+    passed. Duplicates now raise at import/definition time."""
+    import pytest
+
+    from catlas_spark.queries import register
+
+    existing = next(iter(_REGISTRY))
+    with pytest.raises(ValueError, match="duplicate"):
+        @register(existing, "SELECT 1")
+        def _dup(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+
+def test_schema_mismatch_counts_as_failed_in_history(tmp_path, monkeypatch):
+    """r8 review: a schema-only driver failure (rows+hash green,
+    schema_match false — e.g. a renamed output column) must rank as
+    FAILED, not green, or the LRU ordering rotates the failing query to
+    the back of the window instead of the front."""
+    import json
+    import os
+
+    import catlas_spark.queries as Q
+
+    art = {
+        "pricing_summary": {
+            "rows_match": True,
+            "hash_match": True,
+            "schema_match": False,
+            "err": None,
+        }
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(art))
+    real_dirname = os.path.dirname
+
+    monkeypatch.setattr(
+        Q.os.path, "dirname", lambda p: str(tmp_path) if p.endswith("catlas_spark") else real_dirname(p)
+    )
+    hist = Q._correctness_history()
+    assert hist["pricing_summary"] == (99, False)
