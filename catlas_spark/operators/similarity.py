@@ -451,6 +451,18 @@ def two_level_assign(
     if probes < 1:
         raise ValueError("two_level_assign needs probes >= 1")
 
+    # persist the centroid table across its two consumers (r8 diff
+    # review): the coarse TakeOrdered collect below is a build-time
+    # action and the routing join executes at consumption — an
+    # UNPERSISTED derived `centroids` plan (e.g. a kmeans iteration's
+    # recompute aggregate) would re-run in full for each, exactly the
+    # cost this regime exists to bound. k rows — always cacheable.
+    # Released when the RETURNED frame is dropped (weakref finalizer,
+    # the materialize_and_release lifetime discipline); no-op under
+    # lazy_plans (maybe_persist gates on the flag).
+    from ..caching import is_materializing, maybe_persist
+
+    centroids = maybe_persist(centroids)
     coarse = (
         _seed_centroids(centroids.select(F.col("cid").alias("vid"), F.col("c").alias("v")), n_coarse)
         .select(F.col("cid").alias("coarse_id"), F.col("c").alias("cc"))
@@ -479,6 +491,8 @@ def two_level_assign(
 
     c_rows = sorted(coarse.collect(), key=lambda r: r["coarse_id"])
     if not c_rows:
+        if is_materializing():
+            centroids.unpersist(blocking=False)
         return vecs.limit(0).select(
             "vid", "v", F.lit(0).cast("long").alias("cid"), F.lit(0.0).alias("d2")
         )
@@ -554,8 +568,11 @@ def two_level_assign(
     # global lexicographic min. A vid with no valid candidate in a
     # bucket emits (global smallest cid, NULL d2) — the all-NULL-folds
     # default — which loses to any real distance and ties to the right
-    # cid otherwise.
-    global_min_cid = centroids.agg(F.min("cid")).first()[0]
+    # cid otherwise. The smallest FINE cid is always a member of the
+    # coarse set (_seed_centroids takes the n_coarse SMALLEST cids), so
+    # c_rows[0] supplies it — no third execution of the centroids plan
+    # (r8 diff review).
+    global_min_cid = int(c_rows[0]["coarse_id"])
 
     def _bucket_assign(left_iter_df, right_df):
         # left: probed (vid, v, coarse_id) rows of ONE bucket;
@@ -563,6 +580,14 @@ def two_level_assign(
         pdf, rdf = left_iter_df, right_df
         if len(pdf) == 0:
             return pd.DataFrame({"vid": [], "v": [], "cid": [], "d2": []})
+        # cid-sort the bucket's centroids (r8 diff review): cogroup
+        # delivers right-side rows in SHUFFLE order, and the argmin
+        # first-match tie-break is only the flat regimes' ORDER BY
+        # d2, cid when cid_arr ascends — unsorted, equal-distance ties
+        # picked a nondeterministic cid and broke the probes=n_coarse
+        # exactness contract (same reason _arrow_assign's caller
+        # pre-sorts c_rows)
+        rdf = rdf.sort_values("cid")
         cents_by_len = {}
         for cid, c in zip(rdf["cid"], rdf["c"]):
             if c is None:
@@ -617,11 +642,21 @@ def two_level_assign(
     row = F.struct(F.col("v").alias("v"), F.col("cid").alias("cid"), F.col("d2").alias("d2"))
     # map-side-combinable final min (the flat regimes' window would
     # sort-shuffle every candidate); at probes=1 this is a near-no-op
-    return (
+    out = (
         per_bucket.groupBy("vid")
         .agg(F.min_by(row, key).alias("__m"))
         .select("vid", F.col("__m.v").alias("v"), F.col("__m.cid").alias("cid"), F.col("__m.d2").alias("d2"))
     )
+    if is_materializing():
+        # release the centroid cache when the caller drops the result —
+        # the module's release-on-GC lifetime discipline (the returned
+        # lazy plan reads it through the routing join until then)
+        import weakref
+
+        from ..caching import _release_on_gc
+
+        weakref.finalize(out, _release_on_gc, centroids._jdf)
+    return out
 
 
 def kmeans_lloyd(

@@ -1420,7 +1420,7 @@ _QUALITY_ORACLE = f"""
     )
     SELECT doc_id,
            len(toks) AS n_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS n_bpe_ish,
            round(len(list_filter(toks, t -> list_contains(['the','a','of','and','in','to','is'], t)))::DOUBLE
                  / len(toks), 4) AS stop_ratio,
            round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio,

@@ -111,7 +111,18 @@ def main(argv: list[str] | None = None) -> int:
         # review): a second action on the unpersisted `result` re-ran
         # the whole cascade — including Arrow inference — and every
         # preview column survives the sink's binary drop
-        written = spark.read.parquet(os.path.join(args.output, "results"))
+        import glob as _glob
+
+        res_dir = os.path.join(args.output, "results")
+        # a partitionBy write of ZERO rows produces no data files, and
+        # reading the bare _SUCCESS dir raises UNABLE_TO_INFER_SCHEMA —
+        # an all-filtered screen must still exit 0 after writing (r8
+        # diff review)
+        if not _glob.glob(os.path.join(res_dir, "**", "*.parquet"), recursive=True):
+            print("(no surviving rows — nothing to preview)")
+            print(json.dumps({"stages": lineage.summary()}))
+            return 0
+        written = spark.read.parquet(res_dir)
         label_cols = [c for c in written.columns if c.startswith("min_")]
         # filter_reason only exists when the config ran an inference /
         # soft-delete step (r8 review: step-less configs crashed with

@@ -198,7 +198,7 @@ def main() -> None:
     if only:
         # an explicitly requested registry query that is not in HEADLINE
         # runs too (unknown names error instead of silently vanishing)
-        extra = sorted(only - set(HEADLINE))
+        extra = sorted(only - set(sweep))
         unknown = [n for n in extra if n not in Q.queries()]
         if unknown:
             raise SystemExit(f"unknown queries: {', '.join(unknown)}")

@@ -39,7 +39,7 @@ def main() -> None:
     # dropped, timing under defaults the user did not ask for
     bad = [a for a in args if a.startswith("--")]
     if bad:
-        raise SystemExit(f"unknown flags: {bad} (supported: --passes N, --explain)")
+        raise SystemExit(f"unknown flags: {bad} (supported: --sf DIR, --passes N, --explain)")
 
     spark = get_spark("timeq")
     qs = Q.queries()

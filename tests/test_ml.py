@@ -677,3 +677,28 @@ def test_two_level_assign_probe_pruning_on_separated_clusters(spark):
         two_level_assign(corpus, centroids, n_coarse=4, probes=0)
     with pytest.raises(ValueError, match="n_coarse"):
         two_level_assign(corpus, centroids, n_coarse=0)
+
+
+def test_two_level_bucket_tiebreak_matches_flat(spark):
+    """r8 diff review: cogroup delivers bucket centroids in shuffle
+    order, so an unsorted argmin picked a nondeterministic cid on equal
+    distances — the flat ORDER BY d2, cid picks the SMALLEST. Duplicate
+    centroid vectors in one bucket pin it."""
+    from catlas_spark.operators.similarity import _jvm_assign, two_level_assign
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 1.0]), (101, [0.9, 1.1])], "vid long, v array<double>"
+    )
+    # cids deliberately out of order; vectors identical -> d2 ties
+    centroids = spark.createDataFrame(
+        [(7, [1.0, 1.0]), (3, [1.0, 1.0]), (5, [1.0, 1.0])],
+        "cid long, c array<double>",
+    )
+
+    def norm(df):
+        return sorted((r.vid, r.cid) for r in df.select("vid", "cid").collect())
+
+    flat = norm(_jvm_assign(corpus, centroids))
+    assert flat == [(100, 3), (101, 3)]  # smallest cid wins ties
+    for n_coarse in (1, 3):
+        assert norm(two_level_assign(corpus, centroids, n_coarse=n_coarse)) == flat

@@ -465,3 +465,19 @@ def test_validate_config_rejects_degenerate_pourbaix_conditions():
     base["bulk_filters"]["filter_by_pourbaix_stability"]["conditions"] = [3]
     with pytest.raises(ConfigError, match="NON-EMPTY"):
         validate_config(base)
+
+
+def test_cli_preview_survives_all_filtered_screen(spark, tmp_path):
+    """r8 diff review: a partitionBy write of ZERO rows produces no data
+    files, and the read-back preview raised UNABLE_TO_INFER_SCHEMA — an
+    all-filtered screen must exit 0 after writing its (empty) sinks."""
+    from catlas_spark.run import main
+
+    cfg = tmp_path / "allfiltered.yml"
+    cfg.write_text(
+        "bulk_filters:\n  filter_by_bulk_ids: ['mp-999999999']\n"
+        "adslab_prediction_steps: []\n"
+    )
+    out = str(tmp_path / "empty_screen")
+    rc = main([str(cfg), "--output", out, "--preview", "3"])
+    assert rc == 0
