@@ -86,7 +86,7 @@ def test_chunk_overlap_invariants(spark, sf_dir):
                 assert prev.start_tok + prev.n_tok - nxt.start_tok == 8
 
 
-def test_chunk_boundary_lengths(spark):
+def test_chunk_boundary_lengths(spark, tmp_path):
     """Exact start-offset expectations at window/stride boundaries
     (win=32, stride=24): the generation rule is starts = 0, 24, ...,
     ceil((n-32)/24)*24 — one chunk for n <= 32, and never a start whose
@@ -101,31 +101,30 @@ def test_chunk_boundary_lengths(spark):
         80: [0, 24, 48], # third window reaches the end exactly
         81: [0, 24, 48, 72],
     }
-    rows = [(str(n), " ".join(f"t{i}" for i in range(n))) for n in cases]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in cases]
 
-    # run the registry operator's start-generation rule on the probe frame
-    from pyspark.sql import functions as F
+    # drive the REGISTRY QUERY itself on a synthetic documents table
+    # (r8 tautology hunt: the old test re-implemented the start rule
+    # inline — a both-sides-same-bug oracle that stayed green under any
+    # change to the production expression)
+    import catlas_spark.queries as Q
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    stride, win = 24, 32
-    last_start = (
-        F.greatest(
-            F.ceil((F.size(F.col("toks")) - F.lit(win)) / F.lit(stride)), F.lit(0)
-        ).cast("int")
-        * stride
-    )
-    out = (
-        df.select("doc_id", F.split(norm, " ").alias("toks"))
-        .select("doc_id", F.explode(F.sequence(F.lit(0), last_start, F.lit(stride))).alias("start"))
-        .collect()
-    )
-    got: dict[str, list] = {}
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = Q.queries()["chunk_documents_overlap"](spark, str(tmp_path)).collect()
+    got: dict[int, list] = {}
     for r in out:
-        got.setdefault(r.doc_id, []).append(r.start)
-    assert {k: sorted(v) for k, v in got.items()} == {
-        str(n): v for n, v in cases.items()
-    }
+        got.setdefault(r.doc_id, []).append(r.start_tok)
+    assert {k: sorted(v) for k, v in got.items()} == cases
+    # and the boundary chunk widths: every non-final chunk full width,
+    # the final one ends at the document end
+    for r in out:
+        starts = sorted(got[r.doc_id])
+        if r.start_tok != starts[-1]:
+            assert r.n_tok == 32
+        else:
+            assert r.n_tok == r.doc_id - r.start_tok
 
 
 def test_pagerank_adjacency_matches_edge_form(spark, sf_dir):

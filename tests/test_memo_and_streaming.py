@@ -141,11 +141,25 @@ def test_tumbling_counts_stream_matches_batch(spark, sf_dir, events_stream):
     assert a == b and len(a) > 0
 
 
-def test_session_window_stream(spark, events_stream):
+def test_session_window_stream(spark, sf_dir, events_stream):
+    """Session-merge semantics checked against the BATCH session_window
+    ground truth (r8 tautology hunt: the old n_events >= 1 smoke could
+    not fail — per-event singleton sessions or a dropped user_id
+    grouping key stayed green)."""
+    from catlas_spark.queries import _events
+
     got = run_batch_like_stream(sessionized_stream(events_stream), "session_smoke")
-    rows = got.collect()
-    assert len(rows) > 0
-    assert all(r.n_events >= 1 for r in rows)
+    a = {
+        (str(r.session_start), str(r.session_end), r.user_id, r.n_events)
+        for r in got.collect()
+    }
+    batch = sessionized_stream(_events(spark, sf_dir))
+    b = {
+        (str(r.session_start), str(r.session_end), r.user_id, r.n_events)
+        for r in batch.collect()
+    }
+    assert a == b and len(a) > 0
+    assert any(n > 1 for _, _, _, n in a)  # real merging happened
 
 
 def test_dedup_stream(spark, sf_dir, events_stream):

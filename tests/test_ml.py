@@ -119,25 +119,32 @@ def test_kmeans_lloyd_matches_numpy_replay(spark, sf_dir):
     V = np.array([[float(x) for x in r.embedding] for r in rows])  # double
     snap = lambda a: np.floor(a * 10000 + 0.5) / 10000
     C = V[np.argsort(ids)][:8][np.argsort(np.sort(ids)[:8])]  # ids 0..7 in order
-    assign = None
+    assign, last_d2 = None, None
     for _ in range(2):
         d2 = snap(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
         assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        last_d2 = d2  # the d2 the OPERATOR aggregates: vs the centroids
+        # the final assignment was made against (pre-final-update)
         C = np.array(
             [
                 snap(V[assign == c].mean(axis=0)) if (assign == c).any() else C[c]
                 for c in range(8)
             ]
         )
-    # recompute the final assignment's stats (assign is vs pre-update C)
+    # final assignment's stats — counts AND inertia (r8 tautology hunt:
+    # the old test only compared counts and asserted inertia > 0, so a
+    # wrong-centroid/doubled inertia stayed green; the old final-d2
+    # recompute vs the POST-update C was dead code)
     exp = {}
-    d2 = snap(((V[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2))
     for c in range(8):
         m = assign == c
         if m.any():
-            exp[c] = int(m.sum())
-    assert {c: n for c, (n, _) in got.items()} == exp
-    assert all(i > 0 for _, i in got.values())
+            exp[c] = (int(m.sum()), round(float(last_d2[m, c].sum()), 2))
+    assert {c: n for c, (n, _) in got.items()} == {c: n for c, (n, _) in exp.items()}
+    for c, (_, inertia) in got.items():
+        # float addition order differs between engines; snapped d2 sums
+        # agree far tighter than the 1e-2 rounding grid
+        assert abs(inertia - exp[c][1]) < 0.02, (c, inertia, exp[c][1])
 
 
 def test_semantic_dedup_null_and_zero_vectors(spark):

@@ -526,3 +526,26 @@ def test_rle_udtf_tokenization_matches_oracle_on_fringed_text():
     impl = RunLengthTokens.func
     got = {i: list(impl().eval(t)) for i, t in enumerate(zoo)}
     assert got == want
+
+
+def test_events_scan_restores_per_query_conf_overrides(spark, sf_dir):
+    """r8 harness review: events-only queries restored neither the
+    broadcast threshold nor the bloom scan-size threshold, so
+    bloom_pruned_join's plan overrides leaked into whatever events query
+    the LRU window placed after it (identical results, drifted timings —
+    invisible to the oracle gate). _events now shares _t's restore."""
+    from catlas_spark import queries as Q
+    from catlas_spark.session import AUTOBROADCAST_BYTES
+
+    Q.queries()["bloom_pruned_join"](spark, sf_dir)  # sets the overrides
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    Q._events(spark, sf_dir)  # an events-only query's table access
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(
+        AUTOBROADCAST_BYTES
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        == "10GB"
+    )

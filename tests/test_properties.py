@@ -27,10 +27,31 @@ def _sig(toks, n_perm=12):
     return out
 
 
-@settings(max_examples=200, deadline=None)
-@given(words)
-def test_minhash_identical_docs_identical_sigs(toks):
-    assert _sig(toks) == _sig(list(toks))
+def test_minhash_production_sigs_match_python_replica(spark):
+    """Drives the PRODUCTION minhash_signatures (r8 tautology hunt: the
+    old form asserted _sig(toks) == _sig(list(toks)) — a pure function
+    compared to itself, green under any production regression). The
+    Python replica is the independent oracle: identical docs must get
+    identical signatures AND both must equal the replica per-permutation
+    values."""
+    from catlas_spark.operators.dedup import minhash_signatures
+
+    docs = [
+        "alpha beta gamma delta",
+        "alpha beta gamma delta",  # identical twin
+        "zeta eps beta alpha zeta eps",
+        "gamma gamma gamma gamma",  # degenerate single-shingle doc
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc"]: [r[f"sig_{i}"] for i in range(12)]
+        for r in minhash_signatures(df, "text", "doc_id", n_perm=12).collect()
+    }
+    assert got[0] == got[1]  # identical docs, identical signatures
+    for i, t in enumerate(docs):
+        assert got[i] == _sig(t.split()), f"doc {i} diverges from the replica"
 
 
 @settings(max_examples=100, deadline=None)

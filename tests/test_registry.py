@@ -20,15 +20,46 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert sorted(_ordered()) == sorted(_REGISTRY)
 
 
-def test_failures_and_new_queries_lead_the_driver_window():
+def test_failures_and_new_queries_lead_the_driver_window(monkeypatch):
+    """Synthetic-history form (r8 tautology hunt): against the repo's
+    real artifacts both `failed` and `never` are EMPTY (all 172 green,
+    all checked), so the old assertions reduced to set() <= window and
+    an inverted rank key would have shipped silently. Inject a history
+    with one failure and one never-checked query and assert their
+    absolute positions."""
+    import catlas_spark.queries as Q
+
+    names_now = list(_REGISTRY)
+    fail_name, green_names = names_now[5], names_now
+    synthetic = {
+        n: (3 if n != fail_name else 7, n != fail_name)
+        for n in green_names
+        if n != names_now[11]  # names_now[11] becomes never-checked
+    }
+    monkeypatch.setattr(Q, "_correctness_history", lambda: synthetic)
+    Q._ORDERED_CACHE = None  # bust the memo (it keys on artifact mtimes)
+    try:
+        ordered = list(Q._ordered())
+    finally:
+        Q._ORDERED_CACHE = None
+    # the failure leads everything, despite its RECENT round number
+    assert ordered[0] == fail_name
+    # the never-checked query precedes every green one
+    assert ordered[1] == names_now[11]
+    # greens follow in registry order (equal round, index tiebreak)
+    greens = [n for n in names_now if n not in (fail_name, names_now[11])]
+    assert ordered[2:] == greens
+
+
+def test_window_contract_on_real_artifacts():
+    # the original (now mostly-vacuous when everything is green) check
+    # kept as a cheap invariant against the REAL artifacts
     names = list(queries())
     hist = _correctness_history()
     window = set(names[:WINDOW])
     failed = [n for n in names if n in hist and not hist[n][1]]
     never = [n for n in names if n not in hist]
-    # every failing query re-enters the window immediately
     assert set(failed) <= window
-    # never-checked queries precede all previously-verified ones
     assert set(never[: WINDOW - len(failed)]) <= window
 
 

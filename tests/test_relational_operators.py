@@ -621,10 +621,23 @@ def test_quantile_preagg_regime_probe(spark):
 
     from catlas_spark.partitioning import decide_quantile_preagg
 
+    from catlas_spark.partitioning import grouped_exact_quantiles
+
     dup_heavy = spark.range(10_000).select((F.col("id") % 20).cast("double").alias("v"))
     near_unique = spark.range(10_000).select((F.col("id") * 1.0).alias("v"))
     assert decide_quantile_preagg(dup_heavy, "v") is True
     assert decide_quantile_preagg(near_unique, "v") is False
+    # and the docstring's actual claim (r8 tautology hunt: it was never
+    # tested HERE): both regimes produce identical quantiles on the
+    # same data, forced past the dispatch
+    for frame in (dup_heavy.withColumn("g", F.lit(1)), near_unique.withColumn("g", F.lit(1))):
+        a = sorted(
+            map(str, grouped_exact_quantiles(frame, "g", "v", [0.1, 0.5, 0.9], pre_aggregate=True).collect())
+        )
+        b = sorted(
+            map(str, grouped_exact_quantiles(frame, "g", "v", [0.1, 0.5, 0.9], pre_aggregate=False).collect())
+        )
+        assert a == b and a
 
 
 def test_twap_constant_series_is_identity(spark):

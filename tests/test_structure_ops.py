@@ -23,7 +23,17 @@ def test_nuclearity_one_oracle():
     got = _nuclearity_one(elements, edges)
     assert got["Cu"]["nuclearities"] == [2, 2]
     assert got["Pt"]["nuclearities"] == [1]
-    assert got["Pt"]["nuclearity"] in {"1", "semi-finite", "infinite"}
+    # exact classifications under the surrogate replica (r8 tautology
+    # hunt: the old 3-value membership passed any infiniteness verdict).
+    # Pt sits at index 4 ≡ 0 (mod 4) — the x-periodic boundary — so its
+    # isolated component doubles in the 2x2 replica: semi-finite. The
+    # Cu chain 0-1 touches boundary node 0 and also doubles.
+    assert got["Pt"]["nuclearity"] == "semi-finite"
+    assert got["Cu"]["nuclearity"] == "semi-finite"
+    # a component touching NO boundary node (x: i ≡ 0, y: i ≡ 2, mod 4)
+    # stays finite with the exact count
+    off = _nuclearity_one(["X", "Cu", "X", "Cu", "X"], [[1, 3]])
+    assert off["Cu"]["nuclearity"] == "2"
 
 
 def test_nuclearity_empty_edges():
