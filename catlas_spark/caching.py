@@ -51,6 +51,10 @@ from pyspark.sql import DataFrame
 
 _MATERIALIZE = True
 
+# applicationIds already warned about a disabled checkpoint cleaner —
+# one warning per context, not one per pin() call
+_CKPT_CLEANER_WARNED: set[str] = set()
+
 
 def _release_on_gc(jdf) -> None:
     """Finalizer body: unpersist the JVM Dataset when the Python frame is
@@ -212,28 +216,31 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(ckpt_dir)
-            # lifetime discipline for the reliable branch (r8 review):
-            # checkpoint files are deleted on RDD GC only when
-            # spark.cleaner.referenceTracking.cleanCheckpoints=true,
-            # which is STATIC (ContextCleaner captures it at context
-            # create — session.get_session sets it; a driver-owned
-            # session must set it itself). Warn once if the cleaner
-            # won't collect, so iterative per-round pins don't grow the
-            # shared store unboundedly and silently.
-            if (
-                sc.getConf().get(
-                    "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
-                )
-                != "true"
-            ):
-                import warnings
+        # lifetime discipline for the reliable branch (r8 review, hoisted
+        # per ADVICE r8): checkpoint files are deleted on RDD GC only when
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true, which is
+        # STATIC (ContextCleaner captures it at context create —
+        # session.get_session sets it; a driver-owned session must set it
+        # itself). The accumulation hazard exists no matter WHO set the
+        # checkpoint dir, so warn once per context regardless — a
+        # driver-owned session that called setCheckpointDir itself but
+        # never enabled the cleaner is exactly the silent-growth case.
+        if (
+            sc.applicationId not in _CKPT_CLEANER_WARNED
+            and sc.getConf().get(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+            )
+            != "true"
+        ):
+            _CKPT_CLEANER_WARNED.add(sc.applicationId)
+            import warnings
 
-                warnings.warn(
-                    "SPARK_GRAFT_CHECKPOINT_DIR is set but spark.cleaner."
-                    "referenceTracking.cleanCheckpoints is false: reliable "
-                    "checkpoints will accumulate until the path is purged "
-                    "manually. Set the conf at session create.",
-                    stacklevel=2,
-                )
+            warnings.warn(
+                "SPARK_GRAFT_CHECKPOINT_DIR is set but spark.cleaner."
+                "referenceTracking.cleanCheckpoints is false: reliable "
+                "checkpoints will accumulate until the path is purged "
+                "manually. Set the conf at session create.",
+                stacklevel=2,
+            )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

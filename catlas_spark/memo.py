@@ -335,7 +335,14 @@ def compact(
     SEPARATELY — one mixed read silently drops the flat rows (the
     defect that made mixed tables lose data on compact). A mixed table
     with the default layout raises: the target layout is ambiguous,
-    pass n_shards explicitly. Returns the compacted row count."""
+    pass n_shards explicitly. Returns the compacted row count.
+
+    Crash safety (ADVICE r8): the rewrite stages to ``<table>.compact``
+    and then RENAME-SWAPS it into place (live table aside to
+    ``<table>.compact.old``, staged copy in, backup removed), so a
+    complete copy exists on disk at every instant. If a crash leaves no
+    live directory, rename ``<table>.compact`` (deduplicated result) or
+    ``<table>.compact.old`` (pre-compact original) back into place."""
     files = _memo_files(table_path)
     flat_files, sharded_files = _split_layout(files)
     if n_shards == _PRESERVE:
@@ -378,22 +385,37 @@ def compact(
     if os.path.isfile(marker):
         with open(marker) as f:
             marker_val = f.read().strip()
+    import shutil
+
     tmp = table_path + ".compact"
-    memo.write.mode("overwrite").parquet(tmp)
-    compacted = spark.read.parquet(tmp)
-    writer = compacted.write.mode("overwrite")
+    writer = memo.write.mode("overwrite")
     if sharded:
         writer = writer.partitionBy(SHARD_COL)
-    writer.parquet(table_path)
-    # restore the marker IMMEDIATELY after the destructive overwrite —
-    # a failure in the count/cleanup below must not leave the table
-    # silently demoted to "pre-marker, unclassifiable" (which would
-    # permanently disable the stale-schema warning)
+    writer.parquet(tmp)
+    # swap, don't overwrite in place (ADVICE r8): a final
+    # mode("overwrite") onto table_path clears the live directory before
+    # the new files land, so a crash mid-write loses the table with only
+    # an undocumented tmp copy surviving. The rename swap keeps a
+    # complete copy on disk at every instant: the live table moves aside
+    # to <table>.compact.old, the fully-written <table>.compact becomes
+    # live, then the backup goes. RECOVERY after a crash between the two
+    # renames (no live dir, both copies intact): rename either copy back
+    # to the table path — .compact is the deduplicated result, .old the
+    # pre-compact original. Assumes a rename-capable store (local/HDFS;
+    # the memo layer's design point — on an object store, point
+    # table_path at a rename-capable tier or accept the tmp-copy
+    # recovery contract).
+    old = tmp + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    # restore the marker IMMEDIATELY after the swap — a failure in the
+    # count/cleanup below must not leave the table silently demoted to
+    # "pre-marker, unclassifiable" (which would permanently disable the
+    # stale-schema warning)
     if marker_val is not None:
         with open(marker, "w") as f:
             f.write(marker_val)
     n = spark.read.parquet(table_path).count()
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     return n

@@ -489,10 +489,36 @@ def two_level_assign(
     import numpy as np
     import pandas as pd
 
+    vt = vecs.schema["vid"].dataType.simpleString()
+
+    if not is_materializing():
+        # explain-only context (lazy_plans; ADVICE r8): the coarse probe
+        # collect below is a driver action, and with maybe_persist a
+        # no-op here it would re-execute the unpersisted centroids
+        # lineage for a plan nobody runs — the same dispatch-action gate
+        # the module's other regimes use. Return the probes=n_coarse
+        # exact regime as a fully DISTRIBUTED representative plan: the
+        # probe stage becomes the corpus x coarse_id cross join (every
+        # bucket probed — exactly what probes=n_coarse means), and the
+        # no-valid-candidate default cid is patched in lazily from a
+        # 1-row broadcast of min(coarse_id) (== the smallest fine cid;
+        # _seed_centroids takes the n_coarse smallest) instead of the
+        # collected c_rows[0]. Same results, zero build-time actions.
+        probed_lazy = vecs.crossJoin(coarse.select("coarse_id"))
+        out = _two_level_bucket_stage(probed_lazy, routing, vt, default_cid=None)
+        gmin = coarse.agg(F.min("coarse_id").alias("__gmin"))
+        return (
+            out.crossJoin(F.broadcast(gmin))
+            .withColumn(
+                "cid",
+                F.when(F.col("d2").isNull(), F.col("__gmin")).otherwise(F.col("cid")),
+            )
+            .drop("__gmin")
+        )
+
     c_rows = sorted(coarse.collect(), key=lambda r: r["coarse_id"])
     if not c_rows:
-        if is_materializing():
-            centroids.unpersist(blocking=False)
+        centroids.unpersist(blocking=False)
         return vecs.limit(0).select(
             "vid", "v", F.lit(0).cast("long").alias("cid"), F.lit(0.0).alias("d2")
         )
@@ -547,32 +573,59 @@ def two_level_assign(
                 {"vid": pdf["vid"], "v": pdf["v"], "probe_ids": [list(map(int, p)) for p in out]}
             )
 
-    vt = vecs.schema["vid"].dataType.simpleString()
     probed = (
         vecs.mapInPandas(_probe, f"vid {vt}, v array<double>, probe_ids array<long>")
         .select("vid", "v", F.explode("probe_ids").alias("coarse_id"))
     )
 
-    # exact distance within probed buckets — a COGROUPED Arrow stage per
-    # bucket (probed rows cogrouped with the bucket's fine centroids on
-    # coarse_id; the fine table is never collected or broadcast): the
-    # first cut computed per-candidate distances with interpreted
-    # zip_with/aggregate folds, the exact O(n*k)-interpreted cliff
-    # `_arrow_assign` exists to avoid — measured 248 s vs 20.8 s flat at
-    # n=20k, k=800. The numpy body below is the same dim-sequential fold
-    # + floor-snap + masked first-valid argmin as `_arrow_assign`, so
-    # bit-parity with the flat regimes holds. Each bucket emits ONE
-    # per-vid best; the cross-bucket min_by key (d2 IS NULL, d2, cid)
-    # reproduces the flat NULLS-LAST-cid-tiebreak window because a
-    # lexicographic min over per-group lexicographic minima is the
-    # global lexicographic min. A vid with no valid candidate in a
-    # bucket emits (global smallest cid, NULL d2) — the all-NULL-folds
-    # default — which loses to any real distance and ties to the right
-    # cid otherwise. The smallest FINE cid is always a member of the
-    # coarse set (_seed_centroids takes the n_coarse SMALLEST cids), so
-    # c_rows[0] supplies it — no third execution of the centroids plan
-    # (r8 diff review).
-    global_min_cid = int(c_rows[0]["coarse_id"])
+    # exact stage: see _two_level_bucket_stage. The smallest FINE cid is
+    # always a member of the coarse set (_seed_centroids takes the
+    # n_coarse SMALLEST cids), so c_rows[0] supplies the default — no
+    # third execution of the centroids plan (r8 diff review).
+    out = _two_level_bucket_stage(
+        probed, routing, vt, default_cid=int(c_rows[0]["coarse_id"])
+    )
+    # release the centroid cache when the caller drops the result — the
+    # module's release-on-GC lifetime discipline (the returned lazy plan
+    # reads it through the routing join until then)
+    import weakref
+
+    from ..caching import _release_on_gc
+
+    weakref.finalize(out, _release_on_gc, centroids._jdf)
+    return out
+
+
+def _two_level_bucket_stage(
+    probed: DataFrame, routing: DataFrame, vt: str, default_cid: int | None
+) -> DataFrame:
+    """Exact distance within probed buckets — a COGROUPED Arrow stage per
+    bucket (probed rows cogrouped with the bucket's fine centroids on
+    coarse_id; the fine table is never collected or broadcast): the
+    first cut computed per-candidate distances with interpreted
+    zip_with/aggregate folds, the exact O(n*k)-interpreted cliff
+    `_arrow_assign` exists to avoid — measured 248 s vs 20.8 s flat at
+    n=20k, k=800. The numpy body below is the same dim-sequential fold
+    + floor-snap + masked first-valid argmin as `_arrow_assign`, so
+    bit-parity with the flat regimes holds. Each bucket emits ONE
+    per-vid best; the cross-bucket min_by key (d2 IS NULL, d2, cid)
+    reproduces the flat NULLS-LAST-cid-tiebreak window because a
+    lexicographic min over per-group lexicographic minima is the
+    global lexicographic min. A vid with no valid candidate in a
+    bucket emits (``default_cid``, NULL d2) — the all-NULL-folds
+    default — which loses to any real distance and ties to the right
+    cid otherwise.
+
+    ``default_cid=None`` (the lazy_plans path) uses a -1 sentinel the
+    caller patches in lazily: a NULL-d2 winner of the cross-bucket min
+    is ALWAYS a default row (out_d2 is only NULL when no bucket had a
+    valid candidate), so the caller's ``d2 IS NULL`` patch condition is
+    exact and the sentinel never escapes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dc = -1 if default_cid is None else int(default_cid)
 
     def _bucket_assign(left_iter_df, right_df):
         # left: probed (vid, v, coarse_id) rows of ONE bucket;
@@ -601,7 +654,7 @@ def two_level_assign(
             for length, (ids, mats) in cents_by_len.items()
         }
         lens = pdf["v"].map(lambda x: -1 if x is None else len(x)).to_numpy()
-        out_cid = np.full(len(pdf), global_min_cid, dtype=np.int64)
+        out_cid = np.full(len(pdf), dc, dtype=np.int64)
         out_d2 = np.full(len(pdf), np.nan)
         for length in np.unique(lens):
             if length < 0 or length not in cents_by_len:
@@ -626,7 +679,6 @@ def two_level_assign(
             {"vid": pdf["vid"], "v": pdf["v"], "cid": out_cid, "d2": out_d2}
         )
 
-    vt = vecs.schema["vid"].dataType.simpleString()
     per_bucket = (
         probed.groupBy("coarse_id")
         .cogroup(routing.select("cid", "c", "coarse_id").groupBy("coarse_id"))
@@ -647,15 +699,6 @@ def two_level_assign(
         .agg(F.min_by(row, key).alias("__m"))
         .select("vid", F.col("__m.v").alias("v"), F.col("__m.cid").alias("cid"), F.col("__m.d2").alias("d2"))
     )
-    if is_materializing():
-        # release the centroid cache when the caller drops the result —
-        # the module's release-on-GC lifetime discipline (the returned
-        # lazy plan reads it through the routing join until then)
-        import weakref
-
-        from ..caching import _release_on_gc
-
-        weakref.finalize(out, _release_on_gc, centroids._jdf)
     return out
 
 

@@ -709,3 +709,52 @@ def test_two_level_bucket_tiebreak_matches_flat(spark):
     assert flat == [(100, 3), (101, 3)]  # smallest cid wins ties
     for n_coarse in (1, 3):
         assert norm(two_level_assign(corpus, centroids, n_coarse=n_coarse)) == flat
+
+
+def test_two_level_assign_lazy_plans_runs_no_jobs_and_matches(spark):
+    """ADVICE r8: under lazy_plans the probe collect in two_level_assign
+    would re-execute the unpersisted centroids lineage (maybe_persist is
+    a no-op there) for a plan nobody runs. The dispatch must build with
+    ZERO Spark jobs in lazy mode — and the representative distributed
+    plan it returns (cross-join probe + lazy default-cid patch) must
+    still compute the exact flat answer when executed, including the
+    NULL-vector default row the patch exists for."""
+    from catlas_spark.caching import lazy_plans
+    from catlas_spark.operators.similarity import (
+        _jvm_assign,
+        _seed_centroids,
+        two_level_assign,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.1, 0.2]),
+            (11, [5.0, 5.0]),
+            (12, None),  # NULL vector -> smallest cid via the lazy patch
+            (13, [4.9, 5.2]),
+        ],
+        "vid long, v array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [(2, [0.0, 0.0]), (4, [5.0, 5.0]), (6, [9.0, 9.0])],
+        "vid long, v array<double>",
+    )
+    centroids = _seed_centroids(seeds, 3)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    with lazy_plans():
+        lazy_out = two_level_assign(corpus, centroids, n_coarse=2)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, f"lazy_plans build ran {after - before} job(s)"
+
+    def norm(df):
+        return sorted(
+            (r.vid, r.cid, None if r.d2 is None else round(r.d2, 6))
+            for r in df.select("vid", "cid", "d2").collect()
+        )
+
+    flat = norm(_jvm_assign(corpus, centroids))
+    assert norm(lazy_out) == flat
+    # the NULL-vector default actually flowed through the lazy patch
+    assert [t for t in flat if t[0] == 12] == [(12, 2, None)]
