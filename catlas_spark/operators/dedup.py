@@ -367,9 +367,22 @@ def connected_components(
     # `<` raises on None in union-find) — drop them up front so both
     # regimes see the same graph
     clean = pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    # bidirection via explode, NOT union-of-two-selects (r9): the union
+    # form executes the UPSTREAM PAIR PLAN twice — once per branch —
+    # and near-dup pair generation (LSH banding, blocked cosine) is the
+    # expensive subtree here, while the edge list it emits is tiny.
+    # explode(array(fwd, rev)) emits both directions from ONE pass.
+    # Measured at sf0.1: dedup_cluster_assign 4.5 -> 3.1 s warm median.
     edges = (
-        clean.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(clean.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        clean.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
         .persist(StorageLevel.MEMORY_ONLY)
     )

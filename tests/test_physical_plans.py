@@ -66,7 +66,16 @@ MAPINPANDAS_QUERIES = (
     "multimodal_audio_energy",
     "misra_gries_contract",
 )
-GROUPED_PANDAS_QUERIES = ("dedup_semantic",)
+# dedup_embedding_cosine and the CC queries built on its pair list
+# moved to the blocked_cosine_pairs Arrow stage in r9 (the semantic_dedup
+# scorer convention: pairwise float arithmetic is the engine's
+# designated vectorized-Python stage; the interpreted higher-order
+# aggregate join form measured 1.9 s vs 0.8 s at sf0.1)
+GROUPED_PANDAS_QUERIES = (
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+    "dedup_cluster_assign",
+)
 UDTF_QUERIES = ("rle_tokens_udtf",)
 PYTHON_STAGE_QUERIES = MAPINPANDAS_QUERIES + GROUPED_PANDAS_QUERIES + UDTF_QUERIES
 
