@@ -134,15 +134,45 @@ def minhash_signatures(
     ``with_hash_set`` adds the distinct shingle-hash set for later exact
     Jaccard verification.
     """
-    hashed = shingle_hashes(df, text_col, id_col, shingle_n, shingle_mode)
+    from ..partitioning import spread_small_source
+
+    # In-row form (r9): signatures are a PER-DOC reduction over the
+    # doc's own shingles, so they need no shuffle at all — hash the
+    # shingle array in place and fold each permutation with array_min.
+    # The previous explode + groupBy(doc) form paid the exploded-shingle
+    # shuffle plus a 13-aggregate hash table; measured 0.70 -> 0.51 s at
+    # sf0.1 (value parity verified doc-by-doc), and at 100 TB the
+    # signature pass becomes a pure map stage. HOF transforms are
+    # interpreted, which is why the corpus is spread across the cluster
+    # first (one cheap round-robin of a small source; a no-op at real
+    # scale where the source has many splits).
+    shingler = {"token": token_shingles, "char": char_shingles}[shingle_mode]
+    ms = F.transform(shingler(F.col(text_col), shingle_n), lambda s: F.md5(s))
     coeffs = minhash_coeffs(n_perm)
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MINHASH_P))).alias(f"sig_{i}")
+    hashed = spread_small_source(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(ms, lambda m: _hex_long(m, 1, 7)).alias("xs"),
+        *(
+            [F.transform(ms, lambda m: _hex_long(m, 17, 13)).alias("h1s")]
+            if with_hash_set
+            else []
+        ),
+    )
+    cols = [
+        F.array_min(
+            F.transform("xs", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P)))
+        ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     if with_hash_set:
-        aggs.append(F.collect_set("h1").alias("hset"))
-    return hashed.groupBy("doc").agg(*aggs)
+        # array_distinct replaces collect_set: consumers treat hset as a
+        # set (array_intersect / size), so element order is free
+        cols.append(F.array_distinct("h1s").alias("hset"))
+    # a doc with NO shingles (empty/NULL token list) never produced a
+    # groupBy row in the explode form; keep that contract — array_min of
+    # an empty array is NULL, and a NULL sig would concat_ws-collapse
+    # into a shared band key, buckets of nothing-in-common docs
+    return hashed.filter(F.size("xs") > 0).select("doc", *cols)
 
 
 def _hashed_jaccard(a_set: Column, b_set: Column) -> Column:

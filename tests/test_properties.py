@@ -54,6 +54,23 @@ def test_minhash_production_sigs_match_python_replica(spark):
         assert got[i] == _sig(t.split()), f"doc {i} diverges from the replica"
 
 
+def test_minhash_zero_shingle_docs_emit_no_row(spark):
+    """The in-row form (r9) must keep the explode form's contract: a doc
+    with NO shingles (empty/one-token text, NULL text) produces NO
+    signature row at all — an emitted row would carry NULL sigs, and
+    concat_ws band keys collapse NULLs so every such doc would share one
+    LSH bucket as spurious candidates."""
+    from catlas_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, ""), (2, "solo"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = minhash_signatures(df, "text", "doc_id", n_perm=4, with_hash_set=True).collect()
+    assert [r["doc"] for r in rows] == [0]
+    assert all(r["sig_0"] is not None for r in rows)
+
+
 @settings(max_examples=100, deadline=None)
 @given(words, words)
 def test_minhash_agreement_tracks_jaccard(a, b):
