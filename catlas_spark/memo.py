@@ -392,6 +392,14 @@ def compact(
     if sharded:
         writer = writer.partitionBy(SHARD_COL)
     writer.parquet(tmp)
+    # stage the key-schema marker INTO tmp before the swap (review): the
+    # rename then carries it atomically with the data, so no window — and
+    # no recovery path — exists where the live table is silently demoted
+    # to "pre-marker, unclassifiable" (which would permanently disable
+    # the stale-schema warning)
+    if marker_val is not None:
+        with open(os.path.join(tmp, _SCHEMA_MARKER), "w") as f:
+            f.write(marker_val)
     # swap, don't overwrite in place (ADVICE r8): a final
     # mode("overwrite") onto table_path clears the live directory before
     # the new files land, so a crash mid-write loses the table with only
@@ -409,13 +417,6 @@ def compact(
     shutil.rmtree(old, ignore_errors=True)
     os.rename(table_path, old)
     os.rename(tmp, table_path)
-    # restore the marker IMMEDIATELY after the swap — a failure in the
-    # count/cleanup below must not leave the table silently demoted to
-    # "pre-marker, unclassifiable" (which would permanently disable the
-    # stale-schema warning)
-    if marker_val is not None:
-        with open(marker, "w") as f:
-            f.write(marker_val)
     n = spark.read.parquet(table_path).count()
     shutil.rmtree(old, ignore_errors=True)
     return n

@@ -168,7 +168,12 @@ def blocked_cosine_pairs(
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = S / denom
                 keep = denom != 0.0  # try_divide: x/0 -> NULL -> dropped
-                keep &= np.tri(c, k=-1, dtype=bool).T  # j<l: id_a < id_b
+                # STRICT id_a < id_b on VALUES, not positions (review):
+                # ids ascend after the sort, but duplicate ids in a block
+                # would self-pair under a positional upper-triangle mask
+                # where the expression form's `id_a < id_b` excludes them
+                # in both directions
+                keep &= ids[None, :] > ids[:, None]
                 keep &= (sims >= thr) | np.isnan(sims)
             j, l = np.nonzero(keep)
             if len(j):

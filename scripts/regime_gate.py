@@ -148,6 +148,43 @@ REGIMES: dict[str, dict[str, tuple[str, str, dict]]] = {
 }
 
 
+# (query, label) -> (plan substring, must_be_present), checked against
+# the returned frame's optimized plan: proves the forced regime ACTUALLY
+# ran where forcing is INDIRECT (review — the containment "bitmap" row
+# forces nothing and would silently re-test postings under a green
+# bitmap label if the default dispatch drifted; the Arrow-assignment
+# threshold could rot the same way). The bitmap strategy names its
+# bitmap columns; the Arrow regimes add a MapInPandas stage. The
+# CC/triangle regimes need no mark: their dispatch is a deterministic
+# comparison against the forced kwarg itself (edge count vs 0 / BIG),
+# covered by the signature-drift test plus the operators' forced-regime
+# unit tests — and no plan token can see them anyway (both the driver
+# createDataFrame result and the checkpointed distributed loop collapse
+# to a LogicalRDD in the returned plan).
+PLAN_MARKS: dict[tuple[str, str], tuple[str, bool]] = {
+    ("set_containment_join", "bitmap"): ("bitmap", True),
+    ("set_containment_join", "postings"): ("bitmap", False),
+    ("kmeans_ivf_train", "jvm-assign"): ("MapInPandas", False),
+    ("kmeans_ivf_train", "arrow-assign"): ("MapInPandas", True),
+    ("dedup_semantic", "jvm-assign"): ("MapInPandas", False),
+    ("dedup_semantic", "arrow-assign"): ("MapInPandas", True),
+}
+
+
+def _plan_mark_error(qname: str, label: str, df) -> str | None:
+    mark = PLAN_MARKS.get((qname, label))
+    if mark is None:
+        return None
+    token, want = mark
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if (token in plan) != want:
+        return (
+            f"regime not engaged: expected {token!r} "
+            f"{'present' if want else 'absent'} in the optimized plan"
+        )
+    return None
+
+
 class _force:
     """Context manager: pin dispatch kwargs on a module attribute."""
 
@@ -191,8 +228,16 @@ def _two_level_vs_flat(spark, sf_dir: str) -> str | None:
     centroids = _seed_centroids(emb, 8)
 
     def norm(df):
+        import pandas as pd
+
         pdf = df.select("vid", "cid", F.round("d2", 6).alias("d2")).toPandas()
-        return sorted(map(tuple, pdf.itertuples(index=False)))
+        # NULL d2 (NULL/ragged vectors) arrives as NaN via toPandas, and
+        # NaN != NaN would flag two identical results as a diff — map the
+        # whole NULL/NaN class to None before comparing (review)
+        return sorted(
+            (r.vid, r.cid, None if pd.isna(r.d2) else r.d2)
+            for r in pdf.itertuples(index=False)
+        )
 
     flat = norm(_jvm_assign(emb, centroids))
     two = norm(two_level_assign(emb, centroids, n_coarse=3))
@@ -203,11 +248,14 @@ def _two_level_vs_flat(spark, sf_dir: str) -> str | None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
     out_json = None
-    if "--json" in sys.argv:
-        out_json = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        i = argv.index("--json")
+        out_json = argv[i + 1]
+        del argv[i : i + 2]  # the value must not leak into positionals
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     spark = get_spark("regime_gate")
     con = duckdb.connect()
@@ -228,8 +276,11 @@ def main() -> int:
             t0 = time.perf_counter()
             try:
                 with _force(mod_path, attr, forced):
-                    sdf = qs[qname](spark, sf_dir).toPandas()
-                err = compare(sdf, ddf)
+                    df = qs[qname](spark, sf_dir)
+                err = _plan_mark_error(qname, label, df)
+                if err is None:
+                    sdf = df.toPandas()
+                    err = compare(sdf, ddf)
             except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
                 err = f"{type(e).__name__}: {str(e)[:200]}"
             dt = round(time.perf_counter() - t0, 3)

@@ -72,3 +72,14 @@ def test_force_restores_original_on_exit():
             assert mod.connected_components is not orig
             raise RuntimeError("boom")
     assert mod.connected_components is orig
+
+
+def test_plan_marks_reference_declared_regimes():
+    """Every PLAN_MARKS key must point at a declared (query, label) —
+    a renamed regime label would silently orphan its plan assertion."""
+    declared = {
+        (q, label)
+        for q, regimes in regime_gate.REGIMES.items()
+        for label in regimes
+    }
+    assert set(regime_gate.PLAN_MARKS).issubset(declared)
