@@ -130,9 +130,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc minhash signature columns sig_0..sig_{n_perm-1}.
 
-    One shuffle (groupBy doc), all aggregates map-side combinable.
-    ``with_hash_set`` adds the distinct shingle-hash set for later exact
-    Jaccard verification.
+    ZERO shuffle (r9): a pure map stage — per-doc array fold, see the
+    in-row note below. ``with_hash_set`` adds the distinct shingle-hash
+    set for later exact Jaccard verification.
     """
     from ..partitioning import spread_small_source
 
@@ -197,10 +197,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
 
-    Plan: signature groupBy (1 shuffle) → explode to (band_id, band_key)
-    → self-join on the band bucket (shuffle on band key; AQE handles hot
-    buckets) → distinct candidate pairs → verify against the hashed
-    shingle sets. Linear candidate generation — never an all-pairs join.
+    Plan: in-row signatures (pure map stage, r9) → explode to
+    (band_id, band_key) → self-join on the band bucket (shuffle on band
+    key; AQE handles hot buckets) → distinct candidate pairs → verify
+    against the hashed shingle sets (broadcast joins at bench scale;
+    hash joins when candidates outgrow the threshold). Linear candidate
+    generation — never an all-pairs join.
 
     Banding defaults (3 bands × 4 rows) put the S-curve midpoint near
     J≈0.7 with steep rolloff below: corpora with high baseline pairwise
