@@ -103,19 +103,24 @@ def blocked_cosine_pairs(
     the JVM left-fold's IEEE-754 operation order bit-exactly, so DuckDB
     oracles built on the same in-order SQL fold still hash-match.
 
-    Edge semantics mirror the expression form
-    ``try_divide(dot(a,b), norm(a)*norm(b))`` exactly:
+    Edge semantics vs the expression form
+    ``try_divide(dot(a,b), norm(a)*norm(b))``:
     - mismatched lengths: zip_with pads to a NULL fold -> pair dropped
       (here: rows score only within their length group);
     - NULL vector: every pair NULL -> dropped (skipped here);
-    - NULL component: fold NULL -> dropped. Arrow hands NULL elements
-      to numpy as NaN — indistinguishable from a true NaN component,
-      which the JVM form KEEPS (NaN sim outranks every threshold under
-      Spark's NaN-greatest ordering) — so NULL-bearing rows are flagged
-      JVM-side (``exists(v, isnull)``) before the Arrow stage;
-    - true NaN component: sim NaN, EMITTED (caller's filter keeps it,
-      matching Spark/DuckDB NaN comparison semantics);
-    - zero norm: try_divide -> NULL -> dropped (denom==0 masked here).
+    - NULL component: fold NULL -> dropped (Arrow hands NULL elements
+      to numpy as NaN, which lands in the same dropped class below);
+    - zero norm: try_divide -> NULL -> dropped (denom==0 masked here);
+    - NaN component: pair DROPPED — a DELIBERATE deviation. The
+      expression form kept it (NaN sim outranks every threshold under
+      Spark's NaN-greatest ordering), meaning one NaN-poisoned vector
+      near-dup-matched its ENTIRE block; the engine's assignment
+      regimes already classify that ordering as a defect and nanvl
+      NaN into the NULL class (`_jvm_assign`, r8). This operator
+      applies the same convention: a poisoned pair is a non-match
+      everywhere. (Arrow's NaN->NULL result conversion enforces half
+      of this anyway — an emitted NaN sim would arrive as NULL and
+      fail the caller's threshold; the mask just makes it explicit.)
 
     The emitted candidate set is pre-filtered at ``threshold - 1e-4``
     (slack covers HALF_UP rounding: round(x,4) >= t implies
@@ -136,22 +141,18 @@ def blocked_cosine_pairs(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        F.coalesce(
-            F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(False)
-        ).alias("has_null_el"),
     )
     vt = emb.schema[id_col].dataType.simpleString()
     thr = float(threshold) - 1e-4
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vid").reset_index(drop=True)
-        drop = pdf["has_null_el"].to_numpy(dtype=bool)
         lens = pdf["v"].map(lambda x: -1 if x is None else len(x)).to_numpy()
         frames = []
         for length in np.unique(lens):
             if length < 0:
                 continue
-            idx = np.flatnonzero((lens == length) & ~drop)
+            idx = np.flatnonzero(lens == length)
             c = len(idx)
             if c < 2:
                 continue
@@ -174,7 +175,9 @@ def blocked_cosine_pairs(
                 # where the expression form's `id_a < id_b` excludes them
                 # in both directions
                 keep &= ids[None, :] > ids[:, None]
-                keep &= (sims >= thr) | np.isnan(sims)
+                # NaN sims (NaN or Arrow-nulled components) fail the >=:
+                # the poisoned-pair drop documented above
+                keep &= sims >= thr
             j, l = np.nonzero(keep)
             if len(j):
                 frames.append(

@@ -758,3 +758,99 @@ def test_two_level_assign_lazy_plans_runs_no_jobs_and_matches(spark):
     assert norm(lazy_out) == flat
     # the NULL-vector default actually flowed through the lazy patch
     assert [t for t in flat if t[0] == 12] == [(12, 2, None)]
+
+
+def test_blocked_cosine_pairs_matches_expression_form_on_zoo(spark):
+    """blocked_cosine_pairs (r9 Arrow stage) must reproduce the
+    expression form `round(try_divide(dot, na*nb), 4) >= thr` it
+    replaced, on the full edge zoo — NULL vector, NULL component, zero
+    norm, ragged lengths, NULL block — with ONE pinned deviation: a
+    NaN-component pair is DROPPED, where the expression form kept it
+    with a NaN sim that outranks every threshold (one poisoned vector
+    near-dup-matching its whole block; the assignment regimes nanvl
+    the same ordering away, r8). The expression form is reconstructed
+    here as the independent oracle."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from catlas_spark.functions.vector import dot, norm
+    from catlas_spark.operators.similarity import blocked_cosine_pairs
+
+    nan = float("nan")
+    rows = [
+        ("A", 1, [1.0, 0.0]),
+        ("A", 2, [1.0, 0.1]),          # ~cos 0.995 with id 1 -> pair
+        ("A", 3, None),                # NULL vector: no pairs
+        ("A", 4, [1.0, None]),         # NULL component: no pairs (JVM NULL fold)
+        ("A", 5, [nan, 1.0]),          # NaN component: pair KEPT, sim NaN
+        ("A", 6, [0.0, 0.0]),          # zero norm: try_divide NULL -> dropped
+        ("A", 7, [1.0, 0.0, 0.0]),     # ragged: scores only 3-dim mates (none)
+        ("B", 8, [2.0, 0.0]),          # other block: never pairs with A
+        ("B", 9, [2.0, 0.1]),
+        (None, 10, [3.0, 0.0]),        # NULL block: inner-join semantics, no pairs
+        (None, 11, [3.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, vec_id long, v array<double>")
+
+    thr = 0.9
+    a = df.select(
+        "label", F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+    )
+    b = df.select(
+        "label", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
+    expected_df = (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 4
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= thr)
+    )
+    actual_df = (
+        blocked_cosine_pairs(df, "label", "vec_id", "v", threshold=thr)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+        .filter(F.col("sim") >= thr)
+    )
+
+    def norm_rows(frame):
+        out = set()
+        for r in frame.collect():
+            s = r["sim"]
+            out.add((r["id_a"], r["id_b"], "nan" if (s is not None and math.isnan(s)) else s))
+        return out
+
+    exp, act = norm_rows(expected_df), norm_rows(actual_df)
+    # the pinned deviation: the expression form's NaN-kept pairs (all
+    # involving the poisoned vector 5) are dropped by the Arrow stage
+    nan_pairs = {t for t in exp if t[2] == "nan"}
+    assert nan_pairs, "NaN-component pairs missing from the oracle form (vacuous zoo)"
+    assert all(5 in t[:2] for t in nan_pairs)
+    assert act == exp - nan_pairs
+    # the zoo exercised a real surviving pair too
+    assert any(t[:2] == (1, 2) for t in act)
+
+
+def test_blocked_cosine_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """Duplicate ids in one block (review finding): the positional
+    upper-triangle mask self-paired them; the strict value comparison
+    must not. The expression form's id_a < id_b excludes a duplicated id
+    in both directions."""
+    from catlas_spark.operators.similarity import blocked_cosine_pairs
+
+    df = spark.createDataFrame(
+        [("A", 7, [1.0, 0.0]), ("A", 7, [1.0, 0.0]), ("A", 8, [1.0, 0.0])],
+        "label string, vec_id long, v array<double>",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in blocked_cosine_pairs(df, "label", "vec_id", "v", threshold=0.5).collect()
+    )
+    # 7-7 must not appear; both 7-rows pair with 8 (identical, dedup upstream's job)
+    assert got == [(7, 8), (7, 8)]
