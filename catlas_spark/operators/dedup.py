@@ -697,41 +697,43 @@ def containment_pairs(
     id_col: str,
     threshold: float = 0.8,
     shingle_n: int = 2,
-    df_cap: int = 100,
 ) -> DataFrame:
     """Directional containment near-dup pairs: (a, b) where
     |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — the
     asymmetric variant Jaccard misses (an excerpt is ~fully contained
     in its source doc but their Jaccard is only ~|a|/|b|).
 
-    Two phases (the PPJoin-style filter-verify shape):
+    Two phases (the PPJoin filter-verify shape, exact recall):
 
-    1. CANDIDATES from an inverted-index join restricted to shingles
-       with document frequency ≤ ``df_cap``. The postings join costs
-       Σ posting_len², so one stop-bigram with a million-doc posting
-       list is a 10^12-row join — capping bounds it at
-       n_shingles × df_cap². Measured: the uncapped join never finished
-       a 200k-doc stress corpus of ~15-member dup clusters; capped it
-       runs in seconds.
+    1. CANDIDATES from a PREFIX-filtered inverted index. A qualifying
+       probe doc ``a`` (n shingles) may miss at most ⌊(1−t)·n⌋ of them
+       in ``b``, so any ⌊(1−t)·n⌋+1 of a's shingles must hit b — index
+       only a's that-many globally-RAREST shingles (df ascending) and
+       join them against the FULL postings of the b side. Recall is
+       exact by the pigeonhole bound; cost is Σ prefix_len(h)·df(h),
+       where stop-shingles (huge df) almost never appear in any prefix
+       because the prefix takes the rarest. A fixed df cap (the old
+       strategy) loses recall on any corpus whose true-pair shingles
+       all exceed the cap — exactly the high-df regime of small-
+       vocabulary or boilerplate-heavy text.
     2. VERIFY candidates exactly against the FULL hashed shingle sets
-       (array_intersect on long arrays), so the cap never changes a
-       reported containment value — a pair is missed only if it shares
-       no rare shingle at all, which at 0.8 containment requires the
-       contained doc to consist almost entirely of corpus-wide
-       boilerplate (those pairs are boilerplate matches, not copies).
+       (array_intersect on long arrays), so the prefix never changes a
+       reported containment value.
+
+    The prefix length uses t−1e-4, not t, because the verify stage
+    rounds containment to 4 decimals before comparing (cross-engine
+    float convention): a pair at raw containment t−5e-5 rounds up to
+    qualify, so the miss budget must cover it.
     """
     # the shingle explode+hash+dedup subtree feeds FOUR consumers
-    # (the sets build, the document-frequency filter, and both sides
-    # of the candidate self-join via `rare`) — persist it or the
-    # corpus-sized explode re-executes per consumer.
-    # ONE exchange serves three of them (r8 job-count cut, 22 -> fewer
-    # AQE stage materializations): the explicit hash repartition on h1
-    # ahead of the dedup satisfies dropDuplicates' clustering (h1 is a
-    # subset of the dedup key, so same-(doc,h1) rows are co-located),
-    # the persisted cache KEEPS that partitioning, and both the
-    # window-df filter below and the candidate self-join on h1 then run
-    # exchange-free on top of it — where the old distinct + df-aggregate
-    # + join-back shape paid a separate shuffle for each.
+    # (the sets build, the df window, and both sides of the candidate
+    # join) — persist it or the corpus-sized explode re-executes per
+    # consumer. ONE exchange serves the dedup, the df window, and the
+    # full-postings side of the candidate join: the explicit hash
+    # repartition on h1 ahead of the dedup satisfies dropDuplicates'
+    # clustering (h1 is a subset of the dedup key), the persisted cache
+    # KEEPS that partitioning, and the h1 window + h1 join probe run
+    # exchange-free on top of it.
     hashed = (
         shingle_hashes(df, text_col, id_col, shingle_n)
         .select("doc", "h1")
@@ -745,19 +747,32 @@ def containment_pairs(
         .agg(F.collect_set("h1").alias("hset"), F.count(F.lit(1)).alias("n_sh"))
         .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
-    # document frequency as a window over the SAME h1 partitioning —
-    # identical df values to the old groupBy(h1)+join-back (both count
-    # deduped (doc, h1) rows), minus that pair of exchanges
-    rare = (
+    # document frequency as a window over the SAME h1 partitioning,
+    # then the per-doc prefix: rank each doc's shingles globally-rarest
+    # first (ties broken on h1 for determinism) and keep the first
+    # ⌊(1−t+ε)·n⌋+1. One doc-keyed exchange; the prefix is ~(1−t) of
+    # the postings, so everything downstream shrinks with it.
+    miss_budget = F.floor((1.0 - threshold + 1e-4) * F.col("n_sh_w"))
+    prefix = (
         hashed.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("h1"))
         )
-        .filter(F.col("df") <= df_cap)
-        .drop("df")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy("df", "h1")),
+        )
+        .withColumn(
+            "n_sh_w", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        )
+        .filter(F.col("rn") <= miss_budget + 1)
+        .select("doc", "h1")
     )
-    a, b = rare.alias("a"), rare.alias("b")
     cand = (
-        a.join(b, (F.col("a.h1") == F.col("b.h1")) & (F.col("a.doc") != F.col("b.doc")))
+        prefix.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h1") == F.col("b.h1")) & (F.col("a.doc") != F.col("b.doc")),
+        )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )

@@ -658,9 +658,10 @@ def set_containment_join_prefix(
     min-DF is near 1 and right sets are small) candidates collapse to
     ~output size and prefix wins by orders of magnitude. Pick by
     element-DF profile — one `approx_count_distinct`/`count` over the
-    postings tells you which regime you are in. (The df-capped inverted
-    index in `dedup.containment_pairs` is the text-domain instance of
-    the same idea.)
+    postings tells you which regime you are in. (The prefix-filtered
+    inverted index in `dedup.containment_pairs` is the text-domain,
+    threshold-0.8 generalization: there the miss budget ⌊(1−t)·n⌋+1
+    sizes the prefix instead of exactly 1.)
     """
     r_post = right.select(
         right_id,

@@ -326,6 +326,54 @@ def test_containment_pairs_directional(spark):
     assert rows == {(2, 1): 1.0}
 
 
+def test_containment_pairs_high_df_corpus(spark):
+    """Recall on a corpus where EVERY shingle's document frequency
+    exceeds 100 (the r6–r9 df-cap bug regime, the sf0.1 failure mode):
+    a fixed-df-cap candidate index finds ~nothing here; exact prefix
+    filtering must match a brute-force Python oracle pair-for-pair."""
+    from catlas_spark.operators.dedup import containment_pairs
+
+    vocab = ["a", "b", "c", "d"]
+    docs = []
+    for i in range(250):
+        # deterministic LCG walk over a 4-token vocabulary
+        x, toks = (i * 7 + 3) % 64, []
+        for _ in range(12):
+            x = (x * 21 + 13) % 64
+            toks.append(vocab[x % 4])
+        docs.append((i, " ".join(toks)))
+
+    # python oracle: token-bigram sets, containment(a in b) rounded to
+    # 4 decimals, threshold 0.8
+    import math
+
+    sets = {
+        d: {" ".join(t[j : j + 2]) for j in range(len(t) - 1)}
+        for d, txt in docs
+        for t in [txt.split()]
+    }
+    from collections import Counter
+
+    df_counts = Counter(s for ss in sets.values() for s in ss)
+    assert min(df_counts.values()) > 100, "fixture must be in the high-df regime"
+    expected = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = math.floor(len(sa & sb) / len(sa) * 10_000 + 0.5) / 10_000.0
+            if c >= 0.8:
+                expected[(a, b)] = c
+    assert expected, "fixture must contain true containment pairs"
+
+    df = spark.createDataFrame(docs, "doc long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc", threshold=0.8).collect()
+    }
+    assert got == expected
+
+
 def test_banded_pairs_subset_of_exact(spark, sf_dir):
     """Banding may only REMOVE candidate pairs; every surviving pair
     must carry the identical exact-verified similarity."""
