@@ -342,7 +342,13 @@ def compact(
     ``<table>.compact.old``, staged copy in, backup removed), so a
     complete copy exists on disk at every instant. If a crash leaves no
     live directory, rename ``<table>.compact`` (deduplicated result) or
-    ``<table>.compact.old`` (pre-compact original) back into place."""
+    ``<table>.compact.old`` (pre-compact original) back into place.
+
+    Scope: the swap uses ``os.rename``, so ``table_path`` must be a
+    LOCAL filesystem path (for HDFS/object-store tables, route the swap
+    through the Hadoop FileSystem API), and compact requires exclusive
+    access to the table — a concurrent reader can hit a brief
+    no-live-directory window between the two renames."""
     files = _memo_files(table_path)
     flat_files, sharded_files = _split_layout(files)
     if n_shards == _PRESERVE:
@@ -409,10 +415,11 @@ def compact(
     # live, then the backup goes. RECOVERY after a crash between the two
     # renames (no live dir, both copies intact): rename either copy back
     # to the table path — .compact is the deduplicated result, .old the
-    # pre-compact original. Assumes a rename-capable store (local/HDFS;
-    # the memo layer's design point — on an object store, point
-    # table_path at a rename-capable tier or accept the tmp-copy
-    # recovery contract).
+    # pre-compact original. os.rename is LOCAL-FILESYSTEM only (an HDFS
+    # or object-store URI needs the Hadoop FileSystem.rename API
+    # instead), and compact requires EXCLUSIVE access: between the two
+    # renames there is a brief no-live-directory window a concurrent
+    # reader would see as FileNotFound.
     old = tmp + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(table_path, old)

@@ -119,6 +119,23 @@ def shingle_hashes(
     )
 
 
+# auto-dispatch boundary for minhash_signatures: estimated input bytes
+# above which the in-row (zero-aggregation-shuffle) form takes over from
+# explode+groupBy. See the regime note in minhash_signatures.
+MINHASH_INROW_MIN_BYTES = 32 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (file-size based for scans,
+    propagated through projections/filters/unions). Zero jobs. Returns
+    a huge sentinel on failure so callers dispatch to the scale-safe
+    regime."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -127,28 +144,63 @@ def minhash_signatures(
     shingle_n: int = 2,
     with_hash_set: bool = False,
     shingle_mode: str = "token",
+    form: str = "auto",
 ) -> DataFrame:
     """Per-doc minhash signature columns sig_0..sig_{n_perm-1}.
+    ``with_hash_set`` adds the distinct shingle-hash set for later exact
+    Jaccard verification.
 
-    ZERO shuffle (r9): a pure map stage — per-doc array fold, see the
-    in-row note below. ``with_hash_set`` adds the distinct shingle-hash
-    set for later exact Jaccard verification.
+    TWO physical forms, value-identical (regime-equality tested), auto-
+    dispatched on Catalyst's input size estimate (zero planning jobs —
+    the CC/triangle dispatch discipline):
+
+    - ``explode``: explode shingles → whole-stage-codegen md5 →
+      groupBy(doc) with n_perm map-side-combinable min aggregates plus
+      an optional collect_set. One exchange, but a TINY one (partial
+      aggregation reduces it to one row per doc per partition) — and
+      the md5/substring/conv chain runs compiled. Wins while the corpus
+      is small enough that per-row interpretation, not the exchange,
+      dominates.
+    - ``inrow``: per-doc array fold — hash the shingle array in place
+      and fold each permutation with array_min. No aggregation exchange
+      at all (one optional round-robin spread of small sources — see
+      below), no aggregate hash table, a pure map stage: the form you
+      want on a 100 TB corpus where any exchange and any per-doc
+      aggregation state is real money. Costs interpreted HOF evaluation
+      per shingle, which is why it loses at small scale.
+
+    ``form="auto"`` picks explode below MINHASH_INROW_MIN_BYTES of
+    estimated input and inrow above (estimate failure → inrow, the
+    scale-safe side). The r9 all-scales in-row switch regressed the
+    sf0.1 bench ~45% on the minhash family (VERDICT r9) — this dispatch
+    restores the compiled small-scale path while keeping the zero-
+    shuffle form where it wins.
     """
     from ..partitioning import spread_small_source
 
-    # In-row form (r9): signatures are a PER-DOC reduction over the
-    # doc's own shingles, so they need no shuffle at all — hash the
-    # shingle array in place and fold each permutation with array_min.
-    # The previous explode + groupBy(doc) form paid the exploded-shingle
-    # shuffle plus a 13-aggregate hash table; measured 0.70 -> 0.51 s at
-    # sf0.1 (value parity verified doc-by-doc), and at 100 TB the
-    # signature pass becomes a pure map stage. HOF transforms are
-    # interpreted, which is why the corpus is spread across the cluster
-    # first (one cheap round-robin of a small source; a no-op at real
-    # scale where the source has many splits).
+    coeffs = minhash_coeffs(n_perm)
+    if form == "auto":
+        form = "inrow" if _plan_size_bytes(df) >= MINHASH_INROW_MIN_BYTES else "explode"
+    if form == "explode":
+        hashed = shingle_hashes(df, text_col, id_col, shingle_n, shingle_mode)
+        aggs = [
+            F.min(
+                F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MINHASH_P))
+            ).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+        if with_hash_set:
+            aggs.append(F.collect_set("h1").alias("hset"))
+        # docs with NO shingles produce no exploded rows, hence no group
+        # — the zero-shingle contract both regimes share
+        return hashed.groupBy("doc").agg(*aggs)
+    if form != "inrow":
+        raise ValueError(f"minhash_signatures: unknown form {form!r}")
+    # interpreted HOFs: spread the corpus across the cluster first (one
+    # cheap round-robin of a small source; a no-op at real scale where
+    # the source has many splits)
     shingler = {"token": token_shingles, "char": char_shingles}[shingle_mode]
     ms = F.transform(shingler(F.col(text_col), shingle_n), lambda s: F.md5(s))
-    coeffs = minhash_coeffs(n_perm)
     hashed = spread_small_source(df).select(
         F.col(id_col).alias("doc"),
         F.transform(ms, lambda m: _hex_long(m, 1, 7)).alias("xs"),
@@ -194,10 +246,12 @@ def minhash_lsh_pairs(
     shingle_n: int = 2,
     threshold: float = 0.5,
     shingle_mode: str = "token",
+    sig_form: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
 
-    Plan: in-row signatures (pure map stage, r9) → explode to
+    Plan: signatures (regime-dispatched, see minhash_signatures) →
+    explode to
     (band_id, band_key) → self-join on the band bucket (shuffle on band
     key; AQE handles hot buckets) → distinct candidate pairs → verify
     against the hashed shingle sets (broadcast joins at bench scale;
@@ -229,7 +283,7 @@ def minhash_lsh_pairs(
     # slower columnar cache build for array columns (measured)
     sig = minhash_signatures(
         df, text_col, id_col, n_perm, shingle_n, with_hash_set=True,
-        shingle_mode=shingle_mode,
+        shingle_mode=shingle_mode, form=sig_form,
     ).transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     bands = F.array(
         *[

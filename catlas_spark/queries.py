@@ -2085,7 +2085,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))), 4)
                AS sim
       FROM pairs
-    ) WHERE sim >= 0.35
+    ) WHERE sim >= 0.35 AND NOT isnan(sim)
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2125,7 +2125,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
-      ) WHERE sim >= 0.35
+      ) WHERE sim >= 0.35 AND NOT isnan(sim)
     ),
     edges AS (
       SELECT id_a AS s, id_b AS d FROM pairs

@@ -80,8 +80,14 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in STAR_TABLES:
@@ -96,33 +102,58 @@ def main() -> int:
         print(f"FAIL  unknown query names: {sorted(unknown)}")
         return 2
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
-            print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            err = f"spark error {type(e).__name__}: {str(e)[:200]}"
+            print(f"FAIL  {name}: {err}")
+            results[name] = {"status": "fail", "rows": None, "err": err}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK  {name}: no oracle (rows={len(sdf)})")
+            results[name] = {"status": "weak", "rows": len(sdf), "err": None}
             n_weak += 1
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
+            err = f"duckdb error {type(e).__name__}: {str(e)[:200]}"
+            print(f"FAIL  {name}: {err}")
+            results[name] = {"status": "fail", "rows": len(sdf), "err": err}
             n_fail += 1
             continue
         err = compare(sdf, ddf)
         if err:
             print(f"FAIL  {name}: {err}")
+            results[name] = {"status": "fail", "rows": len(sdf), "err": err}
             n_fail += 1
         else:
             print(f"PASS  {name} (rows={len(sdf)})")
+            results[name] = {"status": "pass", "rows": len(sdf), "err": None}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_weak": n_weak,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
     return 1 if n_fail else 0
 
 

@@ -21,7 +21,20 @@ Methodology notes (why the numbers are comparable):
   into ~20-40 s regardless of plan quality; the per-query table is the
   honest per-plan comparison.
 
+INTERLEAVED MODE (``--interleaved``, the authoritative protocol): this
+script runs BOTH engines itself, alternating Spark,DuckDB per query
+WITHIN each warm pass (S,D,S,D,...). Both engines therefore sample the
+same box state at ~second granularity, so a host degradation window
+inflates both sides of every ratio equally instead of landing on
+whichever engine happened to run second — the failure mode that
+produced the rejected 1.3x degraded-denominator pairs (NOTES r9).
+scripts/drift.py then validates pairs instead of rescuing them. The
+Spark timing convention is bench.py's exactly (noop sink, cold warmup
+pass, clearCache before each warm pass, per-query medians), and the
+artifacts written are the same BENCH_DETAIL/DUCK_DETAIL pair.
+
 Usage: python scripts/compare_duckdb.py [sf_dir] [--passes N]
+           [--interleaved] [--commit-detail]
 """
 
 from __future__ import annotations
@@ -42,6 +55,86 @@ from catlas_spark import queries as Q
 from catlas_spark.sources.star import STAR_TABLES as TABLES  # one source of truth
 
 
+def _duck_connect(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def run_interleaved(
+    sf_dir: str, n_passes: int, authoritative: bool, repo: str
+) -> tuple[dict, dict, str]:
+    """Run both engines in-session, alternating S,D per query within
+    each pass. Returns (spark_medians, duck_medians, spark_src)."""
+    from catlas_spark.session import get_spark
+
+    spark = get_spark("compare_interleaved")
+    con = _duck_connect(sf_dir)
+    qs = dict(sorted(Q.queries().items()))
+    oracles = Q.oracle_sql()
+    names = [n for n in qs if n in oracles]
+    skipped = sorted(set(qs) - set(names))
+    if skipped:
+        print(f"no oracle, skipped: {skipped}", file=sys.stderr)
+    # JVM + parquet-footer warmup, then a COLD pass per engine (absorbs
+    # JIT/codegen compile on the Spark side, catalog warmup on DuckDB's)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    alive = []
+    for n in names:
+        try:
+            qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            con.execute(oracles[n]).fetchall()
+            alive.append(n)
+        except Exception as e:
+            print(f"cold-pass error {n}: {type(e).__name__}: {e}", file=sys.stderr)
+    s_runs: dict[str, list[float]] = {n: [] for n in alive}
+    d_runs: dict[str, list[float]] = {n: [] for n in alive}
+    for _ in range(n_passes):
+        spark.catalog.clearCache()  # bench.py convention: no cache hits
+        for n in alive:
+            t0 = time.perf_counter()
+            try:
+                qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                s_runs[n].append(time.perf_counter() - t0)
+            except Exception as e:
+                print(f"spark error {n}: {type(e).__name__}: {e}", file=sys.stderr)
+            t1 = time.perf_counter()
+            try:
+                con.execute(oracles[n]).fetchall()
+                d_runs[n].append(time.perf_counter() - t1)
+            except Exception as e:
+                print(f"duckdb error {n}: {type(e).__name__}: {e}", file=sys.stderr)
+    spark_med = {
+        n: round(statistics.median(v), 3) for n, v in s_runs.items() if v
+    }
+    duck_med = {n: round(statistics.median(v), 3) for n, v in d_runs.items() if v}
+    # persist the pair in bench.py's detail schema so drift.py and the
+    # ratio tooling read interleaved pairs like any other
+    total = round(sum(spark_med.values()), 3)
+    failed = sorted(set(alive) - set(spark_med)) + [
+        n for n in names if n not in alive
+    ]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    detail = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": spark_med,
+        "interleaved": True,
+        "n_failed": len(failed),
+        "failed": sorted(failed),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    bench_name = "BENCH_DETAIL.json" if authoritative else "BENCH_DETAIL.latest.json"
+    with open(os.path.join(repo, bench_name), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    return spark_med, duck_med, bench_name + " (interleaved)"
+
+
 def main() -> None:
     argv = sys.argv[1:]
     n_passes = 3
@@ -53,9 +146,17 @@ def main() -> None:
         if n_passes < 1:
             raise SystemExit("--passes must be >= 1")
         del argv[i : i + 2]  # the VALUE must not leak into positionals
-    bad = [a for a in argv if a.startswith("--") and a != "--commit-detail"]
+    interleaved = "--interleaved" in argv
+    bad = [
+        a
+        for a in argv
+        if a.startswith("--") and a not in ("--commit-detail", "--interleaved")
+    ]
     if bad:
-        raise SystemExit(f"unknown flags: {bad} (supported: --passes N, --commit-detail)")
+        raise SystemExit(
+            f"unknown flags: {bad} "
+            "(supported: --passes N, --commit-detail, --interleaved)"
+        )
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -68,6 +169,19 @@ def main() -> None:
     authoritative = "--commit-detail" in sys.argv or os.environ.get(
         "SPARK_GRAFT_BENCH_COMMIT", ""
     ).lower() not in ("", "0", "false", "no")
+
+    repo_top = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if interleaved:
+        # both sides produced in-session (S,D alternation per query) —
+        # the pair is one box state by construction, so --commit-detail
+        # needs no cross-artifact consistency check here
+        spark, duck, spark_src = run_interleaved(
+            sf_dir, n_passes, authoritative, repo_top
+        )
+        _write_duck_and_summary(
+            sf_dir, spark, duck, spark_src, authoritative, repo_top, True
+        )
+        return
 
     # spark side: prefer the NEWER of the committed authoritative detail
     # (BENCH_DETAIL.json, written only under bench.py --commit-detail)
@@ -124,12 +238,7 @@ def main() -> None:
         )
 
 
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count()}")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = _duck_connect(sf_dir)
 
     oracles = Q.oracle_sql()
     runs: dict[str, list[float]] = {n: [] for n in oracles}
@@ -151,7 +260,20 @@ def main() -> None:
                 continue
             runs[n].append(time.perf_counter() - t0)
     duck = {n: round(statistics.median(v), 3) for n, v in runs.items() if v}
+    _write_duck_and_summary(
+        sf_dir, spark, duck, spark_src, authoritative, repo, False
+    )
 
+
+def _write_duck_and_summary(
+    sf_dir: str,
+    spark: dict[str, float],
+    duck: dict[str, float],
+    spark_src: str,
+    authoritative: bool,
+    repo: str,
+    interleaved: bool,
+) -> None:
     duck_total = round(sum(duck.values()), 3)
     # persist per-query medians so ratio analysis across rounds reads
     # one artifact pair — same overwrite protection as bench.py: the
@@ -161,7 +283,11 @@ def main() -> None:
     # committed BENCH_DETAIL.json from this session
     duck_name = "DUCK_DETAIL.json" if authoritative else "DUCK_DETAIL.latest.json"
     with open(os.path.join(repo, duck_name), "w") as f:
-        json.dump({"sf_dir": sf_dir, "queries": duck}, f, sort_keys=True)
+        json.dump(
+            {"sf_dir": sf_dir, "queries": duck, "interleaved": interleaved},
+            f,
+            sort_keys=True,
+        )
     spark_common = {n: s for n, s in spark.items() if n in duck and s >= 0}
     spark_total = round(sum(spark_common.values()), 3)
     # the ratio must divide totals over the SAME query set: a query
@@ -184,6 +310,7 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": sf_dir,
+                "interleaved": interleaved,
                 "n_queries": len(duck),
                 "duckdb_total_sec": duck_total,
                 "duckdb_common_total_sec": duck_common,

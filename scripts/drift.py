@@ -45,14 +45,25 @@ def main() -> int:
         return 1
     ratios = {k: new[k] / old[k] for k in common}
     med = statistics.median(ratios.values())
-    tot_old = sum(old[k] for k in old)
-    tot_new = sum(new[k] for k in new)
+    # totals over the COMMON key set only (shared keys regardless of the
+    # MIN_BASE_SEC ratio filter): summing each side's full set compares
+    # different workloads the moment a bench is added or removed, and the
+    # drift correction then "corrects" a total the multiplier never
+    # sampled. Full-set totals reported alongside for context.
+    shared = [k for k in new if k in old]
+    tot_old = sum(old[k] for k in shared)
+    tot_new = sum(new[k] for k in shared)
     out = {
         "n_common": len(common),
+        "n_shared": len(shared),
         "median_multiplier": round(med, 3),
         "total_old_sec": round(tot_old, 2),
         "total_new_sec": round(tot_new, 2),
         "total_new_drift_corrected_sec": round(tot_new / med, 2),
+        "full_set_totals": {
+            "old": round(sum(old.values()), 2),
+            "new": round(sum(new.values()), 2),
+        },
         "wins": [
             {"query": k, "x": round(ratios[k], 2), "old": old[k], "new": new[k]}
             for k in sorted(common, key=lambda k: ratios[k])[:top]

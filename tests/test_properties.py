@@ -71,6 +71,55 @@ def test_minhash_zero_shingle_docs_emit_no_row(spark):
     assert all(r["sig_0"] is not None for r in rows)
 
 
+def test_minhash_signature_regime_equality(spark):
+    """The two physical signature forms (explode+groupBy vs in-row HOF
+    fold) must be value-identical on every column, including the hset
+    compared as a SET, and share the zero-shingle no-row contract and
+    the char-shingle mode. Also pins the dispatcher: both forced forms
+    route, and an unknown form raises rather than silently defaulting."""
+    import pytest
+
+    from catlas_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta alpha beta"),
+            (1, "zeta eps beta alpha zeta eps"),
+            (2, ""),  # zero-shingle: no row in EITHER regime
+            (3, "gamma gamma gamma gamma"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+
+    def norm(rows):
+        return {
+            r["doc"]: (
+                [r[f"sig_{i}"] for i in range(8)],
+                frozenset(r["hset"]),
+            )
+            for r in rows
+        }
+
+    for mode in ("token", "char"):
+        a = norm(
+            minhash_signatures(
+                df, "text", "doc_id", n_perm=8, with_hash_set=True,
+                shingle_mode=mode, form="explode",
+            ).collect()
+        )
+        b = norm(
+            minhash_signatures(
+                df, "text", "doc_id", n_perm=8, with_hash_set=True,
+                shingle_mode=mode, form="inrow",
+            ).collect()
+        )
+        assert a == b, f"regimes diverge in {mode} mode"
+        assert set(a) == {0, 1, 3}
+    with pytest.raises(ValueError, match="unknown form"):
+        minhash_signatures(df, "text", "doc_id", form="banana").collect()
+
+
 @settings(max_examples=100, deadline=None)
 @given(words, words)
 def test_minhash_agreement_tracks_jaccard(a, b):
