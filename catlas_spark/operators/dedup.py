@@ -121,8 +121,14 @@ def shingle_hashes(
 
 # auto-dispatch boundary for minhash_signatures: estimated input bytes
 # above which the in-row (zero-aggregation-shuffle) form takes over from
-# explode+groupBy. See the regime note in minhash_signatures.
-MINHASH_INROW_MIN_BYTES = 32 << 20
+# explode+groupBy. Calibrated by same-session interleaved A/B (r10):
+# at the sf0.1 corpus (~0.5 MB estimate) explode wins 1.60/1.70 s vs
+# in-row 2.08/2.10 s on dedup_minhash_char/_lsh; at the 10x stress
+# corpus (~5 MB estimate) in-row wins (median 17.7 vs 25.6 s, noisy
+# box, direction consistent with the r9 calm-box 1.9 vs 17.9 s rows).
+# 2 MB sits between the two measured regimes. See the regime note in
+# minhash_signatures.
+MINHASH_INROW_MIN_BYTES = 2 << 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int:

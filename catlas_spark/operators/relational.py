@@ -430,21 +430,41 @@ def set_containment_join_bitmap(
     strategies; ``right_id`` is reconstructed as a long.
     """
     n_words = (capacity + 63) // 64
+    # bitmap words built with bit_or AGGREGATES, not collect_set + a
+    # higher-order fold: per posting row the (word index, bit) pair is
+    # whole-stage codegen, and the n_words bit_or aggregates are
+    # map-side combinable — the old HOF aggregate ran interpreted over
+    # every element list (r10 same-session A/B: query 1.77 -> 1.35 s
+    # median at sf0.1, identical output). bit_or also dedups repeated
+    # postings for free.
+    rp = right_post.filter(
+        # NULL right ids carry no membership; the old collect_set form
+        # dropped them silently — keep that contract (IF(NULL,..) would
+        # otherwise take the raise_error branch)
+        F.col(right_id).isNotNull()
+    ).select(
+        el,
+        F.expr(
+            f"IF({right_id} >= 0 AND {right_id} < {capacity}, "
+            f"CAST({right_id} AS BIGINT), "
+            "raise_error('set_containment_join_bitmap: right id out of [0, capacity)'))"
+        ).alias("__s"),
+    ).select(
+        el,
+        (F.col("__s") / 64).cast("int").alias("__wi"),
+        F.expr("shiftleft(1L, CAST(__s % 64 AS INT))").alias("__bit"),
+    )
     words = (
-        right_post.groupBy(el)
-        .agg(F.collect_set(right_id).alias("__ids"))
-        .select(
-            el,
-            F.expr(
-                f"""transform(sequence(0, {n_words - 1}), w ->
-                      aggregate(
-                        filter(transform(__ids, s ->
-                                 IF(s >= 0 AND s < {capacity}, s,
-                                    raise_error('set_containment_join_bitmap: right id out of [0, capacity)'))),
-                               s -> CAST(s / 64 AS INT) = w),
-                        0L, (acc, s) -> acc | shiftleft(1L, CAST(s % 64 AS INT))))"""
-            ).alias("__wd"),
+        rp.groupBy(el)
+        .agg(
+            *[
+                F.coalesce(
+                    F.bit_or(F.when(F.col("__wi") == i, F.col("__bit"))), F.lit(0)
+                ).alias(f"__rw{i}")
+                for i in range(n_words)
+            ]
         )
+        .select(el, F.array(*[F.col(f"__rw{i}") for i in range(n_words)]).alias("__wd"))
     )
     lp = left_post.select(left_id, el).repartition(left_id).distinct()
     attached = lp.join(F.broadcast(words), el, "left").select(

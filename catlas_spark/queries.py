@@ -5840,15 +5840,15 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction of its tokens inside such spans. Distinct from
     `boilerplate_ngram_filter` (per-shingle corpus frequency) — this
     measures contiguous COVERAGE, the signal used to cut repeated
-    passages rather than whole docs. Plan: one positional explode
-    (lookahead regex keeps it codegen), one distinct + groupBy for gram
-    doc-frequency, one hash join back, then per-doc windows — every
-    shuffle is token- or doc-keyed, nothing pairwise, linear at 100 TB.
-
-    (Tried and rejected: persisting the positional explode for its two
-    consumers — the cache build of the token-position table costs more
-    than the second regex pass it saves, 1.5 -> 1.9 s measured; the
-    recompute stays.)"""
+    passages rather than whole docs. Plan: ONE positional explode
+    (lookahead regex keeps it codegen), a single gram-keyed window for
+    the appears-in-another-doc test (min(doc)≠max(doc) over the gram
+    partition ⟺ ≥2 distinct docs — replacing the r9 distinct + groupBy
+    + join-back, which paid three gram-keyed exchanges and a second
+    regex pass; r10 same-session A/B 1.76 → 1.06 s, identical rows),
+    then per-doc windows — every shuffle is token- or doc-keyed,
+    nothing pairwise, linear at 100 TB. Hot grams concentrate one
+    posting list per partition with no pairwise blowup."""
     d = _t(spark, sf_dir, "documents")
     norm = _norm_text()
     pat = r"(?=(\S+" + r" \S+" * 4 + r"))\S+"
@@ -5856,15 +5856,13 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("s", "gram"),
     )
-    dfreq = (
-        pos.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
+    wg = Window.partitionBy("gram")
+    spans = (
+        pos.withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "s", (F.col("s") + 4).alias("e"))
     )
-    spans = pos.join(dfreq, "gram").select("doc_id", "s", (F.col("s") + 4).alias("e"))
     wprev = Window.partitionBy("doc_id").orderBy("s")
     isl = (
         spans.withColumn(
@@ -6107,23 +6105,16 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     norm = _norm_text()
-    toks = F.split(norm, " ")
-    # generate ONLY the full 10-token chunks (i < floor(ntok/10)): the
-    # oracle generates every chunk then filters the stragglers back out
-    # with a per-chunk re-split — identical chunk set, but the re-split
-    # re-tokenized every chunk string (the pipeline's hottest expression)
-    # and the partial tail chunks were built only to be dropped. The
-    # `when` guard keeps sequence() from producing a DESCENDING [0,-1]
-    # range on docs shorter than 10 tokens (empty array instead).
-    n_full = F.floor(F.size(toks) / F.lit(10)).cast("int")
-    chunks = F.when(
-        n_full >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_full - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ch = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    # full 10-token chunks via ONE codegen regex over the normalized
+    # (single-space-joined) text: consecutive non-overlapping matches of
+    # exactly 10 tokens — the partial tail never matches, and docs under
+    # 10 tokens yield no chunks. Replaces the r9 sequence+transform+
+    # slice+concat_ws HOF pipeline, which evaluated INTERPRETED per
+    # chunk (r10 same-session A/B: 1.66 → 0.95 s, identical rows).
+    pat = r"\S+" + r" \S+" * 9
+    ch = d.select(
+        "doc_id", F.explode(F.regexp_extract_all(norm, F.lit(pat), 0)).alias("chunk")
+    )
     # STAR edges, not cliques: (min doc of the chunk group) -> (each
     # other member) has the identical transitive closure as all g^2/2
     # pairs but only g-1 edges per chunk and ONE shuffle (the group

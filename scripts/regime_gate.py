@@ -121,6 +121,21 @@ REGIMES: dict[str, dict[str, tuple[str, str, dict]]] = {
             {"bitmap_capacity_cap": 0},
         ),
     },
+    "dedup_minhash_lsh": {
+        # signature-form dispatch (r10): explode+groupBy below
+        # MINHASH_INROW_MIN_BYTES of estimated input, in-row HOF fold
+        # above — both must hash-match the oracle at sf0.1
+        "sig-explode": (
+            "catlas_spark.operators.dedup",
+            "minhash_signatures",
+            {"form": "explode"},
+        ),
+        "sig-inrow": (
+            "catlas_spark.operators.dedup",
+            "minhash_signatures",
+            {"form": "inrow"},
+        ),
+    },
     "kmeans_ivf_train": {
         "jvm-assign": (
             "catlas_spark.operators.similarity",
@@ -162,6 +177,10 @@ REGIMES: dict[str, dict[str, tuple[str, str, dict]]] = {
 # createDataFrame result and the checkpointed distributed loop collapse
 # to a LogicalRDD in the returned plan).
 PLAN_MARKS: dict[tuple[str, str], tuple[str, bool]] = {
+    # the in-row signature fold is the only array_min in this plan; the
+    # explode form aggregates with min()+collect_set instead
+    ("dedup_minhash_lsh", "sig-explode"): ("array_min", False),
+    ("dedup_minhash_lsh", "sig-inrow"): ("array_min", True),
     ("set_containment_join", "bitmap"): ("bitmap", True),
     ("set_containment_join", "postings"): ("bitmap", False),
     ("kmeans_ivf_train", "jvm-assign"): ("MapInPandas", False),

@@ -479,6 +479,11 @@ def test_set_containment_bitmap_matches_array_api(spark):
     l_post = l_post.union(l_post)
     r_post = right.select("rid", F.explode("els").alias("_el"))
     r_post = r_post.union(r_post)
+    # a NULL right id carries no membership and must be DROPPED, not
+    # raise the out-of-range error (the collect_set-era contract)
+    r_post = r_post.union(
+        spark.createDataFrame([(None, "a")], "rid long, _el string")
+    )
     via_bitmap = {
         (r.lid, r.rid, r.n_left)
         for r in set_containment_join_bitmap(
