@@ -6092,7 +6092,8 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the SAME split, or held-out evaluation scores memorization. Docs
     sharing any full 10-token chunk are linked (linkage restricted to
     chunks seen in 2-10 docs: rarer is no evidence, more common is
-    boilerplate — the same df-cap discipline as `dedup_containment`),
+    boilerplate — unlike `dedup_containment`'s exact prefix filter, a
+    df window here is a SEMANTIC choice: linkage evidence, not recall),
     link chains are closed with distributed connected components
     (sharing is not transitive), and the 80/20 hash split keys on the
     CLUSTER id, so a component can never straddle splits — the
