@@ -102,6 +102,19 @@ def run_interleaved(
                 s_runs[n].append(time.perf_counter() - t0)
             except Exception as e:
                 print(f"spark error {n}: {type(e).__name__}: {e}", file=sys.stderr)
+            # Quiesce the JVM before the DuckDB timing (UNTIMED, between
+            # the two measurements): after a cache-heavy Spark query the
+            # JVM's concurrent GC scans/frees the just-unpersisted
+            # blocks WHILE DuckDB runs, and the memory-bandwidth
+            # contention inflates DuckDB's bandwidth-bound plans 4-10x
+            # (measured r10: the containment oracle 6.5 s solo, 24-68 s
+            # mid-session, back to 6.7 s with this one System.gc()).
+            # Without it the interleaved protocol systematically
+            # penalizes the DuckDB side of every heavy row.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             t1 = time.perf_counter()
             try:
                 con.execute(oracles[n]).fetchall()
