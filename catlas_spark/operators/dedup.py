@@ -132,14 +132,9 @@ MINHASH_INROW_MIN_BYTES = 2 << 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's size estimate for a plan (file-size based for scans,
-    propagated through projections/filters/unions). Zero jobs. Returns
-    a huge sentinel on failure so callers dispatch to the scale-safe
-    regime."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return 1 << 62
+    from ..partitioning import plan_size_bytes
+
+    return plan_size_bytes(df)
 
 
 def minhash_signatures(

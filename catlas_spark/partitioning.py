@@ -149,6 +149,17 @@ def ranked_by_range(
 PREAGG_DISTINCT_FRACTION = 0.5
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (file-size based for scans,
+    propagated through projections/filters/unions). Zero jobs. Returns
+    a huge sentinel on failure so callers dispatch to the scale-safe
+    regime."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 def decide_quantile_preagg(df: DataFrame, value_col: str) -> bool:
     """Standalone form of :func:`grouped_exact_quantiles`'s fused regime
     probe, for callers that want the dispatch decision ahead of time and
@@ -172,6 +183,7 @@ def grouped_exact_quantiles(
     pre_aggregate: bool | None = None,
     extremes: bool = False,
     value_bounds: tuple[float, float] | None = None,
+    direct_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """EXACT interpolated quantiles (quantile_cont semantics: value at
     position p*(n-1) with linear interpolation) per group, WITHOUT
@@ -240,6 +252,39 @@ def grouped_exact_quantiles(
     from collections import defaultdict
 
     spark = df.sparkSession
+    # small-input regime (r10, the minhash/CC dispatch discipline):
+    # below ``direct_max_bytes`` of Catalyst-estimated input, Spark's
+    # built-in exact ``percentile`` is value-identical (same linear
+    # interpolation at p*(n-1)) and its single-buffer-per-group merge is
+    # SAFE — the whole table fits one executor's memory, so the memory
+    # cliff the ranks plan exists for cannot occur, and the one-probe +
+    # stats + final job chain is pure overhead (measured 1.7 -> ~0.6 s
+    # on exact_quantiles at sf0.1). 0 disables (the regime-gate forcing
+    # kwarg); estimate failure returns a huge sentinel, landing in the
+    # scale-safe ranks plan.
+    if direct_max_bytes and plan_size_bytes(df) < direct_max_bytes:
+        aggs = [
+            F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("__qs")
+        ]
+        if extremes:
+            aggs += [
+                F.min(value_col).alias("group_min"),
+                F.max(value_col).alias("group_max"),
+            ]
+        direct = df.groupBy(group_col).agg(*aggs)
+        zipped = F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(p)) for p in probs]).alias("prob"),
+                F.col("__qs").alias("quantile"),
+            )
+        )
+        extra = ["group_min", "group_max"] if extremes else []
+        return direct.select(group_col, zipped.alias("__z"), *extra).select(
+            group_col,
+            F.col("__z.prob").alias("prob"),
+            F.col("__z.quantile").alias("quantile"),
+            *extra,
+        )
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
 
     # single probe pass: bucket boundaries + distinct ratio + row count.

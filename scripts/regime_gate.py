@@ -121,6 +121,20 @@ REGIMES: dict[str, dict[str, tuple[str, str, dict]]] = {
             {"bitmap_capacity_cap": 0},
         ),
     },
+    "exact_quantiles": {
+        # small-input direct (Spark exact percentile) vs the scale-safe
+        # ranks plan (r10 dispatch on Catalyst's input estimate)
+        "quantile-direct": (
+            "catlas_spark.partitioning",
+            "grouped_exact_quantiles",
+            {"direct_max_bytes": BIG},
+        ),
+        "quantile-ranks": (
+            "catlas_spark.partitioning",
+            "grouped_exact_quantiles",
+            {"direct_max_bytes": 0},
+        ),
+    },
     "dedup_minhash_lsh": {
         # signature-form dispatch (r10): explode+groupBy below
         # MINHASH_INROW_MIN_BYTES of estimated input, in-row HOF fold
@@ -181,6 +195,10 @@ PLAN_MARKS: dict[tuple[str, str], tuple[str, bool]] = {
     # explode form aggregates with min()+collect_set instead
     ("dedup_minhash_lsh", "sig-explode"): ("array_min", False),
     ("dedup_minhash_lsh", "sig-inrow"): ("array_min", True),
+    # only the direct regime evaluates Spark's percentile aggregate;
+    # the ranks plan (footer bounds) carries no percentile at all
+    ("exact_quantiles", "quantile-direct"): ("percentile", True),
+    ("exact_quantiles", "quantile-ranks"): ("percentile", False),
     ("set_containment_join", "bitmap"): ("bitmap", True),
     ("set_containment_join", "postings"): ("bitmap", False),
     ("kmeans_ivf_train", "jvm-assign"): ("MapInPandas", False),

@@ -195,8 +195,7 @@ def test_grouped_exact_quantiles_property(spark, rows, n_parts):
     for pre in (None, True, False):
         got = {
             (r["g"], r.prob): round(r.quantile, 6)
-            for r in grouped_exact_quantiles(
-                df, "g", "v", probs, num_partitions=n_parts, pre_aggregate=pre
+            for r in grouped_exact_quantiles(df, "g", "v", probs, direct_max_bytes=0, num_partitions=n_parts, pre_aggregate=pre
             ).collect()
         }
         assert got == truth, f"pre_aggregate={pre} n_parts={n_parts}"

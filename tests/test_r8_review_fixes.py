@@ -21,8 +21,7 @@ def test_grouped_quantiles_ignore_null_values(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     got = {
         (r.g, r.prob): r.quantile
-        for r in grouped_exact_quantiles(
-            df, "g", "v", [0.5], extremes=True
+        for r in grouped_exact_quantiles(df, "g", "v", [0.5], extremes=True, direct_max_bytes=0
         ).collect()
     }
     oracle = {

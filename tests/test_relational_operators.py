@@ -142,7 +142,7 @@ def test_grouped_exact_quantiles_matches_percentile(spark):
     probs = [0.0, 0.25, 0.5, 0.9, 1.0]
     got = {
         (r.g, r.prob): round(r.quantile, 6)
-        for r in grouped_exact_quantiles(df, "g", "v", probs).collect()
+        for r in grouped_exact_quantiles(df, "g", "v", probs, direct_max_bytes=0).collect()
     }
     truth = {}
     for r in df.groupBy("g").agg(
@@ -154,8 +154,7 @@ def test_grouped_exact_quantiles_matches_percentile(spark):
 
     # the raw-row path (pre_aggregate=False) and the free extremes must
     # agree with the pre-aggregated path and a plain min/max
-    raw = grouped_exact_quantiles(
-        df, "g", "v", probs, pre_aggregate=False, extremes=True
+    raw = grouped_exact_quantiles(df, "g", "v", probs, pre_aggregate=False, extremes=True, direct_max_bytes=0
     ).collect()
     assert {(r.g, r.prob): round(r.quantile, 6) for r in raw} == truth
     mm = {
@@ -163,6 +162,25 @@ def test_grouped_exact_quantiles_matches_percentile(spark):
         for r in df.groupBy("g").agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()
     }
     assert {r.g: (r.group_min, r.group_max) for r in raw} == mm
+
+    # the small-input DIRECT regime (r10) must be value-identical to the
+    # ranks plan, schema included, and actually dispatch: forcing the
+    # threshold huge routes through Spark's percentile (plan mark), 0
+    # routes through the ranks machinery (no percentile in the plan)
+    direct = grouped_exact_quantiles(
+        df, "g", "v", probs, extremes=True, direct_max_bytes=1 << 62
+    )
+    dplan = direct._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile" in dplan
+    dd = {(r.g, r.prob): round(r.quantile, 6) for r in direct.collect()}
+    assert dd == truth
+    assert {r.g: (r.group_min, r.group_max) for r in direct.collect()} == mm
+    assert direct.columns == ["g", "prob", "quantile", "group_min", "group_max"]
+    ranks = grouped_exact_quantiles(
+        df, "g", "v", probs, extremes=True, direct_max_bytes=0
+    )
+    assert ranks.columns == direct.columns
+    assert "percentile" not in ranks._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_salted_agg_matches_plain(spark):
@@ -685,10 +703,10 @@ def test_quantile_preagg_regime_probe(spark):
     # same data, forced past the dispatch
     for frame in (dup_heavy.withColumn("g", F.lit(1)), near_unique.withColumn("g", F.lit(1))):
         a = sorted(
-            map(str, grouped_exact_quantiles(frame, "g", "v", [0.1, 0.5, 0.9], pre_aggregate=True).collect())
+            map(str, grouped_exact_quantiles(frame, "g", "v", [0.1, 0.5, 0.9], pre_aggregate=True, direct_max_bytes=0).collect())
         )
         b = sorted(
-            map(str, grouped_exact_quantiles(frame, "g", "v", [0.1, 0.5, 0.9], pre_aggregate=False).collect())
+            map(str, grouped_exact_quantiles(frame, "g", "v", [0.1, 0.5, 0.9], pre_aggregate=False, direct_max_bytes=0).collect())
         )
         assert a == b and a
 
@@ -857,8 +875,7 @@ def test_grouped_exact_quantiles_edge_cases(spark):
     for n_parts in (1, 4):
         got = {
             (r.grp, r.prob): r.quantile
-            for r in grouped_exact_quantiles(
-                df, "grp", "val", [0.0, 0.5, 1.0], num_partitions=n_parts
+            for r in grouped_exact_quantiles(df, "grp", "val", [0.0, 0.5, 1.0], direct_max_bytes=0, num_partitions=n_parts
             ).collect()
         }
         assert got == {
@@ -894,8 +911,7 @@ def test_grouped_exact_quantiles_value_bounds(spark):
         for pre in (None, True, False):
             got = {
                 (r["g"], r.prob): round(r.quantile, 6)
-                for r in grouped_exact_quantiles(
-                    df, "g", "v", probs, num_partitions=4,
+                for r in grouped_exact_quantiles(df, "g", "v", probs, direct_max_bytes=0, num_partitions=4,
                     pre_aggregate=pre, value_bounds=vb,
                 ).collect()
             }
@@ -940,7 +956,7 @@ def test_grouped_exact_quantiles_releases_its_cache(spark):
     df = spark.range(0, 5000).select(
         (F.col("id") % 3).alias("g"), (F.col("id") % 7).cast("double").alias("v")
     )
-    out = grouped_exact_quantiles(df, "g", "v", [0.5], pre_aggregate=True)
+    out = grouped_exact_quantiles(df, "g", "v", [0.5], pre_aggregate=True, direct_max_bytes=0)
     out.collect()
     del out
     gc.collect()
