@@ -113,3 +113,90 @@ def test_schema_mismatch_counts_as_failed_in_history(tmp_path, monkeypatch):
     )
     hist = Q._correctness_history()
     assert hist["pricing_summary"] == (99, False)
+
+
+# --- plan cache (prepared-statement semantics) guard ---------------------
+
+
+def _fresh_plan_cache(monkeypatch):
+    import catlas_spark.queries as Q
+
+    monkeypatch.setattr(Q, "_PLAN_CACHE", {})
+    monkeypatch.setattr(Q, "_PLAN_LAZY", {})
+    return Q
+
+
+def test_plan_cache_lazy_query_cached_and_still_executes(spark, sf_dir, monkeypatch):
+    """A pure-plan-construction query is cached (second call returns the
+    SAME plan object) — and executing the cached plan still launches real
+    Spark jobs every time (metadata cached, compute never)."""
+    Q = _fresh_plan_cache(monkeypatch)
+    fn = Q.queries()["pricing_summary"]
+    fn(spark, sf_dir)  # may absorb one-time table metadata jobs
+    d1 = fn(spark, sf_dir)
+    assert Q._PLAN_LAZY["pricing_summary"] is True
+    d2 = fn(spark, sf_dir)
+    assert d2 is d1
+    j0 = Q._n_jobs(spark)
+    d2.write.format("noop").mode("overwrite").save()
+    assert Q._n_jobs(spark) > j0, "cached plan must still run the full compute"
+    j1 = Q._n_jobs(spark)
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    assert Q._n_jobs(spark) > j1
+
+
+def test_plan_cache_excludes_eager_compute(spark, sf_dir, monkeypatch):
+    """A query whose builder fn launches jobs (persist+count
+    materialization) must never be plan-cached — otherwise warm bench
+    passes would skip its real work."""
+    Q = _fresh_plan_cache(monkeypatch)
+    fn = Q.queries()["dedup_minhash_lsh"]
+    fn(spark, sf_dir)
+    fn(spark, sf_dir)  # verdict is permanent on the SECOND eager sighting
+    assert Q._PLAN_LAZY["dedup_minhash_lsh"] is False
+    assert not any(k[2] == "dedup_minhash_lsh" for k in Q._PLAN_CACHE)
+
+
+def test_plan_cache_excludes_conf_setting_query(spark, sf_dir, monkeypatch):
+    """A query that overrides plan-shaping confs (bloom_pruned_join) must
+    not be cached: its physical plan depends on confs that _session_tune
+    restores between queries, so a cached plan would execute under the
+    wrong settings."""
+    Q = _fresh_plan_cache(monkeypatch)
+    fn = Q.queries()["bloom_pruned_join"]
+    fn(spark, sf_dir)
+    fn(spark, sf_dir)
+    assert Q._PLAN_LAZY["bloom_pruned_join"] is False
+    assert not any(k[2] == "bloom_pruned_join" for k in Q._PLAN_CACHE)
+
+
+def test_plan_cache_env_kill_switch(spark, sf_dir, monkeypatch):
+    Q = _fresh_plan_cache(monkeypatch)
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
+    fn = Q.queries()["pricing_summary"]
+    d1 = fn(spark, sf_dir)
+    d2 = fn(spark, sf_dir)
+    assert d2 is not d1
+    assert Q._PLAN_CACHE == {}
+
+
+def test_plan_cache_excludes_lazy_persist(spark, sf_dir, monkeypatch):
+    """A builder that registers a persist WITHOUT materializing launches no
+    jobs, but its CacheManager entry is stripped by clearCache between
+    bench passes while the plan object lives on — so it must be excluded
+    from the plan cache (third guard)."""
+    Q = _fresh_plan_cache(monkeypatch)
+
+    def lazy_persister(spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet").persist()
+        # leave it registered: the caller would consume it twice
+        return df.select("r_regionkey")
+
+    wrapped = Q._wrap_plan_cached("__lazy_persister__", lazy_persister)
+    out = wrapped(spark, sf_dir)
+    out2 = wrapped(spark, sf_dir)
+    try:
+        assert Q._PLAN_LAZY["__lazy_persister__"] is False
+        assert not any(k[2] == "__lazy_persister__" for k in Q._PLAN_CACHE)
+    finally:
+        spark.catalog.clearCache()
