@@ -77,9 +77,25 @@ def main() -> None:
         warm_runs.append(pass_t)
 
     timings: dict[str, float] = {}
+    mads: dict[str, float] = {}
     for name in qs:
         vals = sorted(t[name] for t in warm_runs if t[name] >= 0)
         timings[name] = round(statistics.median(vals), 3) if vals else -1.0
+        mads[name] = (
+            round(statistics.median([abs(v - timings[name]) for v in vals]), 3)
+            if vals
+            else -1.0
+        )
+    # variance gate (r10 verdict: a noise-spiked row in a committed pair
+    # is machine-detectable, not a prose caveat): a query is UNSTABLE
+    # when its across-pass MAD exceeds max(0.15 s, 35% of its median) —
+    # single-row host-noise spikes show up here instead of silently
+    # entering the committed medians
+    unstable = sorted(
+        n
+        for n, med in timings.items()
+        if med >= 0 and mads[n] > max(0.15, 0.35 * med)
+    )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
     warm_totals = [
@@ -99,6 +115,9 @@ def main() -> None:
         # never read as an improvement of the lower-is-better metric
         "n_failed": len(failed),
         "failed": failed,
+        "query_mad": mads,
+        "n_unstable": len(unstable),
+        "unstable": unstable,
         "sf": sf_val,
     }
     print(json.dumps(full))
@@ -117,6 +136,18 @@ def main() -> None:
     authoritative = "--commit-detail" in sys.argv or os.environ.get(
         "SPARK_GRAFT_BENCH_COMMIT", ""
     ).lower() not in ("", "0", "false", "no")
+    if authoritative and unstable:
+        # refuse to bless a pair with noise-spiked rows (r10: a 4.35 s
+        # committed median vs 1.16 s calm for the same query) — the run
+        # still lands in latest.json for inspection, but the committed
+        # artifact only updates from a calm window
+        print(
+            f"--commit-detail refused: {len(unstable)} unstable rows "
+            f"(MAD > max(0.15s, 35% of median)): {unstable} — re-run in a "
+            "calm window",
+            file=sys.stderr,
+        )
+        authoritative = False
     detail_name = "BENCH_DETAIL.json" if authoritative else "BENCH_DETAIL.latest.json"
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
@@ -142,6 +173,8 @@ def main() -> None:
                 "n_failed": len(failed),
                 "failed": failed,
                 "slowest": slowest,
+                "n_unstable": len(unstable),
+                "unstable": unstable,
                 "queries_file": detail_name,
             }
         )

@@ -832,10 +832,20 @@ def containment_pairs(
         .distinct()
     )
     sa = sets.select(F.col("doc").alias("id_a"), F.col("hset").alias("set_a"), "n_sh")
-    sb = sets.select(F.col("doc").alias("id_b"), F.col("hset").alias("set_b"))
+    sb = sets.select(
+        F.col("doc").alias("id_b"),
+        F.col("hset").alias("set_b"),
+        F.col("n_sh").alias("n_sh_b"),
+    )
     out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        # length filter (pure pruning, recall-exact): |a∩b| ≤ n_b, so
+        # containment ≥ t needs n_b ≥ (t−ε)·n_a — disqualified pairs
+        # drop BEFORE the expensive long-array intersect. ε matches the
+        # verify stage's round-to-4-decimals tolerance (a raw value at
+        # t−5e-5 rounds up to qualify).
+        .filter(F.col("n_sh_b") >= (F.lit(threshold) - F.lit(1e-4)) * F.col("n_sh"))
         .withColumn(
             "containment",
             F.floor(
@@ -848,6 +858,101 @@ def containment_pairs(
         .select("id_a", "id_b", "containment")
     )
     return materialize_and_release(out, sets, hashed)
+
+
+def containment_pairs_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 2,
+    n_perm: int = 12,
+    band_size: int = 4,
+    sig_form: str = "auto",
+) -> DataFrame:
+    """Approximate directional containment — the banded-candidate escape
+    hatch for corpora where exact PPJoin prefix filtering degenerates.
+
+    :func:`containment_pairs` is recall-exact and is the default: its
+    candidate cost is Σ prefix·df, tiny on natural text (the prefix
+    takes the globally-rarest shingles). On ADVERSARIAL corpora — tiny
+    vocabulary, boilerplate-heavy, every shingle high-df — that sum
+    approaches all-pairs and no exact prefix scheme can beat it. This
+    variant reuses the regime-dispatched MinHash signature builder and
+    the LSH banding machinery for CANDIDATE generation (linear: each doc
+    emits n_perm/band_size bucket keys, candidates come from bucket
+    self-joins — never all-pairs), then runs the SAME exact verify as
+    the exact operator (full hashed shingle sets, array_intersect,
+    floor-round to 4), so reported containment VALUES are exact; only
+    RECALL is approximate.
+
+    Recall contract (stated, not hidden): a pair (a, b) is a candidate
+    only if some band of a's minhash signature equals b's. For
+    directional containment c = |a∩b|/|a|, the band-collision
+    probability is driven by the SYMMETRIC Jaccard
+    J = |a∩b|/|a∪b| ≥ c·n_a/(n_a+n_b): with the 3×4 default a
+    contained pair at J=0.7 is caught w.p. ~0.56, J=0.5 w.p. ~0.18 per
+    the standard 1−(1−J^r)^b curve — reliable for near-equal-size
+    containment (the adversarial-corpus regime this exists for, where
+    excerpt and source share most shingles), best-effort for extreme
+    size skew, where the exact operator remains the right tool because
+    a tiny excerpt's rare-shingle prefix is cheap there.
+    """
+    sig = minhash_signatures(
+        df, text_col, id_col, n_perm, shingle_n, with_hash_set=True, form=sig_form
+    ).transform(maybe_persist, StorageLevel.MEMORY_ONLY)
+    n_bands = n_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc", F.explode(bands).alias("band")).select(
+        "doc", "band.band_id", "band.band_key"
+    )
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            # DIRECTIONAL: both orientations of a colliding pair are
+            # candidates (a⊂b and b⊂a are distinct questions) — only
+            # the self-pair drops
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    hsets = sig.select("doc", "hset")
+    out = (
+        cand.join(hsets.alias("sa"), cand.id_a == F.col("sa.doc"))
+        .join(hsets.alias("sb"), cand.id_b == F.col("sb.doc"))
+        # same recall-exact length prune as the exact operator
+        .filter(
+            F.size(F.col("sb.hset"))
+            >= (F.lit(threshold) - F.lit(1e-4)) * F.size(F.col("sa.hset"))
+        )
+        .withColumn(
+            "containment",
+            F.floor(
+                F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
+                / F.size(F.col("sa.hset"))
+                * 10_000
+                + F.lit(0.5)
+            )
+            / 10_000.0,
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return materialize_and_release(out, sig)
 
 
 def _norm_tokens(text: Column) -> Column:
@@ -873,8 +978,11 @@ def chunk_dedup_stats(
     doc. No reference counterpart (LLM-pipeline extension).
 
     Each doc is cut into fixed ``chunk_tokens``-token chunks; a chunk
-    seen in ≥ ``min_docs`` DISTINCT docs is boilerplate. Output per doc:
-    (id, n_chunks, n_boilerplate, boiler_frac).
+    seen in ≥ ``min_docs`` DISTINCT docs is boilerplate. Output: one row
+    per doc WITH AT LEAST ONE TOKEN — (id, n_chunks, n_boilerplate,
+    boiler_frac). An empty/whitespace-only doc produces zero regex
+    matches and therefore NO output row (same zero-token no-row contract
+    as the minhash family; callers needing every doc id left-join back).
 
     Plan shape (r10): chunks come from ONE codegen regex over the
     normalized text (consecutive non-overlapping matches of up to

@@ -153,7 +153,15 @@ def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for a plan (file-size based for scans,
     propagated through projections/filters/unions). Zero jobs. Returns
     a huge sentinel on failure so callers dispatch to the scale-safe
-    regime."""
+    regime.
+
+    CAVEAT: LocalRelation / in-memory DataFrames (createDataFrame,
+    spark.range) report Long.MaxValue here (verified on this box), so
+    ``form='auto'`` dispatchers (minhash_signatures'
+    MINHASH_INROW_MIN_BYTES, the quantile direct-regime threshold)
+    always choose the scale-safe slower regime for non-file sources —
+    value-correct, but callers with small in-memory inputs should force
+    the form explicitly to keep the fast path."""
     try:
         return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:

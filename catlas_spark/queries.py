@@ -3960,6 +3960,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     index postings join — never all-pairs."""
     from .operators.dedup import containment_pairs
 
+    corpus = _containment_corpus(spark, sf_dir)
+    return containment_pairs(corpus, "text", "doc", threshold=0.8)
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the first half of each doc (ids offset by 100000) —
+    the adversarial corpus both containment queries share: every excerpt
+    is a true containment hit against its source."""
     d = _t(spark, sf_dir, "documents")
     excerpt = d.select(
         (F.col("doc_id") + 100000).alias("doc"),
@@ -3968,8 +3976,75 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(floor(size(split(" + _EXPR_STRIP + ", '" + _EXPR_WS + "+')) / 2) AS INT)), ' ')"
         ).alias("text"),
     )
-    corpus = d.select(F.col("doc_id").alias("doc"), "text").unionByName(excerpt)
-    return containment_pairs(corpus, "text", "doc", threshold=0.8)
+    return d.select(F.col("doc_id").alias("doc"), "text").unionByName(excerpt)
+
+
+_CONTAINMENT_CORPUS_SQL = f"""
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, array_to_string(t[1:len(t)//2], ' ')
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents)
+"""
+
+
+@register(
+    "dedup_containment_banded",
+    f"""
+    WITH corpus AS ({_CONTAINMENT_CORPUS_SQL}),
+    toks AS (SELECT doc, string_split({_NORM}, ' ') AS t FROM corpus),
+    sh AS (SELECT doc, {_SHINGLES} AS shingles FROM toks WHERE len(t) >= 2),
+    hx AS (
+      SELECT doc, {_HEXX} AS x, {_HEX1} AS h1
+      FROM (SELECT doc, md5(s) AS m FROM (SELECT doc, unnest(shingles) AS s FROM sh))
+    ),
+    sig AS (
+      SELECT doc,
+             {", ".join(
+                f"min(({a} * x + {b}) % {MINHASH_P}) AS sig_{i}"
+                for i, (a, b) in enumerate(minhash_coeffs(12))
+             )},
+             list(DISTINCT h1) AS hset
+      FROM hx GROUP BY doc
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          "SELECT doc, %d AS band_id, %s AS band_key FROM sig"
+          % (b, " || '|' || ".join(f"sig_{4*b+j}" for j in range(4)))
+          for b in range(3)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc <> b.doc
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             floor(len(list_intersect(sa.hset, sb.hset))::DOUBLE /
+                   len(sa.hset) * 10000 + 0.5) / 10000.0 AS containment
+      FROM cand c
+      JOIN sig sa ON sa.doc = c.id_a
+      JOIN sig sb ON sb.doc = c.id_b
+    )
+    SELECT id_a, id_b, containment FROM verified WHERE containment >= 0.8
+    """,
+)
+def q_dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate directional containment: MinHash-banded candidate
+    generation (linear, the 100 TB escape hatch for corpora where exact
+    prefix filtering degenerates) + the SAME exact verify as
+    `dedup_containment`. The oracle replays the banding, so the hash
+    match proves the implementation exact; the RECALL contract (which
+    true pairs can miss candidacy, as a function of symmetric Jaccard)
+    is documented on `operators.dedup.containment_pairs_banded`. Same
+    adversarial corpus as the exact query — the two results' difference
+    IS the documented recall trade."""
+    from .operators.dedup import containment_pairs_banded
+
+    corpus = _containment_corpus(spark, sf_dir).filter(F.size(_text_tokens()) >= 2)
+    return containment_pairs_banded(
+        corpus, "text", "doc", threshold=0.8, n_perm=12, band_size=4
+    )
 
 
 def _duck_band(j: int, bits: int = 4) -> str:

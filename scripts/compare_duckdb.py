@@ -93,6 +93,23 @@ def run_interleaved(
             print(f"cold-pass error {n}: {type(e).__name__}: {e}", file=sys.stderr)
     s_runs: dict[str, list[float]] = {n: [] for n in alive}
     d_runs: dict[str, list[float]] = {n: [] for n in alive}
+    def _jvm_gc() -> None:
+        # Quiesce the JVM between the two timings (UNTIMED): after a
+        # cache-heavy Spark query the JVM's concurrent GC scans/frees
+        # the just-unpersisted blocks WHILE DuckDB runs, and the
+        # memory-bandwidth contention inflates DuckDB's bandwidth-bound
+        # plans 4-10x (measured r10: the containment oracle 6.5 s solo,
+        # 24-68 s mid-session, back to 6.7 s with this one System.gc()).
+        # Called SYMMETRICALLY — after the Spark timing AND after the
+        # DuckDB timing — so both engines start their timed runs from
+        # the same quiesced heap state (ADVICE r10: gc only before the
+        # DuckDB side also drained Spark's pending GC outside its own
+        # timed window, a systematic deviation from bench.py solo runs).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     for _ in range(n_passes):
         spark.catalog.clearCache()  # bench.py convention: no cache hits
         for n in alive:
@@ -102,29 +119,52 @@ def run_interleaved(
                 s_runs[n].append(time.perf_counter() - t0)
             except Exception as e:
                 print(f"spark error {n}: {type(e).__name__}: {e}", file=sys.stderr)
-            # Quiesce the JVM before the DuckDB timing (UNTIMED, between
-            # the two measurements): after a cache-heavy Spark query the
-            # JVM's concurrent GC scans/frees the just-unpersisted
-            # blocks WHILE DuckDB runs, and the memory-bandwidth
-            # contention inflates DuckDB's bandwidth-bound plans 4-10x
-            # (measured r10: the containment oracle 6.5 s solo, 24-68 s
-            # mid-session, back to 6.7 s with this one System.gc()).
-            # Without it the interleaved protocol systematically
-            # penalizes the DuckDB side of every heavy row.
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+                # a degraded pass must not time only ONE side (ADVICE
+                # r10): skipping the DuckDB sample too keeps the two
+                # sides' medians over the same pass set
+                continue
+            _jvm_gc()
             t1 = time.perf_counter()
             try:
                 con.execute(oracles[n]).fetchall()
                 d_runs[n].append(time.perf_counter() - t1)
             except Exception as e:
                 print(f"duckdb error {n}: {type(e).__name__}: {e}", file=sys.stderr)
+            _jvm_gc()
     spark_med = {
         n: round(statistics.median(v), 3) for n, v in s_runs.items() if v
     }
     duck_med = {n: round(statistics.median(v), 3) for n, v in d_runs.items() if v}
+    spark_mad = {
+        n: round(statistics.median([abs(x - spark_med[n]) for x in v]), 3)
+        for n, v in s_runs.items()
+        if v
+    }
+    duck_mad = {
+        n: round(statistics.median([abs(x - duck_med[n]) for x in v]), 3)
+        for n, v in d_runs.items()
+        if v
+    }
+    # variance gate (shared convention with bench.py): a pair with
+    # noise-spiked rows must not become the committed authoritative pair
+    unstable = sorted(
+        set(
+            n
+            for n, med in spark_med.items()
+            if spark_mad[n] > max(0.15, 0.35 * med)
+        )
+        | set(
+            n for n, med in duck_med.items() if duck_mad[n] > max(0.15, 0.35 * med)
+        )
+    )
+    if authoritative and unstable:
+        print(
+            f"--commit-detail refused: {len(unstable)} unstable rows "
+            f"(MAD > max(0.15s, 35% of median)): {unstable} — re-run in a "
+            "calm window",
+            file=sys.stderr,
+        )
+        authoritative = False
     # persist the pair in bench.py's detail schema so drift.py and the
     # ratio tooling read interleaved pairs like any other
     total = round(sum(spark_med.values()), 3)
@@ -137,6 +177,12 @@ def run_interleaved(
         "value": total,
         "unit": "sec",
         "queries": spark_med,
+        "query_mad": spark_mad,
+        # per-side sample counts: a degraded pair (sides measured over
+        # different pass counts) is detectable in the artifact itself
+        "query_n": {n: len(v) for n, v in s_runs.items() if v},
+        "n_unstable": len(unstable),
+        "unstable": unstable,
         "interleaved": True,
         "n_failed": len(failed),
         "failed": sorted(failed),
@@ -145,7 +191,13 @@ def run_interleaved(
     bench_name = "BENCH_DETAIL.json" if authoritative else "BENCH_DETAIL.latest.json"
     with open(os.path.join(repo, bench_name), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    return spark_med, duck_med, bench_name + " (interleaved)"
+    return (
+        spark_med,
+        duck_med,
+        bench_name + " (interleaved)",
+        {"query_mad": duck_mad, "query_n": {n: len(v) for n, v in d_runs.items() if v}},
+        authoritative,  # possibly downgraded by the variance gate
+    )
 
 
 def main() -> None:
@@ -188,11 +240,11 @@ def main() -> None:
         # both sides produced in-session (S,D alternation per query) —
         # the pair is one box state by construction, so --commit-detail
         # needs no cross-artifact consistency check here
-        spark, duck, spark_src = run_interleaved(
+        spark, duck, spark_src, duck_extra, authoritative = run_interleaved(
             sf_dir, n_passes, authoritative, repo_top
         )
         _write_duck_and_summary(
-            sf_dir, spark, duck, spark_src, authoritative, repo_top, True
+            sf_dir, spark, duck, spark_src, authoritative, repo_top, True, duck_extra
         )
         return
 
@@ -273,8 +325,16 @@ def main() -> None:
                 continue
             runs[n].append(time.perf_counter() - t0)
     duck = {n: round(statistics.median(v), 3) for n, v in runs.items() if v}
+    duck_extra = {
+        "query_mad": {
+            n: round(statistics.median([abs(x - duck[n]) for x in v]), 3)
+            for n, v in runs.items()
+            if v
+        },
+        "query_n": {n: len(v) for n, v in runs.items() if v},
+    }
     _write_duck_and_summary(
-        sf_dir, spark, duck, spark_src, authoritative, repo, False
+        sf_dir, spark, duck, spark_src, authoritative, repo, False, duck_extra
     )
 
 
@@ -286,6 +346,7 @@ def _write_duck_and_summary(
     authoritative: bool,
     repo: str,
     interleaved: bool,
+    duck_extra: dict | None = None,
 ) -> None:
     duck_total = round(sum(duck.values()), 3)
     # persist per-query medians so ratio analysis across rounds reads
@@ -295,12 +356,11 @@ def _write_duck_and_summary(
     # and the consistency check above guarantees its spark mate is the
     # committed BENCH_DETAIL.json from this session
     duck_name = "DUCK_DETAIL.json" if authoritative else "DUCK_DETAIL.latest.json"
+    duck_doc = {"sf_dir": sf_dir, "queries": duck, "interleaved": interleaved}
+    if duck_extra:
+        duck_doc.update(duck_extra)
     with open(os.path.join(repo, duck_name), "w") as f:
-        json.dump(
-            {"sf_dir": sf_dir, "queries": duck, "interleaved": interleaved},
-            f,
-            sort_keys=True,
-        )
+        json.dump(duck_doc, f, sort_keys=True)
     spark_common = {n: s for n, s in spark.items() if n in duck and s >= 0}
     spark_total = round(sum(spark_common.values()), 3)
     # the ratio must divide totals over the SAME query set: a query

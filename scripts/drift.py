@@ -40,8 +40,10 @@ def main() -> int:
     if len(args) != 2:
         print(__doc__)
         return 2
-    old = json.load(open(args[0]))["queries"]
-    new = json.load(open(args[1]))["queries"]
+    old_doc = json.load(open(args[0]))
+    new_doc = json.load(open(args[1]))
+    old = old_doc["queries"]
+    new = new_doc["queries"]
     common = [k for k in new if k in old and old[k] >= MIN_BASE_SEC]
     if not common:
         print("no comparable queries")
@@ -59,6 +61,14 @@ def main() -> int:
     out = {
         "n_common": len(common),
         "n_shared": len(shared),
+        # variance gate passthrough: a detail whose producer flagged
+        # noise-spiked rows (bench.py / compare_duckdb MAD gate) is not
+        # a clean baseline for drift analysis — surface it here so a
+        # comparison against an unstable artifact is self-describing
+        "unstable_rows": {
+            "old": old_doc.get("unstable", []),
+            "new": new_doc.get("unstable", []),
+        },
         "median_multiplier": round(med, 3),
         "total_old_sec": round(tot_old, 2),
         "total_new_sec": round(tot_new, 2),

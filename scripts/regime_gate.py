@@ -150,6 +150,21 @@ REGIMES: dict[str, dict[str, tuple[str, str, dict]]] = {
             {"form": "inrow"},
         ),
     },
+    "dedup_containment_banded": {
+        # the banded containment rides the same signature-form dispatch
+        # (its candidates come from minhash_signatures) — both forms
+        # must hash-match the banding-replay oracle at sf0.1
+        "sig-explode": (
+            "catlas_spark.operators.dedup",
+            "minhash_signatures",
+            {"form": "explode"},
+        ),
+        "sig-inrow": (
+            "catlas_spark.operators.dedup",
+            "minhash_signatures",
+            {"form": "inrow"},
+        ),
+    },
     "kmeans_ivf_train": {
         "jvm-assign": (
             "catlas_spark.operators.similarity",
@@ -195,6 +210,8 @@ PLAN_MARKS: dict[tuple[str, str], tuple[str, bool]] = {
     # explode form aggregates with min()+collect_set instead
     ("dedup_minhash_lsh", "sig-explode"): ("array_min", False),
     ("dedup_minhash_lsh", "sig-inrow"): ("array_min", True),
+    ("dedup_containment_banded", "sig-explode"): ("array_min", False),
+    ("dedup_containment_banded", "sig-inrow"): ("array_min", True),
     # only the direct regime evaluates Spark's percentile aggregate;
     # the ranks plan (footer bounds) carries no percentile at all
     ("exact_quantiles", "quantile-direct"): ("percentile", True),
@@ -294,6 +311,10 @@ def main() -> int:
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
+    # the registry plan cache must not memoize a REGIME-FORCED plan (a
+    # lazy query built under _force would otherwise serve that regime's
+    # plan to every later caller of the same session)
+    os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
     spark = get_spark("regime_gate")
     con = duckdb.connect()
     for t in STAR_TABLES:
