@@ -4393,6 +4393,10 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gate_interval_join",
         output_mode="append",
         state_partitions=4,
+        # INNER join: matches emit on arrival; the trailing no-data
+        # batch only evicts state a finite run discards (rows identical
+        # with/without, measured) — the left-outer variant keeps it
+        no_data_batches=False,
     )
     return out.select("purchase_id", "click_id", "user_id")
 
@@ -8228,9 +8232,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, keys=["user_id", "event_type", "hr"], time_col="hr"
     )
     # append mode: dedup has no aggregation — survivors are emitted as
-    # they arrive, state only suppresses later duplicates
+    # they arrive, state only suppresses later duplicates; the trailing
+    # no-data batch would only evict that state (rows identical, one
+    # less micro-batch)
     out = run_batch_like_stream(
-        survivors, "gate_dedup", output_mode="append", state_partitions=4
+        survivors,
+        "gate_dedup",
+        output_mode="append",
+        state_partitions=4,
+        no_data_batches=False,
     )
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
 

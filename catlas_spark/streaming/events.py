@@ -12,6 +12,8 @@ Kafka/files and the sink is foreachBatch→parquet for exactly-once.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -105,11 +107,30 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def _smoke_checkpoint_dir(query_name: str) -> str | None:
+    """Checkpoint root for the finite SMOKE runs (availableNow, memory
+    sink): tmpfs when the host has it. The offset/commit WAL and state
+    deltas are per-micro-batch file IO on the driver's checkpoint store
+    — measured 0.15-0.2 s per short run on this host's ext4 /tmp vs
+    /dev/shm. A finite smoke run's checkpoint is deleted on completion,
+    so durability is irrelevant HERE; an unbounded production stream
+    must checkpoint to durable shared storage (set explicitly by the
+    caller), never to this path. Returns None when no tmpfs exists —
+    the writeStream then uses Spark's default temp checkpoint."""
+    import uuid
+
+    root = os.environ.get("SPARK_GRAFT_STREAM_CKPT", "/dev/shm")
+    if not os.path.isdir(root):
+        return None
+    return os.path.join(root, f"catlas_smoke_ckpt_{query_name}_{uuid.uuid4().hex[:8]}")
+
+
 def run_batch_like_stream(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Drive a streaming query over the available files to completion
     (memory sink) and return the result as a batch DataFrame — the
@@ -123,23 +144,49 @@ def run_batch_like_stream(
     small finite source wants few state partitions (32 → 8 measured
     5.0 → 1.8 s on the interval join; 8 → 4 a further 2.3 → 1.8 s,
     flat below 4) while an unbounded production stream sizes it to
-    expected state, not to this default."""
+    expected state, not to this default.
+
+    ``no_data_batches=False`` disables the trailing no-data micro-batch
+    for THIS query (conf pinned at start; restored after). ONLY valid
+    for queries whose output does not depend on watermark-triggered
+    emission — an INNER stream-stream join emits matches as they
+    arrive, so its trailing batch only evicts state that a finite
+    availableNow run discards anyway (measured: identical output rows,
+    one batch instead of two, ~0.65 s saved). Left-outer joins and
+    append-mode aggregations MUST keep the default: their
+    watermark-closed results flush in exactly that batch."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batches:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    ckpt = _smoke_checkpoint_dir(query_name)
     try:
-        q = (
+        writer = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(query_name)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         q.awaitTermination()
     finally:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not no_data_batches:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+            )
+        if ckpt is not None:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
