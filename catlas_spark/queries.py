@@ -157,6 +157,22 @@ def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _PLAN_LAZY: dict[str, bool] = {}
 
+# Tiny-input execution profile (regime dispatch, same pattern as the
+# operator-level dispatchers): AQE's per-exchange re-planning adds a job
+# per query stage, and 32-partition shuffles add task-launch overhead —
+# pure cost when the ENTIRE input is a few hundred MB (measured on the
+# 139-query lazy set at sf0.1: 34.4 s → 29.8 s under AQE-off/8
+# partitions, worst single-query regression +0.11 s). Dispatch is by
+# Catalyst's optimized-plan size estimate at plan-cache time, so the
+# same query over a TB-scale input keeps AQE + full shuffle width (the
+# 1000-executor regime AQE exists for); LocalRelation's Long.MaxValue
+# sentinel also lands on the scale-safe default. Applied only on the
+# plan-cache hit path — eager builders tune their own sessions.
+# SPARK_GRAFT_TINY_EXEC=0 disables (A/B lever).
+TINY_EXEC_MAX_BYTES = 256 * 1024 * 1024
+TINY_EXEC_PARTITIONS = 8
+_PLAN_TINY: dict[tuple[str, str, str], bool] = {}
+
 _GUARD_CONFS = (
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.optimizer.runtime.bloomFilter.enabled",
@@ -205,6 +221,13 @@ def _wrap_plan_cached(name: str, fn: QueryFn) -> QueryFn:
             # cached plan was built under them; physical planning at
             # execution must see the same values)
             _session_tune(spark)
+            if _PLAN_TINY.get(key) and os.environ.get(
+                "SPARK_GRAFT_TINY_EXEC", "1"
+            ).lower() not in ("0", "false", "no"):
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(TINY_EXEC_PARTITIONS)
+                )
             return df
         state = _PLAN_LAZY.get(name)
         if state is False:
@@ -226,7 +249,11 @@ def _wrap_plan_cached(name: str, fn: QueryFn) -> QueryFn:
             # evict plans of dead sessions (same hygiene as _TABLE_CACHE)
             for k in [k for k in _PLAN_CACHE if k[0] != key[0]]:
                 del _PLAN_CACHE[k]
+                _PLAN_TINY.pop(k, None)
             _PLAN_CACHE[key] = df
+            from .partitioning import plan_size_bytes
+
+            _PLAN_TINY[key] = plan_size_bytes(df) < TINY_EXEC_MAX_BYTES
         else:
             # the FIRST read of a table launches a one-time metadata/
             # listing job that would misflag a lazy query, so an eager
@@ -328,6 +355,10 @@ def _session_tune(spark: SparkSession) -> None:
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         "10GB",
     )
+    # the tiny-input execution profile (plan-cache hit path) disables
+    # AQE for ITS query only — restore the engine default here so the
+    # override is scoped exactly like the broadcast/bloom ones above
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     # events NANOS flavor support: physical planning (where hadoopConf is
     # captured) happens at EXECUTION for a lazy plan, which with the plan
     # cache can be long after _events() built it — so the conf must be

@@ -200,3 +200,28 @@ def test_plan_cache_excludes_lazy_persist(spark, sf_dir, monkeypatch):
         assert not any(k[2] == "__lazy_persister__" for k in Q._PLAN_CACHE)
     finally:
         spark.catalog.clearCache()
+
+
+def test_tiny_exec_profile_results_match_default(spark, sf_dir, monkeypatch):
+    """The tiny-input execution profile (AQE off, 8 shuffle partitions on
+    the plan-cache hit path) must be a pure physical-regime change: for
+    shuffle-heavy lazy queries the collected result under the tiny
+    profile equals the first-call (default-profile) result."""
+    Q = _fresh_plan_cache(monkeypatch)
+    monkeypatch.setattr(Q, "_PLAN_TINY", {})
+    for name in ("timeseries_gapfill", "grouped_topk", "union_distinct_keys"):
+        fn = Q.queries()[name]
+        baseline = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        fn(spark, sf_dir)  # second sighting -> cached + tiny verdict
+        assert Q._PLAN_LAZY[name] is True
+        key = next(k for k in Q._PLAN_CACHE if k[2] == name)
+        # force the tiny verdict so the test exercises the profile even
+        # if the size estimate ever crosses the threshold
+        Q._PLAN_TINY[key] = True
+        df = fn(spark, sf_dir)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        tiny = sorted(map(tuple, df.collect()))
+        assert tiny == baseline, f"{name}: tiny profile changed the result"
+    # the override is scoped: the next query's tune restores AQE
+    Q._session_tune(spark)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
