@@ -212,7 +212,13 @@ def _wrap_plan_cached(name: str, fn: QueryFn) -> QueryFn:
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        if not _plan_cache_enabled():
+        from .caching import is_materializing
+
+        # Inside lazy_plans (explain-only tooling) every materializer is
+        # a no-op, so an EAGER builder would read as lazy and its
+        # lazy-mode plan would be cached for later NORMAL callers —
+        # bypass the cache entirely there (neither read nor write).
+        if not _plan_cache_enabled() or not is_materializing():
             return fn(spark, sf_dir)
         key = (spark.sparkContext.applicationId, sf_dir, name)
         df = _PLAN_CACHE.get(key)

@@ -225,3 +225,19 @@ def test_tiny_exec_profile_results_match_default(spark, sf_dir, monkeypatch):
     # the override is scoped: the next query's tune restores AQE
     Q._session_tune(spark)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_plan_cache_bypassed_under_lazy_plans(spark, sf_dir, monkeypatch):
+    """Under the lazy_plans explain-only context, materializers are
+    no-ops, so an eager builder reads as lazy — the cache must be
+    bypassed entirely there (neither read nor write), or a later normal
+    caller would receive the lazy-mode plan."""
+    from catlas_spark.caching import lazy_plans
+
+    Q = _fresh_plan_cache(monkeypatch)
+    fn = Q.queries()["pricing_summary"]
+    with lazy_plans():
+        fn(spark, sf_dir)
+        fn(spark, sf_dir)
+    assert Q._PLAN_CACHE == {}
+    assert "pricing_summary" not in Q._PLAN_LAZY
