@@ -333,6 +333,20 @@ def main() -> None:
         },
         "query_n": {n: len(v) for n, v in runs.items() if v},
     }
+    # same variance gate as bench.py / the interleaved path: a DuckDB
+    # side with noise-spiked rows must not become the committed mate
+    unstable = sorted(
+        n
+        for n, med in duck.items()
+        if duck_extra["query_mad"][n] > max(0.15, 0.35 * med)
+    )
+    if authoritative and unstable:
+        print(
+            f"--commit-detail refused (duck side): {len(unstable)} unstable "
+            f"rows: {unstable} — re-run in a calm window",
+            file=sys.stderr,
+        )
+        authoritative = False
     _write_duck_and_summary(
         sf_dir, spark, duck, spark_src, authoritative, repo, False, duck_extra
     )
