@@ -89,26 +89,73 @@ def bpe_train(
     this table certifies the application logic too.
     """
     spark = word_counts.sparkSession
-    seg = (
-        word_counts.select(
-            F.col(word_col).alias("word"),
-            F.col(count_col).cast("long").alias("cnt"),
-            # split on the empty pattern, NOT regexp_extract_all(".") —
-            # Java "." excludes line terminators (U+2028/U+2029/U+0085),
-            # which would silently drop characters the oracle's
-            # substr(word, i, 1) keeps
-            F.posexplode(F.split(F.col(word_col), "")),
-        )
-        .select("word", "cnt", (F.col("pos") + 1).alias("pos"), F.col("col").alias("sym"))
+    merges, _ = _learn_merges(
+        _char_segmentation(word_counts, word_col, count_col),
+        n_merges,
+        apply_last=False,
     )
-    # Iteration pins stay pin() (localCheckpoint): a persist-based pin
-    # that in PRINCIPLE preserves the hash(word) partitioning/ordering
-    # for the next iteration's lead window was measured and REJECTED —
-    # under AQE the cached plan is adaptive, its final partitioning is
-    # unknown at the consumer's planning time, so the exchange is paid
-    # anyway AND the eager count through the full plan costs more than
-    # the checkpoint's direct RDD materialization (19 vs 20 jobs,
-    # 2.3-2.7 s vs 1.8-2.0 s warm at sf0.1, same session back-to-back).
+    return spark.createDataFrame(
+        merges,
+        "step INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+def bpe_segment_words(
+    word_counts: DataFrame,
+    word_col: str = "word",
+    count_col: str = "cnt",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the word-frequency table and
+    return the final VOCABULARY segmentation — (word, cnt, pos, sym)
+    with every learned merge (including the last) applied. This is the
+    encode half of the tokenizer: segmenting the vocabulary once and
+    broadcast-joining it back to the corpus is how BPE encoding runs at
+    100 TB — the merge loop never touches the corpus, and the per-doc
+    application is a map-side join on the word key, not an iterative
+    pass over every document."""
+    _, seg = _learn_merges(
+        _char_segmentation(word_counts, word_col, count_col),
+        n_merges,
+        apply_last=True,
+    )
+    return seg
+
+
+def _char_segmentation(
+    word_counts: DataFrame, word_col: str, count_col: str
+) -> DataFrame:
+    """Initial character-level segmentation table (word, cnt, pos, sym)."""
+    return word_counts.select(
+        F.col(word_col).alias("word"),
+        F.col(count_col).cast("long").alias("cnt"),
+        # split on the empty pattern, NOT regexp_extract_all(".") —
+        # Java "." excludes line terminators (U+2028/U+2029/U+0085),
+        # which would silently drop characters the oracle's
+        # substr(word, i, 1) keeps
+        F.posexplode(F.split(F.col(word_col), "")),
+    ).select("word", "cnt", (F.col("pos") + 1).alias("pos"), F.col("col").alias("sym"))
+
+
+def _learn_merges(
+    seg: DataFrame, n_merges: int, apply_last: bool
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The shared merge loop: per iteration, adjacent-pair counts →
+    deterministic arg-max (ties lexicographic on (left, right)) →
+    greedy application via :func:`_apply_merge`. ``apply_last`` is the
+    train/encode split: training only needs the counts of the last pair
+    (bpe_train), encoding needs the segmentation AFTER it
+    (bpe_segment_words). Returns (merge table rows, final seg).
+
+    Iteration pins stay pin() (localCheckpoint): a persist-based pin
+    that in PRINCIPLE preserves the hash(word) partitioning/ordering
+    for the next iteration's lead window was measured and REJECTED —
+    under AQE the cached plan is adaptive, its final partitioning is
+    unknown at the consumer's planning time, so the exchange is paid
+    anyway AND the eager count through the full plan costs more than
+    the checkpoint's direct RDD materialization (19 vs 20 jobs,
+    2.3-2.7 s vs 1.8-2.0 s warm at sf0.1, same session back-to-back).
+    """
     from ..caching import pin
 
     seg = pin(seg)
@@ -126,9 +173,6 @@ def bpe_train(
             break
         a, b, pc = best[0]["sym"], best[0]["nxt"], int(best[0]["pair_count"])
         merges.append((step, a, b, a + b, pc))
-        if step < n_merges:
+        if step < n_merges or apply_last:
             seg = pin(_apply_merge(seg, a, b))
-    return spark.createDataFrame(
-        merges,
-        "step INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
-    )
+    return merges, seg

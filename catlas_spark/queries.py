@@ -6030,6 +6030,63 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(words, n_merges=3)
 
 
+_BPE_ENCODE_ORACLE = f"""
+    WITH wd AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents),
+    wnz AS (SELECT doc_id, word FROM wd WHERE word <> ''),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wnz GROUP BY word),
+    t0 AS (SELECT word, cnt, pos, sym FROM (
+             SELECT word, cnt,
+                    unnest([{{'pos': i, 'sym': substr(word, CAST(i AS INTEGER), 1)}}
+                            for i in generate_series(1, length(word))],
+                           recursive := true)
+             FROM wc)),
+    {",".join(_bpe_iter_sql(i) for i in (1, 2, 3))},
+    pieces AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+               FROM t3 GROUP BY word)
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe_tokens
+    FROM wnz w JOIN pieces p USING (word)
+    GROUP BY w.doc_id
+    """
+
+
+@register("bpe_encode_corpus", _BPE_ENCODE_ORACLE)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING of the corpus with the 3 merges learned on it — the
+    apply half of `bpe_merge_train` (train alone is useless to a
+    training-data pipeline; the per-doc token count under the trained
+    tokenizer is what sequence packing and mixture budgeting consume).
+
+    Scale shape: the merge loop runs over the vocabulary-sized
+    segmentation only (never the corpus); encoding is then ONE
+    broadcast map-side join word → n_pieces against the exploded corpus
+    and a per-doc sum — at 100 TB that is two corpus passes (histogram
+    groupBy + encode join), with no iterative pass over documents. The
+    oracle replays training AND encoding (t3 segmentation joined back
+    to every doc's words), so the hash match certifies both halves.
+    Docs that normalize to zero words drop on both sides (inner join on
+    the word key), matching the chunk-family zero-token contract."""
+    from .operators.tokenize import bpe_segment_words
+
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm_text()
+    wd = d.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = wd.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    seg = bpe_segment_words(wc, n_merges=3)
+    pieces = seg.groupBy("word").agg(F.count(F.lit(1)).alias("n_pieces"))
+    return (
+        wd.join(F.broadcast(pieces), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+    )
+
+
 _DUPSPAN_ORACLE = f"""
     WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
     n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM d),

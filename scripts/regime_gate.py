@@ -313,8 +313,22 @@ def main() -> int:
 
     # the registry plan cache must not memoize a REGIME-FORCED plan (a
     # lazy query built under _force would otherwise serve that regime's
-    # plan to every later caller of the same session)
+    # plan to every later caller of the same session); restored in the
+    # finally below — main() also runs in-process from the test suite,
+    # where a permanent mutation would disable the cache for every
+    # later plan-cache test in the same pytest process
+    prev_plan_cache = os.environ.get("SPARK_GRAFT_PLAN_CACHE")
     os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
+    try:
+        return _main_gate(sf_dir, out_json)
+    finally:
+        if prev_plan_cache is None:
+            os.environ.pop("SPARK_GRAFT_PLAN_CACHE", None)
+        else:
+            os.environ["SPARK_GRAFT_PLAN_CACHE"] = prev_plan_cache
+
+
+def _main_gate(sf_dir: str, out_json: str | None) -> int:
     spark = get_spark("regime_gate")
     con = duckdb.connect()
     for t in STAR_TABLES:

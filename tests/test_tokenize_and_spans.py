@@ -8,7 +8,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from catlas_spark.operators.tokenize import bpe_train
+from catlas_spark.operators.tokenize import bpe_segment_words, bpe_train
 from catlas_spark.queries import q_dup_span_coverage
 
 
@@ -42,6 +42,33 @@ def test_bpe_stops_when_no_pairs(spark):
     empty, not an error."""
     wc = spark.createDataFrame([("a", 5), ("b", 2)], "word STRING, cnt LONG")
     assert bpe_train(wc, n_merges=2).count() == 0
+
+
+def test_bpe_segment_words_applies_last_merge(spark):
+    """bpe_segment_words applies ALL learned merges (bpe_train skips
+    applying the last): with the same corpus as the run-parity test the
+    3rd merge (aa,aa)->aaaa must be applied, so 'aaaa' segments to ONE
+    piece and 'ab' to one piece after merge 2."""
+    wc = spark.createDataFrame([("aaaa", 2), ("ab", 3)], "word STRING, cnt LONG")
+    seg = bpe_segment_words(wc, n_merges=3)
+    got = {
+        r.word: [s for _, s in sorted((r2.pos, r2.sym) for r2 in rows)]
+        for r, rows in (
+            (r, [x for x in seg.collect() if x.word == r.word])
+            for r in seg.select("word").distinct().collect()
+        )
+    }
+    assert got == {"aaaa": ["aaaa"], "ab": ["ab"]}
+
+
+def test_bpe_segment_words_partial_merge(spark):
+    """A word where only some merges apply keeps its residue pieces:
+    'aab' under merges learned from {'aab': 3} -> step1 (a,a), step2
+    (aa,b) with n_merges=1 leaves ['aa', 'b']."""
+    wc = spark.createDataFrame([("aab", 3)], "word STRING, cnt LONG")
+    seg = bpe_segment_words(wc, n_merges=1)
+    rows = sorted((r.pos, r.sym) for r in seg.collect())
+    assert [s for _, s in rows] == ["aa", "b"]
 
 
 def test_dup_span_islands_merge(spark, tmp_path):
