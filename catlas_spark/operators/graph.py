@@ -83,6 +83,7 @@ def pagerank_adjacency(
     adj: DataFrame,
     iterations: int = 2,
     damping: float = 0.85,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank over an adjacency-ARRAY table — the bounded-degree regime.
 
@@ -96,8 +97,14 @@ def pagerank_adjacency(
     arrays, so this form requires bounded degree (a celebrity node with
     10M followers is a 10M-element row — skew + row-size hazard); the
     edge-table :func:`pagerank` is the general/high-degree path.
+
+    ``n_nodes``: caller-supplied exact node count (e.g. the parquet
+    footer rowcount for an unfiltered node scan —
+    ``sources.stats.parquet_row_count``). Skips the COUNT(*) job AND
+    keeps the builder lazy (plan-cache eligible); the caller owns its
+    exactness, since (1-d)/N enters every rank.
     """
-    n = nodes.count()
+    n = nodes.count() if n_nodes is None else n_nodes
     if n == 0:
         return nodes.withColumn("pr", F.lit(0.0))
     adj = adj.select(

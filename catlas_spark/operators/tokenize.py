@@ -12,8 +12,21 @@ corpus, then an iterative loop whose working set is a few thousand rows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Bounded-collect driver regime threshold (the connected_components /
+# triangle_participation discipline): when the VOCABULARY fits under
+# this many words, the merge loop runs as plain Python on the driver —
+# the histogram is already the only corpus-sized reduction, and 3
+# distributed merge iterations over a vocabulary-sized table are ~10
+# scheduler-floor jobs (~1.2 s at sf0.1) doing work a dict comprehension
+# finishes in microseconds. At real-corpus scale the vocabulary exceeds
+# the cap and the distributed loop below is the regime that runs; both
+# regimes are forced + hash-compared by scripts/regime_gate.py.
+DRIVER_MAX_VOCAB = int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_MAX_VOCAB", "65536"))
 
 
 def _apply_merge(seg: DataFrame, a: str, b: str) -> DataFrame:
@@ -63,11 +76,84 @@ def _apply_merge(seg: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _merge_word_py(syms: list[str], a: str, b: str) -> list[str]:
+    """Pure-Python twin of :func:`_apply_merge` for one word: greedy
+    left-to-right non-overlapping replacement of adjacent (a, b) — the
+    linear scan IS the run-parity rule (after merging at i the scan
+    resumes at i+2, so within a run of match positions the 1st, 3rd, …
+    merge, exactly the rn % 2 == 1 selection of the window form)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _learn_merges_py(
+    vocab: list[tuple[str, int]], n_merges: int, apply_last: bool
+) -> tuple[list[tuple[int, str, str, str, int]], dict[str, list[str]]]:
+    """Pure-Python twin of :func:`_learn_merges` over a collected
+    (word, cnt) vocabulary. Pair counts include overlapping adjacencies
+    ('aaa' counts (a,a) twice — matching the lead-window form); arg-max
+    ties break lexicographically on (left, right), which for Python
+    str comparison (code points) matches Spark's UTF8String ordering."""
+    seg: dict[str, list[str]] = {w: list(w) for w, _ in vocab}
+    cnts = dict(vocab)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in seg.items():
+            c = cnts[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pair_counts[k] = pair_counts.get(k, 0) + c
+        if not pair_counts:
+            break
+        (a, b), pc = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, pc))
+        if step < n_merges or apply_last:
+            for w in seg:
+                seg[w] = _merge_word_py(seg[w], a, b)
+    return merges, seg
+
+
+def _collect_vocab_if_small(
+    word_counts: DataFrame,
+    word_col: str,
+    count_col: str,
+    driver_max_vocab: int | None,
+) -> list[tuple[str, int]] | None:
+    """Single bounded probe action (the connected_components
+    discipline): limit(cap+1) returns the WHOLE vocabulary when it fits
+    and at most cap+1 rows when it does not. Returns None when the
+    driver regime must not run: vocabulary too large, cap 0 (forced
+    distributed), or an explain-only context (lazy_plans — the
+    createDataFrame result would hide the whole distributed loop from
+    plan assertions, and the probe is a pointless action there)."""
+    from ..caching import is_materializing
+
+    cap = DRIVER_MAX_VOCAB if driver_max_vocab is None else driver_max_vocab
+    if cap <= 0 or not is_materializing():
+        return None
+    rows = word_counts.select(word_col, count_col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [(r[0], int(r[1])) for r in rows]
+
+
 def bpe_train(
     word_counts: DataFrame,
     word_col: str = "word",
     count_col: str = "cnt",
     n_merges: int = 3,
+    driver_max_vocab: int | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a word-frequency table.
 
@@ -89,11 +175,17 @@ def bpe_train(
     this table certifies the application logic too.
     """
     spark = word_counts.sparkSession
-    merges, _ = _learn_merges(
-        _char_segmentation(word_counts, word_col, count_col),
-        n_merges,
-        apply_last=False,
+    vocab = _collect_vocab_if_small(
+        word_counts, word_col, count_col, driver_max_vocab
     )
+    if vocab is not None:
+        merges, _ = _learn_merges_py(vocab, n_merges, apply_last=False)
+    else:
+        merges, _ = _learn_merges(
+            _char_segmentation(word_counts, word_col, count_col),
+            n_merges,
+            apply_last=False,
+        )
     return spark.createDataFrame(
         merges,
         "step INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
@@ -105,6 +197,7 @@ def bpe_segment_words(
     word_col: str = "word",
     count_col: str = "cnt",
     n_merges: int = 3,
+    driver_max_vocab: int | None = None,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges on the word-frequency table and
     return the final VOCABULARY segmentation — (word, cnt, pos, sym)
@@ -114,6 +207,29 @@ def bpe_segment_words(
     100 TB — the merge loop never touches the corpus, and the per-doc
     application is a map-side join on the word key, not an iterative
     pass over every document."""
+    vocab = _collect_vocab_if_small(
+        word_counts, word_col, count_col, driver_max_vocab
+    )
+    if vocab is not None:
+        _, seg_py = _learn_merges_py(vocab, n_merges, apply_last=True)
+        cnts = dict(vocab)
+        from pyspark.sql import types as T
+
+        return word_counts.sparkSession.createDataFrame(
+            [
+                (w, cnts[w], i + 1, sym)
+                for w, syms in seg_py.items()
+                for i, sym in enumerate(syms)
+            ],
+            schema=T.StructType(
+                [
+                    T.StructField("word", T.StringType()),
+                    T.StructField("cnt", T.LongType()),
+                    T.StructField("pos", T.IntegerType()),
+                    T.StructField("sym", T.StringType()),
+                ]
+            ),
+        )
     _, seg = _learn_merges(
         _char_segmentation(word_counts, word_col, count_col),
         n_merges,

@@ -5675,7 +5675,19 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", F.array_remove("nbrs", F.col("src")).alias("nbrs"))
     )
     nodes = s.select(F.col("s_suppkey").alias("v"))
-    pr = pagerank_adjacency(nodes, adj, iterations=2, damping=0.85)
+    # N from the parquet footer rowcount (exact for this UNFILTERED node
+    # scan — FileMetaData.num_rows is authoritative): drops the COUNT(*)
+    # job and leaves the builder lazy, so the 2-iteration unrolled plan
+    # is plan-cache eligible instead of being rebuilt per invocation
+    from .sources.stats import parquet_row_count
+
+    pr = pagerank_adjacency(
+        nodes,
+        adj,
+        iterations=2,
+        damping=0.85,
+        n_nodes=parquet_row_count(f"{sf_dir}/supplier.parquet"),
+    )
     return pr.select(
         F.col("v").alias("s_suppkey"), F.round("pr", 6).alias("pagerank")
     )

@@ -97,3 +97,15 @@ def parquet_column_bounds(path_or_glob: str, col: str):
     if mn is None:
         return None
     return (mn, mx)
+
+
+def parquet_row_count(path_or_glob: str) -> int | None:
+    """Exact row count across every part-file, from file metadata only
+    (``FileMetaData.num_rows`` is authoritative per the parquet spec —
+    unlike min/max it cannot be truncated or absent). The catalog
+    rowcount shortcut: replaces a COUNT(*) Spark job for an UNFILTERED
+    scan at planning time. Returns None when no files exist yet."""
+    files = _parquet_files(path_or_glob)
+    if not files:
+        return None
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)

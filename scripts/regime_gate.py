@@ -165,6 +165,35 @@ REGIMES: dict[str, dict[str, tuple[str, str, dict]]] = {
             {"form": "inrow"},
         ),
     },
+    "bpe_merge_train": {
+        # bounded-collect driver merge loop (vocab fits) vs the
+        # distributed window/groupBy loop — the connected_components
+        # dispatch pattern; no plan mark needed (deterministic kwarg
+        # comparison, and both regimes' returns reach the query as a
+        # LocalRelation / createDataFrame anyway)
+        "bpe-driver": (
+            "catlas_spark.operators.tokenize",
+            "bpe_train",
+            {"driver_max_vocab": BIG},
+        ),
+        "bpe-distributed": (
+            "catlas_spark.operators.tokenize",
+            "bpe_train",
+            {"driver_max_vocab": 0},
+        ),
+    },
+    "bpe_encode_corpus": {
+        "bpe-driver": (
+            "catlas_spark.operators.tokenize",
+            "bpe_segment_words",
+            {"driver_max_vocab": BIG},
+        ),
+        "bpe-distributed": (
+            "catlas_spark.operators.tokenize",
+            "bpe_segment_words",
+            {"driver_max_vocab": 0},
+        ),
+    },
     "kmeans_ivf_train": {
         "jvm-assign": (
             "catlas_spark.operators.similarity",

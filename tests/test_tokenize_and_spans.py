@@ -71,6 +71,42 @@ def test_bpe_segment_words_partial_merge(spark):
     assert [s for _, s in rows] == ["aa", "b"]
 
 
+def test_bpe_regime_equality(spark):
+    """Forced driver (pure-Python merge loop) and forced distributed
+    (window/groupBy loop) regimes must produce identical merge tables
+    AND identical final segmentations on the adversarial fixtures (run
+    parity 'aaaa', odd run 'aaa', residue 'aab', tie-break candidates) —
+    the unit-scale twin of the regime_gate sf0.1 hash check."""
+    wc = spark.createDataFrame(
+        [("aaaa", 2), ("aaa", 1), ("aab", 3), ("ab", 3), ("ba", 3)],
+        "word STRING, cnt LONG",
+    )
+    m_drv = [
+        tuple(r)
+        for r in bpe_train(wc, n_merges=3, driver_max_vocab=1 << 20)
+        .orderBy("step")
+        .collect()
+    ]
+    m_dst = [
+        tuple(r)
+        for r in bpe_train(wc, n_merges=3, driver_max_vocab=0)
+        .orderBy("step")
+        .collect()
+    ]
+    assert m_drv == m_dst and len(m_drv) == 3
+    s_drv = sorted(
+        tuple(r)
+        for r in bpe_segment_words(
+            wc, n_merges=3, driver_max_vocab=1 << 20
+        ).collect()
+    )
+    s_dst = sorted(
+        tuple(r)
+        for r in bpe_segment_words(wc, n_merges=3, driver_max_vocab=0).collect()
+    )
+    assert s_drv == s_dst
+
+
 def test_dup_span_islands_merge(spark, tmp_path):
     """Two docs share an 8-token prefix: duplicated 5-gram starts at
     positions 0..3, whose [s, s+4] windows must merge into ONE island
