@@ -34,6 +34,35 @@ from catlas_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _proc_stat() -> list[int] | None:
+    """Aggregate jiffy counters from /proc/stat (user, nice, system, idle,
+    iowait, irq, softirq, steal). Returns None off-Linux — the CPU
+    attribution fields are additive telemetry, never load-bearing."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts and parts[0] == "cpu":
+            return [int(x) for x in parts[1:9]]
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _cpu_delta_pct(before: list[int] | None, after: list[int] | None) -> dict | None:
+    """Percent attribution of host CPU between two /proc/stat snapshots.
+    Records storm evidence NEXT TO each pass total (r11 verdict item 2):
+    a pass whose steal/system share spikes is host noise, machine-
+    separable from a code regression without relitigating it in prose."""
+    if before is None or after is None:
+        return None
+    d = [y - x for x, y in zip(before, after)]
+    tot = sum(d)
+    if tot <= 0:
+        return None
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    return {n: round(100.0 * v / tot, 2) for n, v in zip(names, d)}
+
+
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -52,19 +81,23 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     cold: dict[str, float] = {}
+    stat0 = _proc_stat()
     for name, fn in qs.items():
         try:
             cold[name] = round(run_query(fn, spark, SF_DIR), 3)
         except Exception as e:
             print(f"bench warmup error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             cold[name] = -1.0
+    cold_cpu = _cpu_delta_pct(stat0, _proc_stat())
     n_warm = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
     warm_runs: list[dict[str, float]] = []
+    warm_cpu: list[dict | None] = []
     for _ in range(n_warm):
         # drop persisted intermediates: every timed pass must re-run the
         # full compute (JIT-warm), not read a cached signature table
         spark.catalog.clearCache()
         pass_t: dict[str, float] = {}
+        stat_pass = _proc_stat()
         for name, fn in qs.items():
             if cold[name] < 0:
                 pass_t[name] = -1.0
@@ -75,6 +108,7 @@ def main() -> None:
                 print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
                 pass_t[name] = -1.0
         warm_runs.append(pass_t)
+        warm_cpu.append(_cpu_delta_pct(stat_pass, _proc_stat()))
 
     timings: dict[str, float] = {}
     mads: dict[str, float] = {}
@@ -118,6 +152,12 @@ def main() -> None:
         "query_mad": mads,
         "n_unstable": len(unstable),
         "unstable": unstable,
+        # per-pass host-CPU attribution (user/system/steal/... percent of
+        # the pass's wall window, from /proc/stat deltas) — indexed like
+        # warm_pass_totals; None off-Linux. Additive telemetry only: the
+        # timed protocol above is unchanged.
+        "cold_pass_cpu": cold_cpu,
+        "warm_pass_cpu": warm_cpu,
         "sf": sf_val,
     }
     print(json.dumps(full))

@@ -321,8 +321,15 @@ def minhash_lsh_pairs(
     )
     # materialize the (pairs-sized, small) verified output so the
     # signature cache releases NOW instead of accumulating across a
-    # many-query session (caching.py; no-op under lazy_plans)
-    return materialize_and_release(out, sig)
+    # many-query session (caching.py; no-op under lazy_plans). The build
+    # runs under the small-input execution scope (caching.py): at a few
+    # MB of corpus the band join + verify pay more in 32-partition task
+    # launches and AQE re-plans than the compute costs (interleaved A/B
+    # at sf0.1: 3-4x process CPU); a TB corpus keeps full width.
+    from ..caching import small_input_exec
+
+    with small_input_exec(df.sparkSession, _plan_size_bytes(df)):
+        return materialize_and_release(out, sig)
 
 
 def jaccard_pairs(
@@ -363,7 +370,12 @@ def jaccard_pairs(
             "jaccard",
         )
     )
-    return materialize_and_release(out, base)
+    # small-input execution scope: see minhash_lsh_pairs (same dispatch,
+    # same A/B evidence class)
+    from ..caching import small_input_exec
+
+    with small_input_exec(df.sparkSession, _plan_size_bytes(df)):
+        return materialize_and_release(out, base)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
@@ -789,16 +801,20 @@ def containment_pairs(
     - LENGTH filter in the candidate join condition: |a∩b| ≤ n_b, so
       containment ≥ t needs n_b ≥ (t−ε)·n_a — disqualified collisions
       never reach the pair aggregation.
-    - POSITIONAL filter (PPJoin's ubound) on the aggregated pairs:
-      postings of every doc are ranked in ONE global (df, h1) order, so
-      a common shingle NOT matched in a's prefix has global order above
-      a's deepest matched prefix entry and therefore sits after
-      position m_a in a AND after position m_b in b (both lists sorted
-      in the same order). Hence overlap ≤ hits + min(n_a−m_a, n_b−m_b),
-      where hits/m_a/m_b are the count and deepest a/b-positions of the
-      matched prefix collisions; pairs whose bound misses (t−ε)·n_a
-      are dropped before the long-array intersect. ε matches the
-      round-to-4-decimals verify tolerance everywhere.
+    - POSITIONAL filter (PPJoin's ubound, tightened) on the aggregated
+      pairs. The candidate join probes b's COMPLETE postings, so an
+      a-prefix entry with no collision against b is PROVEN absent from
+      b: overlap = hits + |suffix(a) ∩ b| with |suffix(a)| = n_a − P_a
+      (P_a = a's prefix length). For the b side, postings of every doc
+      are ranked in ONE global (df, h1) order, so a common shingle in
+      a's suffix has global order above every matched prefix entry and
+      sits after position m_b in b. Hence
+      overlap ≤ hits + min(n_a−P_a, n_b−m_b), where hits/m_b are the
+      count and deepest b-position of the matched prefix collisions;
+      pairs whose bound misses (t−ε)·n_a are dropped before the
+      long-array intersect. ε matches the round-to-4-decimals verify
+      tolerance everywhere. (The r11 form used a's deepest MATCHED
+      position m_a ≤ P_a — strictly looser.)
     """
     # the shingle explode+hash+dedup subtree feeds every downstream
     # consumer — persist it or the corpus-sized explode re-executes per
@@ -816,10 +832,12 @@ def containment_pairs(
     # ONE doc-keyed exchange ranks every posting globally-rarest-first
     # (ties on h1: total and identical across docs, so rn is a global
     # ordering position) and carries the doc size; `ranked` then serves
-    # the prefix, the full-postings join side AND the sets build (the
-    # doc-partitioned layout makes the collect_set groupBy
-    # exchange-free — the old hashed-keyed sets build paid its own
-    # doc exchange).
+    # the prefix, the full-postings join side AND the sets build. The
+    # collect_set groupBy rides that doc partitioning exchange-free ONLY
+    # when `ranked` is actually persisted (materializing mode): under
+    # lazy_plans the optimizer column-prunes the sets subtree back to
+    # the raw explode and pays its own h1+doc exchanges (ADVICE r11 —
+    # the plan dumps show that lazy shape, not the executed one).
     ranked = (
         hashed.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("h1"))
@@ -835,15 +853,23 @@ def containment_pairs(
         .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
     # full sets for exact verify; reused by both verify join sides
+    # (doc sizes ride the candidate aggregate's n_a/n_b — the old
+    # F.max(n_sh) here was dead weight, ADVICE r11)
     sets = (
         ranked.groupBy("doc")
-        .agg(F.collect_set("h1").alias("hset"), F.max("n_sh").alias("n_sh"))
+        .agg(F.collect_set("h1").alias("hset"))
         .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
     )
     eps_t = F.lit(threshold) - F.lit(1e-4)
     # a qualifying probe may miss at most ⌊(1−t+ε)·n⌋ shingles, so keep
     # that many + 1 rarest-first entries; the prefix is ~(1−t) of the
     # postings, so everything downstream shrinks with it.
+    # Scale note on the candidate join's b side (ADVICE r11): at bench
+    # scale the optimizer BROADCASTS the doc-partitioned `ranked`
+    # postings (measured faster than the old h1-partitioned probe); at
+    # corpus sizes past the broadcast threshold the planner falls back
+    # to a shuffle join and pays h1 exchanges on both sides — the
+    # classic prefix-filter index shuffle, still Σ prefix·df bounded.
     miss_budget = F.floor((1.0 - threshold + 1e-4) * F.col("n_sh"))
     prefix = ranked.filter(F.col("rn") <= miss_budget + 1)
     cand = (
@@ -861,7 +887,7 @@ def containment_pairs(
         # exchange-free: the stream side is doc-partitioned by the rn
         # window, id_a = that doc key, so grouping on (id_a, ...) needs
         # no new exchange. n_a/n_b are functionally dependent on the
-        # ids; hits/m_a/m_b feed the positional bound.
+        # ids; hits/m_b feed the positional bound.
         .groupBy(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
@@ -870,15 +896,27 @@ def containment_pairs(
         )
         .agg(
             F.count(F.lit(1)).alias("hits"),
-            F.max(F.col("a.rn")).alias("m_a"),
             F.max(F.col("b.rn")).alias("m_b"),
         )
-        # positional filter: overlap ≤ hits + min(n_a−m_a, n_b−m_b)
+        # positional filter: overlap ≤ hits + min(n_a−P_a, n_b−m_b)
         # (proof in the docstring) — pairs whose upper bound cannot
-        # reach (t−ε)·n_a skip the verify intersect entirely
+        # reach (t−ε)·n_a skip the verify intersect entirely. The a-side
+        # term uses the FULL prefix length P_a, not the deepest matched
+        # position m_a (r12): the candidate join probes b's COMPLETE
+        # postings, so an a-prefix entry with no collision is PROVEN
+        # absent from b — only the n_a−P_a suffix entries can still
+        # overlap. P_a ≥ m_a, so this bound is tighter and equally
+        # recall-exact.
         .filter(
             F.col("hits")
-            + F.least(F.col("n_a") - F.col("m_a"), F.col("n_b") - F.col("m_b"))
+            + F.least(
+                F.col("n_a")
+                - F.least(
+                    F.floor((1.0 - threshold + 1e-4) * F.col("n_a")) + 1,
+                    F.col("n_a"),
+                ),
+                F.col("n_b") - F.col("m_b"),
+            )
             >= eps_t * F.col("n_a")
         )
     )
@@ -994,7 +1032,12 @@ def containment_pairs_banded(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
-    return materialize_and_release(out, sig)
+    # small-input execution scope: see minhash_lsh_pairs (same dispatch,
+    # same A/B evidence class)
+    from ..caching import small_input_exec
+
+    with small_input_exec(df.sparkSession, _plan_size_bytes(df)):
+        return materialize_and_release(out, sig)
 
 
 def _norm_tokens(text: Column) -> Column:

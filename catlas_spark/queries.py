@@ -3479,34 +3479,32 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties to smallest id). Emits (doc, keep_id) for every clustered doc —
     the table a 100 TB pipeline would anti-join against the corpus to
     drop redundant copies while keeping the best representative."""
-    from pyspark import StorageLevel
-
     from .operators.dedup import connected_components, minhash_lsh_pairs
 
-    # the corpus feeds the minhash signature pass AND the final keeper
-    # election join — persist so the scan+mutate subtree runs once
-    # (unpersisted, the election re-read cost ~2x at sf0.1; MEMORY_ONLY
-    # per the array-column cache-build note in minhash_lsh_pairs)
-    corpus = (
-        _mutated_corpus(spark, sf_dir)
-        .filter(F.size(_text_tokens()) >= 2)
-        .transform(maybe_persist, StorageLevel.MEMORY_ONLY)
-    )
+    # the signature pass is the ONLY consumer that needs the corpus
+    # TEXT, and it scans it exactly once — so the r11 corpus-wide
+    # MEMORY_ONLY text cache (built solely so the keeper election could
+    # re-read lengths) is gone (r12, guide §2.3/§5): the election joins
+    # a projected re-scan of (doc, length) instead, which skips the
+    # expensive tokenize filter entirely (cc nodes all passed it by
+    # construction, and length(text) is filter-invariant), and the
+    # whole election stays LAZY — the old materialize-and-release count
+    # existed only to release the now-nonexistent cache.
+    corpus = _mutated_corpus(spark, sf_dir).filter(F.size(_text_tokens()) >= 2)
     pairs = minhash_lsh_pairs(corpus, "text", "doc", n_perm=12, band_size=4, threshold=0.5)
     cc = connected_components(pairs)
-    w = Window.partitionBy("cluster_id").orderBy(F.length("text").desc(), "node")
-    res = (
-        cc.join(corpus, cc["node"] == corpus["doc"])
-        .select(cc["node"], "cluster_id", "text")
+    lens = _mutated_corpus(spark, sf_dir).select(
+        "doc", F.length("text").alias("tlen")
+    )
+    # per-cluster argmax rides a LENGTHS-ONLY window: the exchange
+    # carries (node, cluster_id, tlen) ints, never document text
+    w = Window.partitionBy("cluster_id").orderBy(F.col("tlen").desc(), "node")
+    return (
+        cc.join(lens, cc["node"] == lens["doc"])
+        .select(cc["node"], "cluster_id", "tlen")
         .withColumn("keep_id", F.first("node").over(w))
         .select(F.col("node").alias("doc"), "keep_id")
     )
-    # materialize the (clustered-docs-sized, tiny) election result so the
-    # corpus cache can be released NOW instead of accumulating across a
-    # many-query session (caching.py; no-op under lazy_plans)
-    from .caching import materialize_and_release
-
-    return materialize_and_release(res, corpus)
 
 _PROFILE_COLS = [
     ("l_orderkey", "num"),

@@ -67,8 +67,11 @@ def main() -> None:
         )
         body = _explain(df)
         tiny_note = ""
-        # if this plan lands in the tiny class, also show the executed
-        # shape (the bench-hit path runs with AQE off / few partitions).
+        # if this plan lands in the tiny class, ALSO dump the executed
+        # shape (the bench-hit path runs with AQE off / few partitions) —
+        # to a SEPARATE .tiny.txt file (r11 verdict item 8: an embedded
+        # second plan inflates raw Exchange counts, so exchange-count
+        # claims could not be diffed mechanically from one file).
         # _PLAN_TINY is only populated on the materializing cache path,
         # so re-derive tininess directly from the plan-size estimate.
         if tiny_exec is not None:
@@ -81,7 +84,7 @@ def main() -> None:
                 spark.conf.set("spark.sql.shuffle.partitions", str(tiny_exec))
                 try:
                     tiny_note = (
-                        "\n\n# tiny-input execution profile "
+                        f"# {name} — {suffix} tiny-input execution profile "
                         f"(AQE off, {tiny_exec} shuffle partitions — the "
                         "shape the bench executes for this plan):\n\n"
                         + _explain(df)
@@ -91,8 +94,13 @@ def main() -> None:
                     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
-            f.write(header + body + tiny_note)
+            f.write(header + body)
         print(f"wrote {path}", file=sys.stderr)
+        if tiny_note:
+            tiny_path = os.path.join(outdir, f"{name}_{suffix}.tiny.txt")
+            with open(tiny_path, "w") as f:
+                f.write(tiny_note)
+            print(f"wrote {tiny_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

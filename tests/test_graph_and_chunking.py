@@ -185,14 +185,19 @@ def test_triangle_participation_regime_equality(spark):
 
     from catlas_spark.operators.graph import triangle_participation
 
+    # graph shrunk 190 → ~75 edges (r12, verdict item 1a: this was the
+    # suite's #2 wall cost at 99 s — three full regime runs including
+    # the deliberately-unpersisted degree plan). Every hazard the test
+    # pins survives: hub star center, mixed orientation, self-loop,
+    # NULL endpoint, and triangles through and beside the hub.
     rng = random.Random(7)
-    nodes = list(range(40))
+    nodes = list(range(22))
     edges = set()
-    while len(edges) < 150:
+    while len(edges) < 55:
         u, v = rng.sample(nodes, 2)
         edges.add((min(u, v), max(u, v)))
     # hub: node 0 connected to everyone (orientation stress)
-    for v in range(1, 40):
+    for v in range(1, 22):
         edges.add((0, v))
     rows = [
         (v, u) if rng.random() < 0.5 else (u, v) for (u, v) in sorted(edges)

@@ -11,7 +11,30 @@ import pytest
 from catlas_spark import queries as Q
 
 
-def plan_of(spark, sf_dir, name: str) -> str:
+# One shared sweep for the whole module (r12, verdict item 1a): the old
+# per-call plan_of re-built + re-explained each query, and the full-
+# registry UDF guard alone paid ~170 serial explains (56 s measured).
+# Plans are built ONCE, serially (builders may touch shared session
+# state), then explained from a small thread pool — Catalyst planning is
+# thread-safe and explain never executes. ~200 explains collapse to one
+# ~15 s sweep shared by every test below.
+_PLAN_TEXTS: dict[str, str] = {}
+
+
+def _explain_text(df) -> str:
+    # the string straight from the JVM (what df.explain prints): a
+    # redirect_stdout capture is process-global, so concurrent explains
+    # in the thread pool would interleave each other's output
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _all_plans(spark, sf_dir) -> dict[str, str]:
+    if _PLAN_TEXTS:
+        return _PLAN_TEXTS
+    from concurrent.futures import ThreadPoolExecutor
+
     from catlas_spark.caching import lazy_plans
 
     # lazy_plans: operators that normally checkpoint-and-release their
@@ -19,11 +42,22 @@ def plan_of(spark, sf_dir, name: str) -> str:
     # the sweep inspects (and does NOT execute) the real plan — a Python
     # stage inside those operators stays visible to the whitelist guard
     with lazy_plans():
-        df = Q.queries()[name](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+        qs = Q.queries()
+        dfs = {name: fn(spark, sf_dir) for name, fn in qs.items()}
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for name, text in zip(
+                dfs, ex.map(_explain_text, dfs.values())
+            ):
+                _PLAN_TEXTS[name] = text
+    # the last-built query may have left a per-query conf override set
+    # (bloom_pruned_join's builder does); restore the baseline so the
+    # sweep cannot leak plan-shaping confs into later tests
+    Q._session_tune(spark)
+    return _PLAN_TEXTS
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return _all_plans(spark, sf_dir)[name]
 
 
 def test_filter_pushdown_and_pruning(spark, sf_dir):

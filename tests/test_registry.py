@@ -209,7 +209,21 @@ def test_tiny_exec_profile_results_match_default(spark, sf_dir, monkeypatch):
     profile equals the first-call (default-profile) result."""
     Q = _fresh_plan_cache(monkeypatch)
     monkeypatch.setattr(Q, "_PLAN_TINY", {})
-    for name in ("timeseries_gapfill", "grouped_topk", "union_distinct_keys"):
+    # seeded-sampling queries included (r11 verdict item: if any sampler
+    # ever depended on partition layout — Spark's rand(seed) does — the
+    # bench's hit path would silently run a different result than the one
+    # the oracle blessed; the repo's hash-based sampling convention makes
+    # this hold, and this test keeps it held); window_lag_lead covers the
+    # window-function family under the 8-partition profile.
+    for name in (
+        "timeseries_gapfill",
+        "grouped_topk",
+        "union_distinct_keys",
+        "stratified_sample",
+        "train_test_split",
+        "weighted_sample",
+        "window_lag_lead",
+    ):
         fn = Q.queries()[name]
         baseline = sorted(map(tuple, fn(spark, sf_dir).collect()))
         fn(spark, sf_dir)  # second sighting -> cached + tiny verdict
